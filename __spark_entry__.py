@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference pipeline's gold
+aggregate as one batch query) on sf0.001; ``queries()``/``oracle_sql()``
+expose the full operator registry from ``kafka_streaming_spark.queries``.
 """
 
 from __future__ import annotations
@@ -13,26 +11,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_streaming_spark.queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7 step 0):
+    scan → project/derive (P4-P7) → dedup latest-per-key (W1) → grouped
+    multi-aggregate (A1/A5) — the reference's silver→gold computation as
+    one batch plan."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_spark.ops.dedup import latest_per_key
+    from kafka_streaming_spark.ops.aggregates import group_agg
+    from kafka_streaming_spark.ops.projections import derive_event_columns, normalize_events
+    from kafka_streaming_spark.schemas import load_table
+
+    events = normalize_events(load_table(spark, "/root/testdata/sf0.001", "events"))
+    derived = derive_event_columns(events)
+    deduped = latest_per_key(derived, ["minute_timestamp", "id"], "event_timestamp", "id")
+    return group_agg(deduped, keys=("group_id",), score_col="score", ts_col="event_timestamp")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; omitted keys
+    (MinHash/SimHash/LSH/streaming) get the driver's rows-only check."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,218 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core operators of a large-scale training-data pipeline, built Spark-first:
+
+- **exact**: hash-groupBy on a content digest (one shuffle, fully pushed to
+  JVM ``md5``);
+- **n-gram Jaccard**: exact set similarity over word shingles — the
+  verification predicate for candidate pairs;
+- **MinHash + LSH**: linear-time near-dup discovery — signatures via
+  Catalyst higher-order functions, banding, bucket self-join.  At 100 TB the
+  bucket join replaces the O(n²) pair enumeration; skewed buckets (boiler-
+  plate shingles) are bounded by ``max_bucket`` before the join;
+- **SimHash**: 64-bit hyperplane sketch via explode + 64 conditional sums —
+  one shuffle per corpus, Hamming-distance candidate filter.
+
+No Python UDFs anywhere — xxhash64 / aggregate / transform keep everything
+in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.functions.text import tokens
+
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime; classic MinHash modulus)
+
+
+def content_digest(text: Column) -> Column:
+    """Exact-dup key: md5 of the raw text (same function exists in DuckDB →
+    oracle-checkable)."""
+    return F.md5(text)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct content, keeping
+    the smallest id (deterministic keeper) and the duplicate count."""
+    return df.groupBy(content_digest(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keeper_" + id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of the text → array<string>.
+    Documents shorter than ``n`` tokens yield their full token join."""
+    toks = tokens(F.lower(text))
+    ngram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(ngram)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard (quadratic — the small-corpus baseline
+    and the verifier for LSH candidates; never run unbounded at 100 TB).
+    Emits pairs with ``id_a < id_b`` and similarity > threshold."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") > threshold)
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature: for permutation j, ``min((a_j*h + b_j) mod P)``
+    over the shingle hashes h.  Hash family constants are fixed odd
+    multipliers — deterministic across runs and machines.
+
+    Everything is ``transform``/``array_min`` over the shingle array:
+    per-row work, no shuffle, whole-stage codegen."""
+    base = F.transform(
+        word_shingles(text, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_MOD))
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                base,
+                lambda h, j=j: F.pmod(
+                    h * F.lit(2 * j + 1) + F.lit(j * 12_345 + 7), F.lit(MINHASH_MOD)
+                ),
+            )
+        )
+        for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    band key = xxhash64(band slice) → self-join per (band, key) bucket.
+    Buckets larger than ``max_bucket`` (degenerate boilerplate) are dropped
+    to bound the join fan-out — at corpus scale this is the difference
+    between a linear pass and an accidental cross-join.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("sig", i * rows + r + 1) for r in range(rows)])
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+    small = (
+        buckets.groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = (
+        small.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from banding, verified
+    with exact shingle Jaccard (candidates only — the expensive predicate
+    never touches non-colliding pairs)."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Explode tokens → xxhash64 → for each bit, conditional ±1 sum per doc →
+    sign vector → packed long.  One shuffle (groupBy id); the 64 sums are a
+    single hash-aggregate with 64 columns, all codegen'd.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    h = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    packed = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)))
+                .otherwise(0)
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit sketches via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,99 @@
+"""Text-analysis column functions: tokenization, quality scoring, language
+ID, document fingerprinting.
+
+All deterministic Column expressions (no UDFs).  Cross-engine-checkable: each
+has an ANSI-SQL equivalent registered in ``queries.py`` so DuckDB can verify
+it on the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Modulus for the polynomial rolling hash — fits comfortably in int64 while
+#: hashing with multiplier 31 (max intermediate ≈ 31 * 1e9 + 255 < 2^63).
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_MULT = 31
+
+#: Tiny deterministic stopword marker sets for the language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "des"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 1 empty token, matching the
+    regexp-split semantics of both Spark and DuckDB; callers filter empties
+    upstream if needed)."""
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters — a quality signal."""
+    return F.length(F.regexp_replace(text, "[^A-Za-z]", "")) / F.length(text)
+
+
+def space_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^ ]", "")) / F.length(text)
+
+
+def avg_token_length(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"\s+", "")) / token_count(text)
+
+
+def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopword markers."""
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern)) / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score: alphabetic density weighted with
+    stopword plausibility — a deterministic stand-in for trained quality
+    classifiers in large-scale corpus filtering."""
+    return alpha_ratio(text) * 0.5 + stopword_ratio(text) * 0.5
+
+
+def lang_marker_hits(text: Column, lang: str) -> Column:
+    pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-marker language guess: the language whose marker set
+    hits most; ties broken by fixed language order; 'und' (undetermined)
+    when nothing hits."""
+    langs = list(LANG_MARKERS)
+    hits = [lang_marker_hits(text, lg) for lg in langs]
+    best = F.greatest(*hits)
+    expr = F.lit("und")
+    # Build reversed CASE chain so earlier languages win ties.
+    for lg, h in reversed(list(zip(langs, hits))):
+        expr = F.when((h == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over the
+    character codes, mod 1e9+7 — the classic Rabin-Karp shape, expressed as
+    a Catalyst ``aggregate`` over ``split(text, '')`` so it runs JVM-side.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_MULT + F.ascii(c)) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,822 @@
+"""Named query registry: every implemented operator from SURVEY.md §2 as a
+driver-checkable (Spark, DuckDB-oracle) pair.
+
+Registry contract (``/root/repo/__spark_entry__.py``): each entry maps
+``name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.  The
+driver runs both at sf=0.01 and compares row-count + schema + order-
+insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- aggregate numerics are cast to DECIMAL with fixed scale (exact integer
+  arithmetic → identical across engines regardless of accumulation order);
+  double outputs are rounded to 6 digits then cast to DECIMAL;
+- no raw TimestampType in outputs (epoch millis BIGINT instead);
+- no non-deterministic columns (current_timestamp, uuid) in outputs.
+
+Queries whose semantics are not SQL-expressible (MinHash/LSH, SimHash,
+hyperplane ANN, streaming pipeline) carry ``None`` oracles → the driver
+records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.functions import dedup as D
+from kafka_streaming_spark.functions import similarity as S
+from kafka_streaming_spark.functions import text as T
+from kafka_streaming_spark.ops.dedup import latest_per_key, merge_insert_if_absent
+from kafka_streaming_spark.ops.windows import paginate, top_k_per_group
+from kafka_streaming_spark.ops.timeops import tumbling_agg
+from kafka_streaming_spark.schemas import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --- numeric canonicalization helpers (see module docstring) ---------------
+
+
+def dsum(col: Column, out: str, scale: int = 2, cast_scale: int = 2) -> Column:
+    """Exact decimal sum: cast each term to DECIMAL before summing so the
+    result is independent of accumulation order, then fix the output type."""
+    return (
+        F.sum(col.cast(f"decimal(18,{cast_scale})")).cast(f"decimal(38,{scale})").alias(out)
+    )
+
+
+def r6(col: Column, out: str) -> Column:
+    """Round a double to 6 digits and pin the type (matches oracle
+    ``CAST(ROUND(x, 6) AS DECIMAL(18,6))``)."""
+    return F.round(col, 6).cast("decimal(18,6)").alias(out)
+
+
+def _bucket_ms(ts: Column) -> Column:
+    """(epoch_millis / 1000 / 180) floored — reference silver.py:61."""
+    return F.floor(F.unix_millis(ts) / 1000 / 180).cast("long")
+
+
+# ===========================================================================
+# §2.3 Projections / scalar expressions
+# ===========================================================================
+
+
+@register(
+    "p_parse_project",
+    """
+    SELECT event_id, user_id, value AS score,
+           epoch_ms(ts) AS event_ts_ms,
+           CAST(floor(epoch_ms(ts)/1000.0/180) AS BIGINT) AS minute_ts,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           upper(event_type) AS event_type_uc
+    FROM events
+    """,
+)
+def p_parse_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P1-P8 pack: typed projection, epoch conversion, the reference's 180 s
+    bucket derivation (silver.py:54-62), JSON scalar extraction on
+    ``props`` (the from_json/get_json_object surface)."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("score"),
+        F.unix_millis("ts").alias("event_ts_ms"),
+        _bucket_ms(F.col("ts")).alias("minute_ts"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.upper("event_type").alias("event_type_uc"),
+    )
+
+
+@register(
+    "f_filter_routing",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type NOT IN ('view', 'click') AND value > 50.0
+    """,
+)
+def f_filter_routing(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 (negated isin — the CDF insert-only routing shape, gold.py:57) +
+    F2 (SQL-string predicate, tomongo.py:26)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.filter(~F.col("event_type").isin("view", "click"))
+        .filter("value > 50.0")
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "f_scalar_pack",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           lower(p_type) AS type_lc,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           abs(p_size - 25) AS size_dist,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_r1
+    FROM part
+    """,
+)
+def f_scalar_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 scalar-function surface: string / math / rounding built-ins."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
+        .cast("decimal(18,1)")
+        .alias("price_r1"),
+    )
+
+
+@register(
+    "d_datetime_pack",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def d_datetime_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 date/time surface: extraction, truncation, day arithmetic."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.unix_millis(F.date_trunc("month", "o_orderdate")).alias("month_start_ms"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+# ===========================================================================
+# §2.5-§2.7 Dedup / merge / windows
+# ===========================================================================
+
+
+@register(
+    "w_latest_per_key",
+    """
+    SELECT user_id, event_id, value AS score, epoch_ms(ts) AS event_ts_ms
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 (silver.py:7,13-18 batch-dedup idiom) / J3 (serving last-writer-
+    wins): newest row per key with a total (deterministic) ordering."""
+    e = load_table(spark, sf, "events")
+    out = latest_per_key(e, ["user_id"], "ts", tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", F.col("value").alias("score"), F.unix_millis("ts").alias("event_ts_ms")
+    )
+
+
+@register(
+    "j_merge_insert_if_absent",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch_ms(ts)/1000.0/180) AS BIGINT) AS minute_ts
+      FROM events WHERE event_id % 2 = 0
+    ), s AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch_ms(ts)/1000.0/180) AS BIGINT) AS minute_ts
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT event_id, user_id, minute_ts FROM t
+    UNION ALL
+    SELECT s.event_id, s.user_id, s.minute_ts FROM s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t
+      WHERE t.minute_ts = s.minute_ts AND t.event_id = s.event_id
+    )
+    """,
+)
+def j_merge_insert_if_absent(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 + F3: the dedup-across-history MERGE (silver.py:22-40) in batch
+    form — target ∪ (source anti-join target on (bucket, id)), with the
+    IN-list bucket prune applied to the probe side."""
+    e = load_table(spark, sf, "events").select(
+        "event_id", "user_id", _bucket_ms(F.col("ts")).alias("minute_ts")
+    )
+    target = e.filter(F.col("event_id") % 2 == 0)
+    source = e.filter(F.col("event_id") % 3 == 0)
+    return merge_insert_if_absent(
+        target, source, keys=["minute_ts", "event_id"], prune_col="minute_ts"
+    )
+
+
+@register(
+    "w_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 generalized ranking: top-3 orders per customer (deterministic
+    tiebreak on the key)."""
+    o = load_table(spark, sf, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rn",
+    )
+
+
+@register(
+    "l_pagination",
+    """
+    SELECT event_id, user_id, value
+    FROM events ORDER BY event_id LIMIT 50 OFFSET 100
+    """,
+)
+def l_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """L1 (serving pagination, route.ts:9-17) with a deterministic sort."""
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    return paginate(e, ["event_id"], page=3, page_size=50)
+
+
+# ===========================================================================
+# §2.6 Aggregations (the gold-table family)
+# ===========================================================================
+
+_GOLD_ORACLE = """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS cumulative_score,
+           COUNT(*) AS event_count,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(18,6)) AS avg_score,
+           MIN(epoch_ms(ts)) AS first_event_timestamp,
+           MAX(epoch_ms(ts)) AS last_event_timestamp
+    FROM events GROUP BY user_id
+"""
+
+
+def _gold_agg_decimal(df: DataFrame) -> DataFrame:
+    cum = F.sum(F.col("value").cast("decimal(18,2)"))
+    cnt = F.count(F.lit(1))
+    return df.groupBy("user_id").agg(
+        cum.cast("decimal(38,2)").alias("cumulative_score"),
+        cnt.alias("event_count"),
+        F.round(cum.cast("double") / cnt, 6).cast("decimal(18,6)").alias("avg_score"),
+        F.min(F.unix_millis("ts")).alias("first_event_timestamp"),
+        F.max(F.unix_millis("ts")).alias("last_event_timestamp"),
+    )
+
+
+@register("a_group_agg", _GOLD_ORACLE)
+def a_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 + A5: the gold-table grouped multi-aggregate (gold.py:11-16) with
+    the derived mean, in exact decimal arithmetic."""
+    return _gold_agg_decimal(load_table(spark, sf, "events"))
+
+
+@register("a_incremental_fold", _GOLD_ORACLE)
+def a_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/J2: running-total maintenance (gold.py:19-45) — four simulated
+    micro-batches folded with MERGE-shaped combine arithmetic; must equal
+    the single-pass aggregate (the fold ≡ agg∘union invariant)."""
+    e = load_table(spark, sf, "events")
+    state: DataFrame | None = None
+    for i in range(4):
+        batch = e.filter(F.col("event_id") % 4 == i)
+        agg = batch.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_millis("ts")).alias("f"),
+            F.max(F.unix_millis("ts")).alias("l"),
+        )
+        if state is None:
+            state = agg
+        else:
+            t, s = state.alias("t"), agg.alias("s")
+            state = t.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer").select(
+                F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
+                (
+                    F.coalesce(F.col("t.c"), F.lit(0).cast("decimal(38,2)"))
+                    + F.coalesce(F.col("s.c"), F.lit(0).cast("decimal(38,2)"))
+                )
+                .cast("decimal(38,2)")
+                .alias("c"),
+                (F.coalesce(F.col("t.n"), F.lit(0)) + F.coalesce(F.col("s.n"), F.lit(0))).alias(
+                    "n"
+                ),
+                F.least(F.col("t.f"), F.col("s.f")).alias("f"),
+                F.greatest(F.col("t.l"), F.col("s.l")).alias("l"),
+            )
+    assert state is not None
+    return state.select(
+        "user_id",
+        F.col("c").alias("cumulative_score"),
+        F.col("n").alias("event_count"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6)
+        .cast("decimal(18,6)")
+        .alias("avg_score"),
+        F.col("f").alias("first_event_timestamp"),
+        F.col("l").alias("last_event_timestamp"),
+    )
+
+
+@register(
+    "t_tumbling_window",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL '180 seconds', ts)) AS window_start_ms,
+           epoch_ms(time_bucket(INTERVAL '180 seconds', ts) + INTERVAL '180 seconds')
+             AS window_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 in idiomatic form: ``F.window(ts, '180 seconds')`` tumbling
+    aggregate — the proper version of the reference's manual bucket key
+    (silver.py:61; SURVEY §2.10 note)."""
+    e = load_table(spark, sf, "events")
+    return tumbling_agg(
+        e,
+        "ts",
+        "180 seconds",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "g_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def g_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 extension: hierarchical (ROLLUP) aggregation — subtotal rows
+    carry NULL keys identically in both engines."""
+    o = load_table(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+# ===========================================================================
+# §2.5 Joins (generic surface required by J1-J3 batch equivalents)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                AS DECIMAL(38,6)) AS sum_charge,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(18,6)) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape (scan → filter → hash aggregate): the canonical
+    pushdown + partial-aggregation benchmark query."""
+    li = load_table(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("decimal(38,6)")
+            .alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(18,6)")
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS order_count
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_mktsegment
+    """,
+)
+def q3_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join + broadcast dim.  ``customer`` is
+    explicitly broadcast — at 100 TB the lineitem side never shuffles for
+    this join; only the groupBy shuffles |segments| rows."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+@register(
+    "q5_region_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS customer_count,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through two broadcast dimensions."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def j_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (the EXISTS shape; J1's sibling)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join — the core of J1 (insert-if-absent MERGE)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "s_set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 set ops: INTERSECT (distinct semantics)."""
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "s_set_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 set ops: EXCEPT (distinct semantics)."""
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
+
+
+# ===========================================================================
+# LLM-data-pipeline extensions (documents / embeddings tables)
+# ===========================================================================
+
+
+@register(
+    "x_doc_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def x_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content-digest hash-groupBy (one shuffle; the keeper
+    is the smallest doc_id — deterministic)."""
+    return D.exact_dedup(load_table(spark, sf, "documents"))
+
+
+@register(
+    "x_doc_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / length(text), 6) AS DECIMAL(18,6)) AS alpha_ratio,
+           CAST(ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+                AS DECIMAL(18,6)) AS avg_token_len
+    FROM documents
+    """,
+)
+def x_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + quality-signal ratios (length / alpha density /
+    token shape) — pure Column expressions over ``documents``."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        r6(T.alpha_ratio(t), "alpha_ratio"),
+        r6(T.avg_token_length(t), "avg_token_len"),
+    )
+
+
+@register(
+    "x_doc_quality",
+    """
+    SELECT doc_id,
+           CAST(ROUND(
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) * 0.5
+             + CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5,
+             6) AS DECIMAL(18,6)) AS quality
+    FROM documents
+    """,
+)
+def x_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score (alpha density + stopword plausibility) —
+    the deterministic stand-in for trained quality classifiers."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", r6(T.quality_score(F.col("text")), "quality"))
+
+
+@register(
+    "x_doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def x_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling polynomial (Rabin-Karp) document fingerprint, computed
+    JVM-side with a Catalyst ``aggregate`` — identical left-to-right fold in
+    both engines."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "x_doc_lang_id",
+    None,  # CASE-chain over marker-hit counts is Spark-specific plumbing;
+    # semantics pinned by unit tests (deterministic heuristic)
+)
+def x_doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: argmax over stopword-marker hit counts."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "x_ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+             6) AS DECIMAL(18,6)) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+)
+def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-trigram Jaccard over a bounded doc subset — the
+    verification predicate of the near-dup stack (quadratic baseline;
+    MinHash-LSH below is the scale path)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.0)
+    return pairs.select("id_a", "id_b", r6(F.col("jaccard_sim"), "jaccard_sim"))
+
+
+@register("x_minhash_near_dup", None)
+def x_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash (32 perms) + LSH (8 bands × 4 rows) near-dup discovery with
+    exact-Jaccard verification of candidates.  Non-SQL-expressible (hash
+    family) → rows-only driver check; semantics tested in pytest against
+    the exact all-pairs Jaccard."""
+    d = load_table(spark, sf, "documents")
+    return D.minhash_near_dup_pairs(d, threshold=0.3)
+
+
+@register("x_simhash", None)
+def x_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash sketch per document (explode → 64 conditional bit
+    sums → packed long)."""
+    d = load_table(spark, sf, "documents")
+    return D.simhash64(d)
+
+
+@register(
+    "x_cosine_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qv, vec)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vec, vec))),
+                   6) AS cos_r
+      FROM q, v WHERE q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(cos_r AS DECIMAL(18,6)) AS cosine_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_r DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def x_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast query set × corpus
+    scan, ``zip_with``/``aggregate`` dot products, per-query top-5.
+    Ordering uses the 6-digit-rounded similarity so ranking is identical
+    across engines (raw double ULP differences can't flip ranks)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    q = queries.select(F.col("vec_id").alias("query_id"), S.as_double(F.col("embedding")).alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), S.as_double(F.col("embedding")).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+    )
+    top = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_r").desc(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="rank",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos_r").cast("decimal(18,6)").alias("cosine_sim"),
+        "rank",
+    )
+
+
+@register(
+    "x_cosine_near_dup",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_dot_product(a.vec, b.vec)
+                      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
+                      6) AS DECIMAL(18,6)) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
+                6) > 0.15
+    """,
+)
+def x_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs over a bounded id range (quadratic
+    baseline; the LSH bucketing in ``functions.similarity`` is the 100 TB
+    path)."""
+    pairs = S.cosine_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=-2.0, id_limit=200
+    )
+    rounded = pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cos_r")
+    ).filter(F.col("cos_r") > 0.15)
+    return rounded.select("id_a", "id_b", F.col("cos_r").cast("decimal(18,6)").alias("cosine_sim"))
+
+
+@register("x_lsh_ann_topk", None)
+def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucketing (deterministic
+    integer-mixed hyperplanes), bucket-equijoin, exact re-scoring inside
+    buckets.  Recall measured against the brute-force baseline in tests."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, k=5, dim=64, planes=8)
+
+
+__all__ = ["REGISTRY", "register"]

@@ -1,0 +1,192 @@
+"""The medallion pipeline: the reference's three concurrent streaming
+queries (``main.py:12-20``) re-expressed as configurable stages over any
+source, runnable broker-free with ``availableNow`` triggers.
+
+Topology (reference → engine):
+
+1. ``kafka_to_silver`` (silver.py:43-77) → ``bronze_to_silver``: source →
+   parse/derive → watermark → dropDuplicatesWithinWatermark → foreachBatch
+   insert-if-absent MERGE into the silver table.
+2. ``silver_to_gold`` (gold.py:49-69) → ``silver_to_gold``: silver change
+   feed → insert-only filter → per-batch groupBy aggregate → running-total
+   upsert into the gold table.
+3. ``gold_to_mongo`` (tomongo.py:20-35) → ``gold_to_serving``: gold change
+   feed → drop preimages → key-replaced write to a serving table
+   (last-writer-wins per ``group_id``, J3).
+
+Backend: ``ParquetUpsertTable`` (plain parquet + emulated CDF) so the whole
+pipeline runs with only pyspark; with delta-spark installed the same stages
+target real Delta tables via ``delta_utils`` (same method shapes).
+
+The change feeds between stages are consumed as *file streams over the cdf
+directories* — each upstream commit becomes a downstream micro-batch, which
+is exactly the incremental-view-maintenance property the reference gets from
+Delta CDF (per-trigger work ∝ delta, not history).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_streaming_spark.io.sinks import ParquetUpsertTable, start_foreach_batch
+from kafka_streaming_spark.io.sources import file_stream
+from kafka_streaming_spark.ops.aggregates import combine_states, group_agg
+from kafka_streaming_spark.ops.dedup import latest_per_key
+from kafka_streaming_spark.ops.projections import derive_event_columns
+from kafka_streaming_spark.schemas import EVENT_SCHEMA, GOLD_SCHEMA, SILVER_SCHEMA
+
+
+def watermark_dedup(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    delay: str = "30 seconds",
+    keys: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """T1 + T2: event-time watermark + stateful streaming dedup
+    (silver.py:63,66).  Keeps the first occurrence of each key within the
+    watermark window; state lives in the (RocksDB) state store."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+#: Change-feed rows as written by ParquetUpsertTable._log_cdf.
+def _cdf_schema(base: StructType) -> StructType:
+    return StructType(
+        list(base.fields)
+        + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_version", LongType(), True),
+        ]
+    )
+
+
+class MedallionPipeline:
+    """Bronze → silver → gold → serving over a local table root.
+
+    Single-writer per table (the reference's model: each streaming query
+    owns its target).  ``run_available_now`` drains a finite source through
+    all three stages in sequence — the test/backfill mode; ``start_*``
+    methods return live streaming queries for continuous mode.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, watermark_delay: str = "30 seconds"):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.watermark_delay = watermark_delay
+        self.silver = ParquetUpsertTable(
+            spark, f"{self.root}/silver", SILVER_SCHEMA, keys=("minute_timestamp", "id")
+        )
+        self.gold = ParquetUpsertTable(
+            spark, f"{self.root}/gold", GOLD_SCHEMA, keys=("group_id",)
+        )
+        self.serving_dir = f"{self.root}/serving"
+
+    # -- stage 1: bronze → silver ------------------------------------------
+
+    def _silver_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """K1 body (silver.py:10-40): insert-if-absent with bucket pruning."""
+        self.silver.insert_if_absent(batch_df, version=batch_id, prune_col="minute_timestamp")
+
+    def start_bronze_to_silver(self, events: DataFrame, available_now: bool = True):
+        """``events`` must carry the EVENT_SCHEMA columns (id, group_id,
+        score, event_timestamp).  Applies P4-P7 derivations, watermark,
+        stream dedup, then the MERGE sink."""
+        parsed = derive_event_columns(events)
+        deduped = watermark_dedup(parsed, "timestamp", self.watermark_delay, ("id",))
+        silver_cols = deduped.select(*[f.name for f in SILVER_SCHEMA.fields])
+        return start_foreach_batch(
+            silver_cols,
+            self._silver_batch,
+            checkpoint=f"{self.root}/_checkpoints/bronze_to_silver",
+            query_name="bronze_to_silver",
+            available_now=available_now,
+        )
+
+    # -- stage 2: silver CDF → gold ----------------------------------------
+
+    def _gold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """K2 body (gold.py:7-46): per-batch aggregate + running-total
+        upsert.  ``least/greatest`` maintenance of first/last timestamps
+        (see aggregates.combine_states for the documented deviation)."""
+        inserts = batch_df.filter(
+            ~F.col("_change_type").isin("update_postimage", "update_preimage", "delete")
+        ).drop("_change_type", "_commit_version")
+        if inserts.isEmpty():
+            return
+        agg = group_agg(inserts, keys=("group_id",), score_col="score", ts_col="event_timestamp")
+        prior = self.gold.read().drop("updated_at")
+        new_state = combine_states(prior, agg, keys=("group_id",)).withColumn(
+            "updated_at", F.unix_timestamp(F.current_timestamp()) * 1000
+        )
+        self.gold.upsert_state(
+            new_state, changed_keys=agg.select("group_id"), version=batch_id
+        )
+
+    def start_silver_to_gold(self, available_now: bool = True, max_files_per_trigger: int = 1):
+        """S2: stream the silver change feed; one upstream commit ≈ one
+        micro-batch (``maxFilesPerTrigger=1`` keeps batches commit-sized,
+        the reference's bounded-batch intent at gold.py:65/K6)."""
+        os.makedirs(f"{self.silver.root}/cdf", exist_ok=True)
+        cdf = file_stream(
+            self.spark,
+            f"{self.silver.root}/cdf/v_*",
+            _cdf_schema(SILVER_SCHEMA),
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return start_foreach_batch(
+            cdf,
+            self._gold_batch,
+            checkpoint=f"{self.root}/_checkpoints/silver_to_gold",
+            query_name="silver_to_gold",
+            available_now=available_now,
+        )
+
+    # -- stage 3: gold CDF → serving ----------------------------------------
+
+    def _serving_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """K3 body (tomongo.py:6-17): key-replaced append — ``_id`` =
+        group_id, last-writer-wins at read time (J3)."""
+        out = (
+            batch_df.filter("_change_type != 'update_preimage'")
+            .drop("_change_type", "_commit_version")
+            .withColumn("_id", F.col("group_id"))
+        )
+        out.write.mode("append").parquet(self.serving_dir)
+
+    def start_gold_to_serving(self, available_now: bool = True, max_files_per_trigger: int = 1):
+        os.makedirs(f"{self.gold.root}/cdf", exist_ok=True)
+        cdf = file_stream(
+            self.spark,
+            f"{self.gold.root}/cdf/v_*",
+            _cdf_schema(GOLD_SCHEMA),
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return start_foreach_batch(
+            cdf,
+            self._serving_batch,
+            checkpoint=f"{self.root}/_checkpoints/gold_to_serving",
+            query_name="gold_to_serving",
+            available_now=available_now,
+        )
+
+    # -- orchestration -------------------------------------------------------
+
+    def run_available_now(self, events: DataFrame) -> DataFrame:
+        """Drain a finite source through all three stages (T6 in finite
+        form: the continuous deployment starts all three and calls
+        ``spark.streams.awaitAnyTermination()``).  Returns the gold state."""
+        self.start_bronze_to_silver(events, available_now=True).awaitTermination()
+        self.start_silver_to_gold(available_now=True).awaitTermination()
+        self.start_gold_to_serving(available_now=True).awaitTermination()
+        return self.gold.read()
+
+    def serving_view(self) -> DataFrame:
+        """J3 read side: latest row per ``_id`` (deterministic via
+        ``_commit-free`` ordering on updated_at, tie-broken by event_count)."""
+        df = self.spark.read.schema(
+            StructType(list(GOLD_SCHEMA.fields) + [StructField("_id", StringType(), True)])
+        ).parquet(self.serving_dir)
+        return latest_per_key(df, ["_id"], "updated_at", tiebreak="event_count")

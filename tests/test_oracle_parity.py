@@ -1,0 +1,73 @@
+"""Mirror of the driver's correctness gate: run every registered query on
+Spark AND its DuckDB oracle, compare row count, column names, and the full
+(order-insensitive) value multiset.
+
+Values are canonicalized to strings the way a value-hash would see them —
+exact equality required, no tolerance — so a pass here predicts a pass in
+CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import pytest
+
+from kafka_streaming_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+ORACLE_QUERIES = sorted(name for name, (_f, sql) in REGISTRY.items() if sql is not None)
+ROWS_ONLY_QUERIES = sorted(name for name, (_f, sql) in REGISTRY.items() if sql is None)
+
+
+def canon(v):
+    """Canonical string form for cross-engine value comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    return str(v)
+
+
+def rows_to_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_SMALL)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    rel = duck.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    left = rows_to_multiset(spark_cols, spark_rows)
+    right = rows_to_multiset(duck_cols, duck_rows)
+    if left != right:
+        diffs = [(l, r) for l, r in zip(left, right) if l != r][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_SMALL)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
