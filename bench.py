@@ -1,0 +1,102 @@
+"""Benchmark runner: times every registered query (plus the streaming
+medallion pipeline) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": "..."}
+
+Each query is forced with .count() (full plan execution, no driver-side
+row transfer).  A warmup query amortizes JVM/codegen startup out of the
+first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from kafka_streaming_spark.queries import REGISTRY
+from kafka_streaming_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench")
+
+
+def bench_streaming(spark) -> tuple[float, int]:
+    """Medallion pipeline wall time over the events table (availableNow)."""
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.ops.projections import normalize_events
+    from kafka_streaming_spark.schemas import load_table
+    from kafka_streaming_spark.streaming.pipeline import MedallionPipeline
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    events = normalize_events(load_table(spark, SF_DIR, "events")).select(
+        "id", "group_id", "score", "event_timestamp"
+    )
+    n = events.count()
+    src = f"{TMP}/source"
+    (
+        events.repartitionByRange(8, "event_timestamp")
+        .sortWithinPartitions("event_timestamp")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    # Streaming stages favor fewer, larger state partitions on one node;
+    # runtime-set so the batch queries above keep the wide setting.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=4)
+    pipe = MedallionPipeline(spark, f"{TMP}/tables", watermark_delay="40 days")
+    t0 = time.perf_counter()
+    pipe.start_bronze_to_silver(stream, available_now=True).awaitTermination()
+    pipe.start_silver_to_gold(available_now=True).awaitTermination()
+    pipe.start_gold_to_serving(available_now=True).awaitTermination()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(TMP, ignore_errors=True)
+    return elapsed, n
+
+
+def main() -> None:
+    spark = build_session(
+        app_name="kss-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        streaming=True,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    next(iter(REGISTRY.values()))[0](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    stream_sec, n_events = bench_streaming(spark)
+    timings["streaming_medallion"] = round(stream_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "streaming_events_per_sec": round(n_events / stream_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,7 +11,15 @@ Layout::
 
     <root>/data/v_<version>/   full state  (upsert tables: one dir per commit)
     <root>/data/append/        append-only data files (insert-only tables)
-    <root>/cdf/v_<version>/    change rows for that commit (+ _change_type)
+    <root>/cdf/                flat change-feed dir; every file is named
+                               ``v<version>_<change_type>_<orig>.parquet``
+
+Change-feed metadata (``_change_type``, ``_commit_version``) is **derived
+from the file name at read time** (``attach_cdf_metadata``) instead of being
+written into the rows: insert commits just hard-link the committed data
+files into ``cdf/`` — zero extra write amplification per micro-batch, the
+same trick Delta plays by logging file-level actions rather than row-level
+copies.
 
 CDF deviation from Delta (documented): the emulation emits ``insert`` and
 ``update_postimage`` rows only — the reference's downstream consumers filter
@@ -31,6 +39,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from kafka_streaming_spark.ops.dedup import prune_in_list
+
+#: Regexes over the cdf file name (see module docstring).
+_VERSION_RE = r"/v(\d+)_"
+_CTYPE_RE = r"/v\d+_(insert|update_preimage|update_postimage|delete)_"
+
+
+def attach_cdf_metadata(df: DataFrame) -> DataFrame:
+    """Derive ``_change_type`` / ``_commit_version`` from the cdf file path.
+    Works on batch and streaming scans alike (``input_file_name`` is set for
+    both)."""
+    fname = F.input_file_name()
+    return df.withColumn(
+        "_change_type", F.regexp_extract(fname, _CTYPE_RE, 1)
+    ).withColumn("_commit_version", F.regexp_extract(fname, _VERSION_RE, 1).cast("long"))
 
 
 class ParquetUpsertTable:
@@ -60,17 +82,19 @@ class ParquetUpsertTable:
 
     # -- versions ---------------------------------------------------------
 
-    def _versions(self, sub: str) -> list[int]:
-        d = f"{self.root}/{sub}"
-        if not os.path.isdir(d):
-            return []
+    @property
+    def cdf_dir(self) -> str:
+        return f"{self.root}/cdf"
+
+    def _versions(self) -> list[int]:
+        d = f"{self.root}/data"
         return sorted(
             int(name.split("_")[1]) for name in os.listdir(d) if name.startswith("v_")
         )
 
     @property
     def latest_version(self) -> int | None:
-        vs = self._versions("data")
+        vs = self._versions()
         return vs[-1] if vs else None
 
     # -- reads ------------------------------------------------------------
@@ -90,28 +114,30 @@ class ParquetUpsertTable:
             return self._empty()
         return self.spark.read.schema(self.schema).parquet(f"{self.root}/data/v_{v}")
 
-    def read_cdf(self, starting_version: int = 0, change_types: Sequence[str] | None = None) -> DataFrame:
+    def read_cdf(
+        self, starting_version: int = 0, change_types: Sequence[str] | None = None
+    ) -> DataFrame:
         """S2/S3: change rows since ``starting_version`` with ``_change_type``
         and ``_commit_version`` metadata (T4 routing via ``change_types``)."""
-        dirs = [f"{self.root}/cdf/v_{v}" for v in self._versions("cdf") if v >= starting_version]
-        if not dirs:
-            return self._empty().withColumn("_change_type", F.lit("")).withColumn(
-                "_commit_version", F.lit(0).cast("long")
-            )
-        df = self.spark.read.parquet(*dirs)
+        if not any(f.endswith(".parquet") for f in os.listdir(self.cdf_dir)):
+            return attach_cdf_metadata(self._empty())
+        df = attach_cdf_metadata(self.spark.read.schema(self.schema).parquet(self.cdf_dir))
+        df = df.filter(F.col("_commit_version") >= starting_version)
         if change_types:
             df = df.filter(F.col("_change_type").isin(list(change_types)))
         return df
 
     # -- writes -----------------------------------------------------------
 
-    def _log_cdf(self, df: DataFrame, change_type: str, version: int) -> None:
-        (
-            df.withColumn("_change_type", F.lit(change_type))
-            .withColumn("_commit_version", F.lit(version).cast("long"))
-            .write.mode("overwrite")
-            .parquet(f"{self.root}/cdf/v_{version}")
-        )
+    def _link_to_cdf(self, files: list[str], change_type: str, version: int) -> None:
+        """Register committed files in the change feed via hard links (copy
+        fallback) — no row rewrite, file-action-level logging like Delta."""
+        for path in files:
+            dst = f"{self.cdf_dir}/v{version}_{change_type}_{os.path.basename(path)}"
+            try:
+                os.link(path, dst)
+            except OSError:
+                shutil.copy2(path, dst)
 
     def insert_if_absent(
         self, batch: DataFrame, version: int, prune_col: str | None = None
@@ -139,17 +165,13 @@ class ParquetUpsertTable:
         append_dir = f"{self.root}/data/append"
         os.makedirs(append_dir, exist_ok=True)
         committed: list[str] = []
-        for name in os.listdir(stage):
+        for name in sorted(os.listdir(stage)):
             if name.endswith(".parquet"):
-                os.rename(f"{stage}/{name}", f"{append_dir}/v{version}_{name}")
-                committed.append(f"{append_dir}/v{version}_{name}")
+                dst = f"{append_dir}/v{version}_{name}"
+                os.rename(f"{stage}/{name}", dst)
+                committed.append(dst)
         shutil.rmtree(stage, ignore_errors=True)
-        inserted = (
-            self.spark.read.schema(self.schema).parquet(*committed)
-            if committed
-            else self._empty()
-        )
-        self._log_cdf(inserted, "insert", version)
+        self._link_to_cdf(committed, "insert", version)
 
     def upsert_state(self, new_state: DataFrame, changed_keys: DataFrame, version: int) -> None:
         """J2: commit a new full state (versioned dir) and log the changed
@@ -158,11 +180,22 @@ class ParquetUpsertTable:
         new_state.write.mode("overwrite").parquet(f"{self.root}/data/v_{version}")
         committed = self.spark.read.schema(self.schema).parquet(f"{self.root}/data/v_{version}")
         changes = committed.join(changed_keys.dropDuplicates(self.keys), self.keys, "left_semi")
-        self._log_cdf(changes, "update_postimage" if had_prior else "insert", version)
+        ctype = "update_postimage" if had_prior else "insert"
+        stage = f"{self.root}/stage/cdf_{version}"
+        changes.select(*[f.name for f in self.schema.fields]).write.mode("overwrite").parquet(
+            stage
+        )
+        files = []
+        for name in sorted(os.listdir(stage)):
+            if name.endswith(".parquet"):
+                dst = f"{self.cdf_dir}/v{version}_{ctype}_{name}"
+                os.rename(f"{stage}/{name}", dst)
+                files.append(dst)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def vacuum(self, keep_last: int = 2) -> None:
         """D3: drop all but the newest ``keep_last`` state versions."""
-        for v in self._versions("data")[:-keep_last]:
+        for v in self._versions()[:-keep_last]:
             shutil.rmtree(f"{self.root}/data/v_{v}", ignore_errors=True)
 
 

@@ -30,9 +30,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
-from kafka_streaming_spark.io.sinks import ParquetUpsertTable, start_foreach_batch
+from kafka_streaming_spark.io.sinks import (
+    ParquetUpsertTable,
+    attach_cdf_metadata,
+    start_foreach_batch,
+)
 from kafka_streaming_spark.io.sources import file_stream
 from kafka_streaming_spark.ops.aggregates import combine_states, group_agg
 from kafka_streaming_spark.ops.dedup import latest_per_key
@@ -52,15 +56,12 @@ def watermark_dedup(
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
 
 
-#: Change-feed rows as written by ParquetUpsertTable._log_cdf.
-def _cdf_schema(base: StructType) -> StructType:
-    return StructType(
-        list(base.fields)
-        + [
-            StructField("_change_type", StringType(), True),
-            StructField("_commit_version", LongType(), True),
-        ]
-    )
+def _cdf_stream(spark, table: ParquetUpsertTable, base: StructType, max_files: int):
+    """S2/S3: stream a table's change feed — file stream over the flat cdf
+    dir with metadata derived from file names (see io.sinks)."""
+    os.makedirs(table.cdf_dir, exist_ok=True)
+    raw = file_stream(spark, table.cdf_dir, base, max_files_per_trigger=max_files)
+    return attach_cdf_metadata(raw)
 
 
 class MedallionPipeline:
@@ -125,17 +126,11 @@ class MedallionPipeline:
             new_state, changed_keys=agg.select("group_id"), version=batch_id
         )
 
-    def start_silver_to_gold(self, available_now: bool = True, max_files_per_trigger: int = 1):
+    def start_silver_to_gold(self, available_now: bool = True, max_files_per_trigger: int = 8):
         """S2: stream the silver change feed; one upstream commit ≈ one
-        micro-batch (``maxFilesPerTrigger=1`` keeps batches commit-sized,
+        micro-batch (``maxFilesPerTrigger`` bounds batches to ~one commit,
         the reference's bounded-batch intent at gold.py:65/K6)."""
-        os.makedirs(f"{self.silver.root}/cdf", exist_ok=True)
-        cdf = file_stream(
-            self.spark,
-            f"{self.silver.root}/cdf/v_*",
-            _cdf_schema(SILVER_SCHEMA),
-            max_files_per_trigger=max_files_per_trigger,
-        )
+        cdf = _cdf_stream(self.spark, self.silver, SILVER_SCHEMA, max_files_per_trigger)
         return start_foreach_batch(
             cdf,
             self._gold_batch,
@@ -156,14 +151,8 @@ class MedallionPipeline:
         )
         out.write.mode("append").parquet(self.serving_dir)
 
-    def start_gold_to_serving(self, available_now: bool = True, max_files_per_trigger: int = 1):
-        os.makedirs(f"{self.gold.root}/cdf", exist_ok=True)
-        cdf = file_stream(
-            self.spark,
-            f"{self.gold.root}/cdf/v_*",
-            _cdf_schema(GOLD_SCHEMA),
-            max_files_per_trigger=max_files_per_trigger,
-        )
+    def start_gold_to_serving(self, available_now: bool = True, max_files_per_trigger: int = 16):
+        cdf = _cdf_stream(self.spark, self.gold, GOLD_SCHEMA, max_files_per_trigger)
         return start_foreach_batch(
             cdf,
             self._serving_batch,

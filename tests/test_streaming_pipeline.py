@@ -1,0 +1,134 @@
+"""Golden streaming tests (SURVEY.md §5 item 2-3): replay deterministic
+events through the medallion pipeline with availableNow triggers and assert
+the incremental gold state equals the batch re-aggregation of the deduped
+history (fold ≡ agg∘union), plus duplicate/late-data invariants (FIXTURES.md
+F1 adversarial variants).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.ops.aggregates import group_agg
+from kafka_streaming_spark.ops.projections import derive_event_columns, normalize_events
+from kafka_streaming_spark.schemas import EVENT_SCHEMA, load_table
+from kafka_streaming_spark.streaming.pipeline import MedallionPipeline
+from tests.conftest import SF_SMALL
+
+
+def _write_event_source(spark, events_df, path, n_files=4):
+    """Split events into n event-time-ordered parquet files so availableNow
+    sees several micro-batches (maxFilesPerTrigger=1) that replay in
+    roughly event-time order — a historical backfill replayed out of order
+    would be dropped as late by the watermark, exactly as in the reference
+    (the daemon produces near-realtime events, silver.py:63)."""
+    (
+        events_df.repartitionByRange(n_files, "event_timestamp")
+        .sortWithinPartitions("event_timestamp")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("medallion"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "id", "group_id", "score", "event_timestamp"
+    )
+    src = f"{root}/source"
+    _write_event_source(spark, events, src)
+
+    from kafka_streaming_spark.io.sources import file_stream
+
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    # Generous watermark: this is a backfill replay of a month of history,
+    # so the lateness bound must cover intra-file disorder.
+    pipe = MedallionPipeline(spark, f"{root}/tables", watermark_delay="40 days")
+    pipe.start_bronze_to_silver(stream, available_now=True).awaitTermination()
+    pipe.start_silver_to_gold(available_now=True).awaitTermination()
+    pipe.start_gold_to_serving(available_now=True).awaitTermination()
+    return pipe, events
+
+
+def test_silver_is_event_set(spark, pipeline_result):
+    """J1 invariant: silver holds exactly the distinct (bucket, id) set."""
+    pipe, events = pipeline_result
+    silver = pipe.silver.read()
+    assert silver.count() == events.select("id").distinct().count()
+    assert silver.groupBy("minute_timestamp", "id").count().filter("count > 1").count() == 0
+
+
+def test_gold_matches_batch_reaggregation(spark, pipeline_result):
+    """A2 ≡ A1-over-history: incremental gold equals one-shot groupBy."""
+    pipe, events = pipeline_result
+    gold = pipe.gold.read().drop("updated_at")
+    expected = group_agg(
+        derive_event_columns(events), keys=("group_id",), score_col="score",
+        ts_col="event_timestamp",
+    )
+    g = {r["group_id"]: r for r in gold.collect()}
+    e = {r["group_id"]: r for r in expected.collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert g[k]["event_count"] == e[k]["event_count"], k
+        assert g[k]["first_event_timestamp"] == e[k]["first_event_timestamp"], k
+        assert g[k]["last_event_timestamp"] == e[k]["last_event_timestamp"], k
+        assert g[k]["cumulative_score"] == pytest.approx(e[k]["cumulative_score"], rel=1e-9)
+        assert g[k]["avg_score"] == pytest.approx(e[k]["avg_score"], rel=1e-9)
+
+
+def test_gold_cdf_reaches_serving(spark, pipeline_result):
+    """T4/J3: serving view has one (latest) row per group."""
+    pipe, _events = pipeline_result
+    serving = pipe.serving_view()
+    gold = pipe.gold.read()
+    assert serving.count() == gold.count()
+    merged = serving.select("_id", "event_count").join(
+        gold.select(F.col("group_id").alias("_id"), F.col("event_count").alias("gc")), "_id"
+    )
+    assert merged.filter("event_count != gc").count() == 0
+
+
+def test_duplicate_replay_is_idempotent(spark, tmp_path_factory):
+    """FIXTURES.md F1 adversarial: exact duplicates within AND beyond the
+    watermark window, replayed twice — silver row-set invariant (J1), gold
+    counts stable."""
+    root = str(tmp_path_factory.mktemp("dupes"))
+    base_ms = 1_700_000_000_000
+    rows = [
+        # (id, group, score, ts_ms)
+        ("a", "g1", 1.0, base_ms),
+        ("a", "g1", 1.0, base_ms),               # dup within watermark
+        ("b", "g1", 2.0, base_ms + 5_000),
+        ("c", "g2", 3.0, base_ms + 10_000),
+        ("a", "g1", 1.0, base_ms + 120_000),     # dup far beyond 30 s watermark
+        ("d", "g2", 4.0, base_ms + 125_000),
+    ]
+    events = spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+    src = f"{root}/source"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    # replay the same file set a second time (new files, same rows)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    from kafka_streaming_spark.io.sources import file_stream
+
+    pipe = MedallionPipeline(spark, f"{root}/tables")
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    pipe.start_bronze_to_silver(stream, available_now=True).awaitTermination()
+    pipe.start_silver_to_gold(available_now=True).awaitTermination()
+
+    silver = pipe.silver.read()
+    # Pinned semantics (SURVEY.md §7 watch-list 1): duplicates CHAIN-EXTEND
+    # dedup state in dropDuplicatesWithinWatermark — 'a'@+120s is within
+    # 30 s of... nothing, but batch 1 processed it while 'a' state was live,
+    # which extended retention to +150 s; the replayed 'a'@+120s in batch 2
+    # is therefore still deduped even though it falls in a different 180 s
+    # bucket.  Surviving rows: a@B, b@B, c@B, d@B+1.
+    assert silver.count() == 4
+    assert sorted(r["id"] for r in silver.collect()) == ["a", "b", "c", "d"]
+    # Idempotency: the replay (batch 2) added nothing.
+    gold = pipe.gold.read()
+    total = gold.agg(F.sum("event_count")).collect()[0][0]
+    assert total == 4
