@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streaming_spark.functions.text import tokens
+from kafka_streaming_spark.ops.partitioning import spread
 
 MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime; classic MinHash modulus)
 
@@ -69,7 +70,7 @@ def ngram_jaccard_pairs(
     """All-pairs exact n-gram Jaccard (quadratic — the small-corpus baseline
     and the verifier for LSH candidates; never run unbounded at 100 TB).
     Emits pairs with ``id_a < id_b`` and similarity > threshold."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     )
     a = sh.alias("a")
@@ -85,20 +86,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature: for permutation j, ``min((a_j*h + b_j) mod P)``
-    over the shingle hashes h.  Hash family constants are fixed odd
-    multipliers — deterministic across runs and machines.
-
-    Everything is ``transform``/``array_min`` over the shingle array:
-    per-row work, no shuffle, whole-stage codegen."""
-    base = F.transform(
+def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
+    """Shingle → bounded integer hash array (the MinHash input)."""
+    return F.transform(
         word_shingles(text, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_MOD))
     )
+
+
+def signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from a *materialized* shingle-hash array: for
+    permutation j, ``min((a_j*h + b_j) mod P)``.  Hash family constants are
+    fixed odd multipliers — deterministic across runs and machines.
+
+    Callers should project ``shingle_hashes`` into a column first so the
+    shingling work happens once, not once per permutation (Catalyst does
+    not CSE the subtree across the ``num_hashes`` expressions)."""
     mins = [
         F.array_min(
             F.transform(
-                base,
+                hashes,
                 lambda h, j=j: F.pmod(
                     h * F.lit(2 * j + 1) + F.lit(j * 12_345 + 7), F.lit(MINHASH_MOD)
                 ),
@@ -107,6 +113,13 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
         for j in range(num_hashes)
     ]
     return F.array(*mins)
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature straight from text (convenience; prefer
+    ``shingle_hashes`` + ``signature_from_hashes`` with an intermediate
+    projection when computing many permutations)."""
+    return signature_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -127,10 +140,13 @@ def lsh_candidate_pairs(
     between a linear pass and an accidental cross-join.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    # Two projection steps: materialize the shingle hashes ONCE, then build
+    # the num_hashes permutation mins over the materialized array.
+    hashed = spread(df).select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
+    )
+    sig = hashed.select(
+        F.col(id_col), signature_from_hashes(F.col("hs"), num_hashes).alias("sig")
     )
     band_cols = F.array(
         *[
@@ -173,7 +189,7 @@ def minhash_near_dup_pairs(
     with exact shingle Jaccard (candidates only — the expensive predicate
     never touches non-colliding pairs)."""
     cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sh = spread(df).select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
     return (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -189,7 +205,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     sign vector → packed long.  One shuffle (groupBy id); the 64 sums are a
     single hash-aggregate with 64 columns, all codegen'd.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    tok = spread(df).select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     h = tok.select(id_col, F.xxhash64("tok").alias("h"))
     bit_sums = h.groupBy(id_col).agg(
         *[

@@ -19,6 +19,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streaming_spark.ops.partitioning import spread
 from kafka_streaming_spark.ops.windows import top_k_per_group
 
 
@@ -59,7 +60,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
@@ -123,7 +124,7 @@ def lsh_topk(
         as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     )
-    bc = corpus.select(
+    bc = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
@@ -155,7 +156,7 @@ def cosine_near_dup_pairs(
     base = df
     if id_limit is not None:
         base = base.filter(F.col(id_col) < id_limit)
-    a = base.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    a = spread(base).select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = base.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

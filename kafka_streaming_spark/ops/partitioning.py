@@ -1,0 +1,55 @@
+"""Partitioning utilities — the knobs that decide whether a plan that works
+at sf0.1 still works at 100 TB.
+
+``spread`` fixes the *small-file* end (a 1-file table otherwise pins heavy
+per-row compute to one core); ``salt``/``unsalt_agg`` fix the *skew* end
+(one hot key otherwise pins a shuffle to one reducer).  AQE's skew-join
+splitting handles join-side skew automatically; salting is for aggregations
+and for joins whose skew AQE can't see (e.g. both sides skewed on the same
+key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: cluster parallelism)
+    input partitions before CPU-heavy per-row work.
+
+    Only repartitions when the input has *fewer* partitions than the
+    target — on a real 100 TB table the scan already yields thousands of
+    splits and this is a no-op; on a single-file local table it unlocks all
+    cores.  A round-robin shuffle of the input bytes is the price; pay it
+    only ahead of work that costs much more than the shuffle (shingling,
+    hashing, vector math)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def salt(df: DataFrame, key_cols: Sequence[str], buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a deterministic salt derived from the full row's key hash,
+    splitting each hot key into ``buckets`` sub-keys.  Aggregate on
+    ``key_cols + [salt_col]`` first (partial), then ``unsalt_agg`` combines
+    partials per real key — two small shuffles instead of one skewed one."""
+    h = F.abs(F.hash(*[F.col(c) for c in key_cols], F.monotonically_increasing_id()))
+    return df.withColumn(salt_col, (h % buckets).cast("int"))
+
+
+def unsalt_agg(
+    salted_agg: DataFrame,
+    key_cols: Sequence[str],
+    combine: Sequence[Column],
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Second-stage combine of a salted partial aggregate: group the
+    partials by the real keys and apply re-combinable expressions (sum of
+    sums, sum of counts, min of mins, ...)."""
+    return salted_agg.drop(salt_col).groupBy(*key_cols).agg(*combine)

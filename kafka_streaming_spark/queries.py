@@ -29,6 +29,7 @@ from kafka_streaming_spark.functions import dedup as D
 from kafka_streaming_spark.functions import similarity as S
 from kafka_streaming_spark.functions import text as T
 from kafka_streaming_spark.ops.dedup import latest_per_key, merge_insert_if_absent
+from kafka_streaming_spark.ops.partitioning import spread
 from kafka_streaming_spark.ops.windows import paginate, top_k_per_group
 from kafka_streaming_spark.ops.timeops import tumbling_agg
 from kafka_streaming_spark.schemas import load_table
@@ -664,7 +665,7 @@ def x_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling polynomial (Rabin-Karp) document fingerprint, computed
     JVM-side with a Catalyst ``aggregate`` — identical left-to-right fold in
     both engines."""
-    d = load_table(spark, sf, "documents")
+    d = spread(load_table(spark, sf, "documents"))
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
