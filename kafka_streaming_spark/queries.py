@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from kafka_streaming_spark.functions import dedup as D
 from kafka_streaming_spark.functions import similarity as S
 from kafka_streaming_spark.functions import text as T
+from kafka_streaming_spark.functions.multimodal import decode_image_meta
 from kafka_streaming_spark.ops.dedup import latest_per_key, merge_insert_if_absent
+from kafka_streaming_spark.ops.joins import asof_join, band_join
+from kafka_streaming_spark.ops.sessionize import session_stats, session_window_agg
 from kafka_streaming_spark.ops.partitioning import spread
 from kafka_streaming_spark.ops.windows import paginate, top_k_per_group
 from kafka_streaming_spark.ops.timeops import tumbling_agg
@@ -818,6 +821,158 @@ def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(emb, queries, k=5, dim=64, planes=8)
+
+
+# ===========================================================================
+# §2.5 extension joins (as-of / band) + sessionization + multimodal
+# ===========================================================================
+
+
+@register(
+    "j_asof_join",
+    """
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS purchase_ts_ms,
+           CAST(ROUND(r.value, 6) AS DECIMAL(18,6)) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of (time-series) join via the union-sort algorithm: each purchase
+    picks the user's latest click at-or-before it.  One shuffle, no range
+    fan-out — the 100 TB-safe form of ``l.ts >= r.ts`` matching."""
+    e = load_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ts_ms"),
+        F.round(F.col("value_asof"), 6).cast("decimal(18,6)").alias("last_click_value"),
+    )
+
+
+_BANDS = [(0.0, 100_000.0, "low"), (100_000.0, 250_000.0, "mid"), (250_000.0, 1e9, "high")]
+
+
+@register(
+    "j_band_join",
+    """
+    SELECT o_orderkey, b.label AS price_band
+    FROM orders o
+    LEFT JOIN (VALUES (0.0, 100000.0, 'low'),
+                      (100000.0, 250000.0, 'mid'),
+                      (250000.0, 1000000000.0, 'high')) AS b(lo, hi, label)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+)
+def j_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Band (bounded-range) join: broadcast nested-loop against a tiny
+    non-overlapping bands table — map-side, no shuffle of the fact side."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, label string")
+    out = band_join(o, bands, value_col="o_totalprice")
+    return out.select("o_orderkey", F.col("label").alias("price_band"))
+
+
+_SESSION_GAP = "4 hours"
+
+_SESSIONIZE_CTE = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts {cmp} lag(ts) OVER w + INTERVAL '4 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+"""
+
+
+@register(
+    "t_sessionize",
+    _SESSIONIZE_CTE.format(cmp=">")
+    + """
+    SELECT user_id, session_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) AS session_last_ms,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def t_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via the lag/running-sum window idiom
+    (portable SQL form); per-(user, session) stats."""
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    return session_stats(e, ["user_id"], "ts", gap=_SESSION_GAP)
+
+
+@register(
+    "t_session_window",
+    _SESSIONIZE_CTE.format(cmp=">=")
+    + """
+    SELECT user_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts) + INTERVAL '4 hours') AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def t_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``F.session_window`` grouping — the idiomatic (and
+    streaming-capable) sessionization; end = last event + gap, and a new
+    session opens at exactly ts = prev + gap (hence ``>=`` in the oracle)."""
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    return session_window_agg(e, ["user_id"], "ts", gap=_SESSION_GAP)
+
+
+@register(
+    "x_image_meta",
+    """
+    WITH h AS (
+      SELECT doc_id AS asset_id,
+             'image/synthetic' AS media_type,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(substr(text, 1, 16), ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 1000003
+             ) AS hh
+      FROM documents
+    )
+    SELECT asset_id, media_type, n_bytes,
+           CAST(64 + hh % 1024 AS INTEGER) AS width,
+           CAST(64 + (hh // 1024) % 1024 AS INTEGER) AS height,
+           CAST(1 + n_bytes % 4 AS INTEGER) AS channels
+    FROM h
+    """,
+)
+def x_image_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: documents re-encoded as binary assets →
+    Arrow-batched ``mapInPandas`` metadata decode (the decoder is the
+    documented deterministic stub; the oracle replays its byte-fold hash —
+    valid because the corpus is ASCII, so chars == bytes)."""
+    d = load_table(spark, sf, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/synthetic").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return decode_image_meta(assets)
 
 
 __all__ = ["REGISTRY", "register"]

@@ -91,6 +91,48 @@ def test_gold_cdf_reaches_serving(spark, pipeline_result):
     assert merged.filter("event_count != gc").count() == 0
 
 
+def test_running_counter_stateful(spark, tmp_path_factory):
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    (count, sum) across micro-batches must converge to the batch groupBy."""
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter
+
+    root = str(tmp_path_factory.mktemp("stateful"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "group_id", "score"
+    )
+    src = f"{root}/source"
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    final: dict[str, tuple[int, float]] = {}
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            final[r["group_id"]] = (r["event_count"], r["cumulative_score"])
+
+    (
+        running_counter(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    expected = {
+        r["group_id"]: (r["n"], r["s"])
+        for r in events.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, (n, s) in expected.items():
+        assert final[k][0] == n, k
+        assert final[k][1] == pytest.approx(s, rel=1e-9), k
+
+
 def test_duplicate_replay_is_idempotent(spark, tmp_path_factory):
     """FIXTURES.md F1 adversarial: exact duplicates within AND beyond the
     watermark window, replayed twice — silver row-set invariant (J1), gold
