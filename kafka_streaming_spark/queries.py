@@ -975,4 +975,322 @@ def x_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     return decode_image_meta(assets)
 
 
+# ===========================================================================
+# §2.7 analytic-window pack + §2.6 aggregation breadth
+# ===========================================================================
+
+
+@register(
+    "w_analytic_pack",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w2 AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w2 AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS prev_price,
+           CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
+)
+def w_analytic_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 full analytic surface: ranking (row_number/rank/dense_rank/
+    ntile), offsets (lag/lead), and a cumulative frame — one shuffle on the
+    partition key serves all eight windows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice").over(w).cast("decimal(18,2)").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("decimal(18,2)").alias("next_price"),
+        F.sum(price_dec).over(run).cast("decimal(38,2)").alias("running_spend"),
+    )
+
+
+@register(
+    "w_moving_avg",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT epoch_ms(d) AS day_ms, rev,
+           CAST(ROUND(
+             CAST(SUM(rev) OVER f AS DOUBLE) / COUNT(*) OVER f, 6)
+             AS DECIMAL(18,6)) AS rev_ma7
+    FROM daily
+    WINDOW f AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Moving aggregate over an explicit row frame: 7-day trailing revenue
+    mean.  The daily rollup shrinks the input to |days| rows before the
+    (single-partition) ordered frame — the frame never sees raw facts."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        dsum(F.col("o_totalprice"), "rev")
+    )
+    f = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.unix_millis("d").alias("day_ms"),
+        "rev",
+        F.round(F.sum("rev").over(f).cast("double") / F.count(F.lit(1)).over(f), 6)
+        .cast("decimal(18,6)")
+        .alias("rev_ma7"),
+    )
+
+
+@register(
+    "a_percentiles",
+    """
+    SELECT o_orderpriority,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.25), 6) AS DECIMAL(18,6)) AS p25,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.50), 6) AS DECIMAL(18,6)) AS p50,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.75), 6) AS DECIMAL(18,6)) AS p75,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.95), 6) AS DECIMAL(18,6)) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``).  At 100 TB swap for
+    ``approx_percentile`` (t-digest, mergeable partial sketches) — exact
+    percentile needs the full sorted group."""
+    o = load_table(spark, sf, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))")
+    agg = o.groupBy("o_orderpriority").agg(pct.alias("p"))
+    return agg.select(
+        "o_orderpriority",
+        *[
+            F.round(F.col("p")[i], 6).cast("decimal(18,6)").alias(n)
+            for i, n in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
+@register(
+    "a_distinct_count",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a_distinct_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-distinct aggregation (expand+two-phase under the hood); the
+    exact form of A4.  approx_count_distinct (HLL) is the 100 TB variant."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "a_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')
+                AS DECIMAL(38,2)) AS click_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')
+                AS DECIMAL(38,2)) AS view_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
+                AS DECIMAL(38,2)) AS purchase_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')
+                AS DECIMAL(38,2)) AS signup_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')
+                AS DECIMAL(38,2)) AS error_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (long→wide): per-user value sums by event type.  The value
+    list is pinned so the plan is a single pass (no distinct-scan to
+    discover columns)."""
+    e = load_table(spark, sf, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)"))
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"{t}_sum") for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "a_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation (all 2^k grouping sets in one pass)."""
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+# ===========================================================================
+# More TPC-H shapes (correlated subqueries, HAVING, scalar subqueries)
+# ===========================================================================
+
+
+@register(
+    "q4_priority_count",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi term → left-semi
+    join on the key with the range predicate in the join condition (the
+    date filter prunes the probe side before the shuffle)."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_cust_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_cust_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side residual predicate,
+    then a distribution-of-counts re-aggregation."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING over a fact-fact join.  The
+    quantity rollup happens on lineitem BEFORE joining customer, so the
+    post-aggregation join moves |orders| rows, not |lineitem|."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ; the UTC-pinned session makes the
+            # cast a pure reinterpretation, matching DuckDB's epoch_ms.
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0
+                         AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row cross
+    join — never a driver collect) + anti join against the fact table."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = load_table(spark, sf, "customer").filter(F.col("c_nationkey").isin(nations))
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal"), "totacctbal"),
+    )
+
+
 __all__ = ["REGISTRY", "register"]
