@@ -875,9 +875,16 @@ _BANDS = [(0.0, 100_000.0, "low"), (100_000.0, 250_000.0, "mid"), (250_000.0, 1e
 )
 def j_band_join(spark: SparkSession, sf: str) -> DataFrame:
     """Band (bounded-range) join: broadcast nested-loop against a tiny
-    non-overlapping bands table — map-side, no shuffle of the fact side."""
+    non-overlapping bands table — map-side, no shuffle of the fact side.
+    The bands are a SQL VALUES LocalRelation (a createDataFrame from Python
+    tuples would plan as Scan ExistingRDD and drag Python workers into an
+    otherwise JVM-only query)."""
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    bands = spark.createDataFrame(_BANDS, "lo double, hi double, label string")
+    bands = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"(CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE), '{lbl}')" for lo, hi, lbl in _BANDS)
+        + " AS bands(lo, hi, label)"
+    )
     out = band_join(o, bands, value_col="o_totalprice")
     return out.select("o_orderkey", F.col("label").alias("price_band"))
 
@@ -1156,6 +1163,28 @@ def a_cube(spark: SparkSession, sf: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "s_set_union",
+    """
+    SELECT o_custkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_custkey, 'done' AS bucket FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 set ops: UNION ALL — expressed through the engine's SQL
+    front-end (``spark.sql`` over registered temp views) to pin that surface
+    alongside the DataFrame DSL."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, 'open' AS bucket FROM orders_v WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_custkey, 'done' AS bucket FROM orders_v WHERE o_orderstatus = 'F'
+        """
     )
 
 
