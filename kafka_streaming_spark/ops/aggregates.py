@@ -66,22 +66,26 @@ def combine_states(state: DataFrame, batch_agg: DataFrame, keys: Sequence[str]) 
     each batch's min — "batch-first", documented in FIXTURES.md F3; the
     reference behaviour is pinned separately in tests).
     """
+    # Qualified string refs ("t.x"), not DataFrame-object refs (t["x"]):
+    # state and batch_agg routinely share lineage (both derived from the
+    # same source), and object refs are ambiguous under self-join analysis.
     t = state.alias("t")
     s = batch_agg.alias("s")
-    cond = [t[k] == s[k] for k in keys]
-    cum = F.coalesce(t["cumulative_score"], F.lit(0.0)) + F.coalesce(
-        s["cumulative_score"], F.lit(0.0)
+    tc, sc = (lambda c: F.col(f"t.{c}")), (lambda c: F.col(f"s.{c}"))
+    cond = [tc(k) == sc(k) for k in keys]
+    cum = F.coalesce(tc("cumulative_score"), F.lit(0.0)) + F.coalesce(
+        sc("cumulative_score"), F.lit(0.0)
     )
-    cnt = F.coalesce(t["event_count"], F.lit(0)) + F.coalesce(s["event_count"], F.lit(0))
-    return t.join(s, cond, "full_outer").select(
-        *[F.coalesce(t[k], s[k]).alias(k) for k in keys],
+    cnt = F.coalesce(tc("event_count"), F.lit(0)) + F.coalesce(sc("event_count"), F.lit(0))
+    return t.join(s, cond if len(cond) > 1 else cond[0], "full_outer").select(
+        *[F.coalesce(tc(k), sc(k)).alias(k) for k in keys],
         cum.alias("cumulative_score"),
         cnt.alias("event_count"),
         (cum / cnt).alias("avg_score"),
-        F.least(t["first_event_timestamp"], s["first_event_timestamp"]).alias(
+        F.least(tc("first_event_timestamp"), sc("first_event_timestamp")).alias(
             "first_event_timestamp"
         ),
-        F.greatest(t["last_event_timestamp"], s["last_event_timestamp"]).alias(
+        F.greatest(tc("last_event_timestamp"), sc("last_event_timestamp")).alias(
             "last_event_timestamp"
         ),
     )

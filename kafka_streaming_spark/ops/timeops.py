@@ -42,3 +42,24 @@ def tumbling_agg(
         *extra_keys,
         *[c for c in out.columns if c != "window" and c not in extra_keys],
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding (hopping) window aggregate: ``F.window(ts, duration, slide)``
+    — each row lands in ``duration/slide`` overlapping windows (the window
+    assignment is an internal explode; no self-join)."""
+    win = F.window(F.col(ts_col), duration, slide)
+    out = df.groupBy(win.alias("window"), *extra_keys).agg(*aggs)
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        F.unix_millis(F.col("window.end")).alias("window_end_ms"),
+        *extra_keys,
+        *[c for c in out.columns if c != "window" and c not in extra_keys],
+    )

@@ -32,9 +32,9 @@ from kafka_streaming_spark.functions.multimodal import decode_image_meta
 from kafka_streaming_spark.ops.dedup import latest_per_key, merge_insert_if_absent
 from kafka_streaming_spark.ops.joins import asof_join, band_join
 from kafka_streaming_spark.ops.sessionize import session_stats, session_window_agg
-from kafka_streaming_spark.ops.partitioning import spread
+from kafka_streaming_spark.ops.partitioning import salt, spread, unsalt_agg
 from kafka_streaming_spark.ops.windows import paginate, top_k_per_group
-from kafka_streaming_spark.ops.timeops import tumbling_agg
+from kafka_streaming_spark.ops.timeops import sliding_agg, tumbling_agg
 from kafka_streaming_spark.schemas import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1319,6 +1319,114 @@ def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal"), "totacctbal"),
+    )
+
+
+# ===========================================================================
+# Sliding windows, grouping sets, skew-salted aggregation, approx sketches
+# ===========================================================================
+
+
+@register(
+    "t_sliding_window",
+    """
+    WITH e AS (
+      SELECT ts, value, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events
+    ), x AS (
+      SELECT unnest([b, b - INTERVAL '5 minutes']) AS w_start, ts, value FROM e
+    )
+    SELECT epoch_ms(w_start) AS window_start_ms,
+           epoch_ms(w_start + INTERVAL '10 minutes') AS window_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM x
+    WHERE ts >= w_start AND ts < w_start + INTERVAL '10 minutes'
+    GROUP BY w_start
+    """,
+)
+def t_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) window aggregate — 10 min windows every 5 min; each
+    event feeds exactly two windows (Spark's internal window-explode; the
+    oracle materializes the same two candidate starts per row)."""
+    e = load_table(spark, sf, "events")
+    return sliding_agg(
+        e,
+        "ts",
+        "10 minutes",
+        "5 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "a_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under ROLLUP/CUBE), through
+    the SQL front-end."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "a_salted_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the 5-value hot key space into
+    16 sub-keys, partial-aggregate on (key, salt), then combine per real
+    key.  Result is EXACTLY the plain groupBy (the oracle) — decimal sums
+    re-associate losslessly — while the wide shuffle carries ≤16 rows per
+    hot key instead of one reducer-crushing partition at 100 TB."""
+    e = load_table(spark, sf, "events").select("event_type", "value")
+    salted = salt(e, ["event_type"], buckets=16)
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return unsalt_agg(
+        partial,
+        ["event_type"],
+        [
+            F.sum("s").cast("decimal(38,2)").alias("sum_value"),
+            F.sum("n").alias("n_events"),
+        ],
+    )
+
+
+@register("a_approx_sketch", None)
+def a_approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch aggregates — the 100 TB variants of exact distinct
+    and percentile: HyperLogLog++ ``approx_count_distinct`` (constant
+    memory per group) and t-digest ``approx_percentile``.  Sketch outputs
+    are engine-specific → rows-only driver check; accuracy bounds are
+    pinned against the exact values in pytest."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("price_p50_p95"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

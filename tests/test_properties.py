@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis): algebraic invariants that must hold
+for ANY input, not just the synthetic tables — the fold/agg equivalence at
+the heart of the gold table (SURVEY.md §7 step 2), as-of join semantics
+against a naive per-row reference, and idempotent insert-if-absent.
+
+Spark jobs per example are expensive → small example counts, tiny row
+strategies, no deadline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.ops.aggregates import group_agg, incremental_fold
+from kafka_streaming_spark.ops.dedup import merge_insert_if_absent
+from kafka_streaming_spark.ops.joins import asof_join
+from kafka_streaming_spark.schemas import EVENT_SCHEMA
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (id, group, score, ts) with deliberately tiny key/time spaces to force
+# collisions, ties, and empty-batch splits.
+event_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.sampled_from(["g1", "g2"]),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+        st.integers(min_value=0, max_value=10).map(lambda s: 1_700_000_000_000 + s * 1000),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=event_rows, n_batches=st.integers(min_value=1, max_value=4))
+@SET
+def test_fold_equals_agg_over_union(spark, rows, n_batches):
+    """incremental_fold(batches) ≡ group_agg(union(batches)) for every
+    split of the input — including splits that leave some batch empty or
+    missing a key (exercises the full-outer coalesce arms of J2)."""
+    df = spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+    batches = [
+        df.filter(F.crc32(F.col("id").cast("binary")) % n_batches == i)
+        for i in range(n_batches)
+    ]
+    batches = [b for b in batches if b.count() > 0]
+    if not batches:
+        return
+    folded = {r["group_id"]: r for r in incremental_fold(batches).collect()}
+    direct = {r["group_id"]: r for r in group_agg(df).collect()}
+    # keys present in any non-empty batch == keys of the union of them
+    union_keys = {r[0] for b in batches for r in b.select("group_id").collect()}
+    assert set(folded) == union_keys
+    for k in folded:
+        assert folded[k]["event_count"] == direct[k]["event_count"]
+        assert folded[k]["first_event_timestamp"] == direct[k]["first_event_timestamp"]
+        assert folded[k]["last_event_timestamp"] == direct[k]["last_event_timestamp"]
+        assert folded[k]["cumulative_score"] == pytest.approx(
+            direct[k]["cumulative_score"], rel=1e-9
+        )
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20)),
+        min_size=1,
+        max_size=8,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 20), st.floats(0, 1, allow_nan=False)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@SET
+def test_asof_join_matches_naive(spark, left, right):
+    """asof_join ≡ per-row 'latest right at-or-before' lookup (ties on
+    equal ts match; no prior right row → NULL)."""
+    # right must be unique per (key, ts): keep the max value per slot
+    best: dict[tuple[str, int], float] = {}
+    for k, ts, v in right:
+        best[(k, ts)] = max(v, best.get((k, ts), v))
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k string, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(rrows or [("__none__", -1, 0.0)], "k string, ts long, v double")
+    out = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"]).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts), v in best.items() if rk == k and rts <= ts]
+        expected = max(cands)[1] if cands else None
+        assert out[i] == (pytest.approx(expected) if expected is not None else None), (i, k, ts)
+
+
+@given(rows=event_rows)
+@SET
+def test_merge_insert_if_absent_idempotent(spark, rows):
+    """J1 algebra: merging a source twice adds nothing the second time, and
+    the result key-set is target-keys ∪ source-keys."""
+    df = spark.createDataFrame(rows, schema=EVENT_SCHEMA).withColumn(
+        "bucket", (F.col("event_timestamp") / 1000 / 180).cast("long")
+    )
+    target = df.filter(F.crc32(F.col("id").cast("binary")) % 2 == 0).dropDuplicates(["bucket", "id"])
+    source = df.dropDuplicates(["bucket", "id"])
+    once = merge_insert_if_absent(target, source, keys=["bucket", "id"], prune_col="bucket")
+    twice = merge_insert_if_absent(once, source, keys=["bucket", "id"], prune_col="bucket")
+    assert once.count() == source.count()  # target ⊆ source here
+    assert twice.count() == once.count()
+    assert (
+        once.select("bucket", "id").subtract(source.select("bucket", "id")).count() == 0
+    )
