@@ -130,6 +130,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 50,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates.
 
@@ -142,9 +143,10 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     # Two projection steps: materialize the shingle hashes ONCE, then build
     # the num_hashes permutation mins over the materialized array.
-    hashed = spread(df).select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
-    )
+    if hashed is None:
+        hashed = spread(df).select(
+            F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
+        )
     sig = hashed.select(
         F.col(id_col), signature_from_hashes(F.col("hs"), num_hashes).alias("sig")
     )
@@ -186,14 +188,26 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banding, verified
-    with exact shingle Jaccard (candidates only — the expensive predicate
-    never touches non-colliding pairs)."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = spread(df).select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    with exact Jaccard over the shingle-HASH arrays (candidates only — the
+    expensive predicate never touches non-colliding pairs).
+
+    The shingle-hash arrays are computed once and cached: signatures,
+    banding, AND verification all read the same materialized column, so the
+    corpus text is shingled exactly once end-to-end.  Verifying on hash
+    arrays instead of raw shingles is exact up to 2^-31 hash collisions and
+    avoids a second shingling pass entirely.  (Cache is LRU-evictable;
+    at cluster scale swap ``persist()`` for a parquet checkpoint of the
+    hash column.)"""
+    hashed = spread(df).select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
+    ).persist()
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hashed=hashed
+    )
     return (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        cand.join(hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("hs_a"), F.col("hs_b")).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
 

@@ -94,16 +94,34 @@ def _hyperplanes(dim: int, planes: int) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
+def lsh_bucket(vec: Column, dim: int, planes: int = 16, plane_offset: int = 0) -> Column:
     """Random-hyperplane signature: sign bit per plane packed into a long.
     Two vectors with small angle collide with probability
-    (1 - θ/π)^planes."""
+    (1 - θ/π)^planes.  ``plane_offset`` selects a disjoint plane family —
+    used to build independent hash tables for OR-amplification."""
     key = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, planes)):
+    all_planes = _hyperplanes(dim, plane_offset + planes)[plane_offset:]
+    for i, plane in enumerate(all_planes):
         lit_plane = F.array(*[F.lit(v) for v in plane])
         bit = F.when(dot(as_double(vec), lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         key = key + bit.cast("long") * F.lit(2**i)
     return key
+
+
+def lsh_table_keys(vec: Column, dim: int, planes: int, tables: int) -> Column:
+    """Array of (table, bucket-key) structs — one entry per hash table,
+    each table using its own disjoint plane family.  OR-amplification:
+    a near pair is a candidate if it collides in ANY table, lifting recall
+    from (1-θ/π)^p to 1-(1-(1-θ/π)^p)^L."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec, dim, planes, plane_offset=t * planes).alias("key"),
+            )
+            for t in range(tables)
+        ]
+    )
 
 
 def lsh_topk(
@@ -113,27 +131,130 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    planes: int = 8,
+    planes: int = 6,
+    tables: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k: score only pairs whose hyperplane signature
-    matches (single-probe).  Linear bucketing pass over the corpus, then a
-    bucket-equijoin — the shuffle is on the bucket key, so co-bucketed
-    vectors land on the same executor and the cross-scoring never leaves it."""
+    """Approximate cosine top-k with multi-table hyperplane LSH: a pair is
+    scored if its signatures collide in ANY of ``tables`` independent
+    tables (OR-amplification — single-table recall is too low for useful
+    ANN).  Linear bucketing pass over the corpus, then a bucket-equijoin;
+    the shuffle key is (table, bucket), so co-bucketed vectors land on the
+    same executor and cross-scoring never leaves it.  Pairs colliding in
+    several tables are scored once (cheap groupBy dedup of the collided
+    subset — never the corpus)."""
     bq = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
-    )
+        F.explode(lsh_table_keys(F.col(vec_col), dim, planes, tables)).alias("bk"),
+    ).select("query_id", "qv", "bk.table", "bk.key")
     bc = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+        F.explode(lsh_table_keys(F.col(vec_col), dim, planes, tables)).alias("bk"),
+    ).select("neighbor_id", "cv", "bk.table", "bk.key")
+    scored = (
+        bc.join(F.broadcast(bq), ["table", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim")
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine_sim").alias("cosine_sim"))
     )
-    scored = bc.join(F.broadcast(bq), "bucket").filter(
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``n_centroids`` corpus
+    vectors with the smallest ``xxhash64(id)`` (a seeding stand-in for
+    trained k-means centroids — swap in k-means|| output in production; the
+    index structure and probe path below are unchanged)."""
+    from pyspark.sql import Window
+
+    ranked = corpus.select(
+        as_double(F.col(vec_col)).alias("centroid_vec"),
+        F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+    ).orderBy("__h").limit(n_centroids)
+    return ranked.select(
+        "centroid_vec",
+        (F.row_number().over(Window.orderBy("__h")) - 1).alias("centroid_id"),
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (by cosine):
+    broadcast the centroid table, score |V|·|C| pairs map-side, keep the
+    top ``nprobe`` per vector.  For corpus indexing ``nprobe=1`` (each
+    vector lives in one inverted list); for querying ``nprobe>1`` widens
+    recall."""
+    scored = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).join(F.broadcast(centroids)).select(
+        id_col,
+        "__v",
+        "centroid_id",
+        cosine(F.col("__v"), F.col("centroid_vec")).alias("__c"),
+    )
+    if nprobe == 1:
+        # single assignment: max_by aggregation, no window shuffle
+        return scored.groupBy(id_col).agg(
+            F.max_by("centroid_id", "__c").alias("centroid_id"),
+            F.first("__v").alias("__v"),
+        )
+    return top_k_per_group(
+        scored,
+        [id_col],
+        [F.col("__c").desc(), F.col("centroid_id").asc()],
+        nprobe,
+        rank_col="__r",
+    ).select(id_col, "centroid_id", "__v")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_centroids`` inverted lists (one coarse-quantizer pass), probe only
+    the ``nprobe`` lists nearest each query.
+
+    Scale shape: the corpus is scored against the centroid table once
+    (map-side, broadcast) and shuffled once on ``centroid_id`` — afterwards
+    each executor owns whole inverted lists and query probes are routed to
+    exactly ``nprobe`` of them, touching ``~nprobe/n_centroids`` of the
+    corpus instead of all of it."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(
+        spread(corpus), cents, id_col, vec_col, nprobe=1
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("__v").alias("cv"))
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id", F.col("__v").alias("qv")
+    )
+    scored = lists.join(F.broadcast(probes), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim")
-    )
+    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
     return top_k_per_group(
         scored,
         ["query_id"],

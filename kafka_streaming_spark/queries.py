@@ -813,14 +813,25 @@ def x_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return rounded.select("id_a", "id_b", F.col("cos_r").cast("decimal(18,6)").alias("cosine_sim"))
 
 
-@register("x_lsh_ann_topk", None)
-def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH bucketing (deterministic
-    integer-mixed hyperplanes), bucket-equijoin, exact re-scoring inside
-    buckets.  Recall measured against the brute-force baseline in tests."""
+@register("x_ivf_ann_topk", None)
+def x_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate ANN: hash-seeded coarse quantizer, corpus bucketed
+    into inverted lists (one shuffle), queries probe their 4 nearest of 16
+    lists.  Recall vs the brute-force baseline is pinned in pytest."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=5, dim=64, planes=8)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+@register("x_lsh_ann_topk", None)
+def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN: multi-table random-hyperplane LSH (deterministic
+    integer-mixed hyperplanes, OR-amplified across 4 tables),
+    bucket-equijoin, exact re-scoring inside buckets.  Recall measured
+    against the brute-force baseline in tests."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, k=5, dim=64, planes=6, tables=4)
 
 
 # ===========================================================================

@@ -1,0 +1,48 @@
+"""ANN recall tests: the approximate indexes (IVF inverted lists,
+multi-table hyperplane LSH) measured against the exact brute-force top-k.
+
+Both indexes are fully deterministic (hash-seeded centroids, integer-mixed
+hyperplanes), so recall on the fixed testdata is a constant — the floors
+below are safety margins under the measured values (IVF 0.56, LSH 0.24 at
+sf0.001), not statistical bounds.  These embeddings are near-uniform (no
+strong cluster structure), which is the WORST case for ANN; floors are
+correspondingly modest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.functions import similarity as S
+from kafka_streaming_spark.schemas import load_table
+from tests.conftest import SF_SMALL
+
+K = 5
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = _pairs(S.brute_force_topk(emb, queries, k=K))
+    assert len(bf) == 5 * K
+
+    ivf = _pairs(S.ivf_topk(emb, queries, k=K, n_centroids=16, nprobe=4))
+    assert len(ivf) == 5 * K  # probing 4/16 lists still finds k everywhere
+    assert len(bf & ivf) / len(bf) >= 0.40
+
+    lsh = _pairs(S.lsh_topk(emb, queries, k=K, dim=64, planes=6, tables=4))
+    assert len(bf & lsh) / len(bf) >= 0.15
+
+
+def test_ivf_widening_nprobe_converges_to_exact(spark):
+    """nprobe = n_centroids ⇒ every inverted list is probed ⇒ IVF degrades
+    gracefully to the exact search (same top-k set)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = _pairs(S.brute_force_topk(emb, queries, k=K))
+    full = _pairs(S.ivf_topk(emb, queries, k=K, n_centroids=8, nprobe=8))
+    assert full == bf
