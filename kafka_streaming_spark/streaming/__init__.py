@@ -5,5 +5,7 @@ from kafka_streaming_spark.streaming.pipeline import (
     MedallionPipeline,
     watermark_dedup,
 )
+from kafka_streaming_spark.streaming.joins import interval_join
+from kafka_streaming_spark.streaming.stateful import running_counter
 
-__all__ = ["MedallionPipeline", "watermark_dedup"]
+__all__ = ["MedallionPipeline", "interval_join", "running_counter", "watermark_dedup"]

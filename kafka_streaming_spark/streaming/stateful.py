@@ -65,3 +65,55 @@ def running_counter(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_counter_tws(events: DataFrame) -> DataFrame:
+    """Same running (count, sum) operator on the transformWithState API
+    (Spark 4.x successor to applyInPandasWithState): typed value-state
+    handles, composable state variables, timer hooks.  Kept semantically
+    identical to ``running_counter`` so tests can assert the two stateful
+    runtimes agree.
+
+    Requires a working ``protobuf`` install (the TWS state server speaks
+    protobuf to the JVM); import-gated because this container ships a
+    broken one — ``running_counter`` (applyInPandasWithState) is the
+    dependency-free fallback with identical semantics."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use running_counter (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["score"].sum())
+            self._agg.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "group_id": [key[0]],
+                    "event_count": [count],
+                    "cumulative_score": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("group_id").transformWithStateInPandas(
+        RunningCounter(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1,0 +1,96 @@
+"""Physical-plan quality gates: the properties that decide whether a query
+that passes at sf0.01 still works at 100 TB.  These assert on the
+formatted plan BEFORE execution — a regression that un-pushes a filter,
+drops a broadcast, or adds a shuffle fails here even though results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streaming_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name][0](spark, SF_SMALL)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
+def n_nodes(plan: str, operator: str) -> int:
+    """Count physical-plan NODES of a type (the formatted plan lists each
+    node once in the tree and once in the detail section — count the
+    detail headers, which are unique per node id)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {operator}\b", plan, flags=re.MULTILINE))
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet scan ...
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # ... and the scan must not read join keys / unused columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q3_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q3_revenue_by_segment")
+    assert "BroadcastHashJoin" in plan
+    # the lineitem fact side must never be shuffled for a join
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = plan_of(spark, "q5_region_rollup")
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_routing_prunes_scan(spark):
+    plan = plan_of(spark, "f_filter_routing")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for unused in ("props", "ts", "user_id"):
+        assert unused not in read_schema
+    assert "GreaterThan(value,50.0)" in plan
+
+
+def test_salted_agg_is_two_exchanges(spark):
+    """Two small shuffles (salted partial → final combine), not one skewed
+    one — and no more than two."""
+    plan = plan_of(spark, "a_salted_agg")
+    assert n_nodes(plan, "Exchange") == 2
+
+
+def test_band_join_is_local_broadcast_loop(spark):
+    plan = plan_of(spark, "j_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    # bands come from a LocalRelation, not a Python-RDD scan
+    assert "ExistingRDD" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-sort as-of join must cost exactly one exchange (the window
+    partitioning) — a range-join rewrite would show extra exchanges or a
+    nested-loop join."""
+    plan = plan_of(spark, "j_asof_join")
+    assert "NestedLoop" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_latest_per_key_single_shuffle(spark):
+    plan = plan_of(spark, "w_latest_per_key")
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_group_agg_partial_before_shuffle(spark):
+    """A1 must be a two-phase hash aggregate: partial_ functions before the
+    exchange (map-side combine), final after."""
+    plan = plan_of(spark, "a_group_agg")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert n_nodes(plan, "Exchange") == 1

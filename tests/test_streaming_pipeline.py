@@ -133,6 +133,102 @@ def test_running_counter_stateful(spark, tmp_path_factory):
         assert final[k][1] == pytest.approx(s, rel=1e-9), k
 
 
+def test_running_counter_transform_with_state(spark, tmp_path_factory):
+    """The transformWithState variant must converge to the same totals as
+    the batch groupBy (and hence as the applyInPandasWithState variant).
+    Skipped where protobuf (the TWS state-server wire format) is broken."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter_tws
+
+    root = str(tmp_path_factory.mktemp("tws"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "group_id", "score"
+    )
+    src = f"{root}/source"
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    final: dict[str, tuple[int, float]] = {}
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            final[r["group_id"]] = (r["event_count"], r["cumulative_score"])
+
+    (
+        running_counter_tws(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    expected = {
+        r["group_id"]: (r["n"], r["s"])
+        for r in events.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, (n, s) in expected.items():
+        assert final[k][0] == n, k
+        assert final[k][1] == pytest.approx(s, rel=1e-9), k
+
+
+def test_stream_stream_interval_join(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join: purchases matched to same-
+    user clicks within the 2 h lookback.  The streaming result must equal
+    the identical interval_join run as one batch query."""
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.joins import interval_join
+
+    root = str(tmp_path_factory.mktemp("ssjoin"))
+    e = load_table(spark, SF_SMALL, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    for name, df in (("purchases", purchases), ("clicks", clicks)):
+        df.orderBy(name[0] + "_ts").coalesce(2).write.mode("overwrite").parquet(
+            f"{root}/{name}"
+        )
+
+    kw = dict(
+        left_key="p_user", right_key="c_user", left_ts="p_ts", right_ts="c_ts",
+        watermark="40 days", lookback="2 hours",
+    )
+    expected = {
+        (r["p_id"], r["c_id"])
+        for r in interval_join(purchases, clicks, **kw).collect()
+    }
+    assert expected  # data has same-user click→purchase sequences
+
+    got: set = set()
+
+    def capture(batch_df, _bid):
+        got.update((r["p_id"], r["c_id"]) for r in batch_df.collect())
+
+    sp = file_stream(spark, f"{root}/purchases", purchases.schema, max_files_per_trigger=1)
+    sc_ = file_stream(spark, f"{root}/clicks", clicks.schema, max_files_per_trigger=1)
+    (
+        interval_join(sp, sc_, **kw)
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert got == expected
+
+
 def test_duplicate_replay_is_idempotent(spark, tmp_path_factory):
     """FIXTURES.md F1 adversarial: exact duplicates within AND beyond the
     watermark window, replayed twice — silver row-set invariant (J1), gold
