@@ -1441,4 +1441,189 @@ def a_approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Lateral/explode, cross join, value windows, and three more TPC-H shapes
+# ===========================================================================
+
+
+@register(
+    "p_explode_pack",
+    """
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+           CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS component
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    WHERE vec_id < 20
+    """,
+)
+def p_explode_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Lateral array expansion (posexplode ≡ UNNEST WITH ORDINALITY): one
+    row per vector component with its position."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "__x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("__x").cast("double"), 6).cast("decimal(18,6)").alias("component"),
+    )
+
+
+@register(
+    "j_cross_join",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def j_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cross join (tiny × tiny — the only cardinality class where
+    a cross join is ever acceptable)."""
+    r = load_table(spark, sf, "region").select("r_name")
+    n = load_table(spark, sf, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "w_first_last_value",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS first_price,
+           CAST(last_value(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DECIMAL(18,2)) AS last_price,
+           CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(18,2)) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_first_last_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Value windows (first/last/nth) over an explicit full-partition frame
+    — the default frame would silently truncate last_value at CURRENT ROW."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(price).over(w).cast("decimal(18,2)").alias("first_price"),
+        F.last(price).over(w).cast("decimal(18,2)").alias("last_price"),
+        F.nth_value(price, 2).over(w).cast("decimal(18,2)").alias("second_price"),
+    )
+
+
+@register(
+    "q6_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum — every predicate must reach
+    the parquet reader (the plan-gate suite checks pushdown patterns)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(ROUND(
+             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                              ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+             6) AS DECIMAL(18,6)) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional (CASE) aggregate ratio over a broadcast
+    dimension join."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("promo_share_pct")
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicate spanning
+    both join sides — stays an equi-join on the key with the disjunction as
+    a post-join residual (NOT a nested-loop theta join)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 __all__ = ["REGISTRY", "register"]
