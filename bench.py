@@ -49,12 +49,16 @@ def bench_streaming(spark) -> tuple[float, int]:
     # Streaming stages favor fewer, larger state partitions on one node;
     # runtime-set so the batch queries above keep the wide setting.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = file_stream(spark, src, events.schema, max_files_per_trigger=4)
+    # Throughput (backfill) configuration: large micro-batches.  The
+    # reference's 10k-offsets/50-files caps are LATENCY knobs for live
+    # tailing; a throughput benchmark drains the source in few big batches
+    # (incremental multi-batch correctness is covered by the test suite).
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=8)
     pipe = MedallionPipeline(spark, f"{TMP}/tables", watermark_delay="40 days")
     t0 = time.perf_counter()
     pipe.start_bronze_to_silver(stream, available_now=True).awaitTermination()
-    pipe.start_silver_to_gold(available_now=True).awaitTermination()
-    pipe.start_gold_to_serving(available_now=True).awaitTermination()
+    pipe.start_silver_to_gold(available_now=True, max_files_per_trigger=32).awaitTermination()
+    pipe.start_gold_to_serving(available_now=True, max_files_per_trigger=32).awaitTermination()
     elapsed = time.perf_counter() - t0
     shutil.rmtree(TMP, ignore_errors=True)
     return elapsed, n

@@ -674,8 +674,23 @@ def x_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "x_doc_lang_id",
-    None,  # CASE-chain over marker-hit counts is Spark-specific plumbing;
-    # semantics pinned by unit tests (deterministic heuristic)
+    """
+    WITH h AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS h_en,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ein)\\b')) AS h_de,
+             len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS h_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b')) AS h_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM h
+    """,
 )
 def x_doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic: argmax over stopword-marker hit counts."""
