@@ -1641,4 +1641,100 @@ def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Typed JSON parsing, regex extraction, supplier coverage
+# ===========================================================================
+
+
+@register(
+    "f_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def f_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-checked JSON parsing (P2, the reference's core parse shape,
+    silver.py:57): ``from_json`` with a declared StructType → typed struct
+    field access — not string-typed ``get_json_object`` scraping."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    props_schema = StructType([StructField("k", LongType())])
+    e = load_table(spark, sf, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", props_schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("prop_k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+        F.col("p").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "f_regex_pack",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
+           regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
+           CAST(regexp_matches(p_name, 'widget$') AS BOOLEAN) AS is_widget,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_brand, 'Brand#', 'B') AS brand_short
+    FROM part
+    """,
+)
+def f_regex_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 regex surface: group extraction, match predicate, padding,
+    literal replacement."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+) (\w+)$", 1).alias("adjective"),
+        F.regexp_extract("p_name", r"^(\w+) (\w+)$", 2).alias("noun"),
+        F.col("p_name").rlike("widget$").alias("is_widget"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+    )
+
+
+@register(
+    "q_supplier_top_per_nation",
+    """
+    SELECT n_name, s_name,
+           CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT n_name, s_name, s_acctbal,
+             row_number() OVER (PARTITION BY n_nationkey
+                                ORDER BY s_acctbal DESC, s_name) AS rn
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ) WHERE rn <= 2
+    """,
+)
+def q_supplier_top_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 suppliers by balance per nation (broadcast dim + ranking
+    window) — completes table coverage: every testdata table is now
+    exercised by at least one oracle-checked query."""
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    joined = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    top = top_k_per_group(
+        joined.select("n_nationkey", "n_name", "s_name", "s_acctbal"),
+        ["n_nationkey"],
+        [F.col("s_acctbal").desc(), F.col("s_name").asc()],
+        k=2,
+        rank_col="rn",
+    )
+    return top.select(
+        "n_name",
+        "s_name",
+        F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        "rn",
+    )
+
+
 __all__ = ["REGISTRY", "register"]
