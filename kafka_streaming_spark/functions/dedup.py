@@ -212,6 +212,59 @@ def minhash_near_dup_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = the component's minimum doc id.
+
+    This is the step that makes near-dup detection *actionable*: keep one
+    representative per cluster, drop the rest.  Algorithm: iterative
+    min-label propagation (each node adopts the smallest label among itself
+    and its neighbors) — converges in O(component diameter) rounds; dedup
+    components are near-cliques from LSH banding, so diameter is tiny (2-3
+    rounds typical).  Each round is one shuffle; the loop runs driver-side
+    but all data stays distributed (the only collect is the 1-row
+    convergence check, the same pattern as GraphX/GraphFrames CC).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(20):  # diameter bound; dedup graphs converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # convergence: no label changed this round (1-row driver check)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document.
 

@@ -41,6 +41,22 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, lookahead-free so it runs
+#: identically on Java regex (Spark) and RE2 (DuckDB)): contractions,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count: number of pre-tokenizer segments that
+    are not pure whitespace.  The standard fast proxy for LLM token budgets
+    at corpus scale (a real BPE merge pass needs the vocab; the pre-token
+    split is the deterministic, vocab-free upper bound)."""
+    all_segs = F.regexp_count(text, F.lit(BPE_PATTERN))
+    ws_segs = F.regexp_count(text, F.lit(r"\s+"))
+    return (all_segs - ws_segs).cast("int")
+
+
 def alpha_ratio(text: Column) -> Column:
     """Fraction of characters that are ASCII letters — a quality signal."""
     return F.length(F.regexp_replace(text, "[^A-Za-z]", "")) / F.length(text)

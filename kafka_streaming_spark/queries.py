@@ -727,6 +727,35 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", r6(F.col("jaccard_sim"), "jaccard_sim"))
 
 
+@register(
+    "x_doc_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                - len(regexp_extract_all(text, '\\s+')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def x_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pre-tokenizer segments
+    (lookahead-free regex, identical under Java regex and RE2) minus
+    whitespace runs — the vocab-free LLM token-budget proxy."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@register("x_dedup_clusters", None)
+def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components →
+    (doc_id, cluster_id=min id of component).  Iterative min-label
+    propagation (non-SQL-expressible; cross-checked against a driver-side
+    union-find in pytest)."""
+    d = load_table(spark, sf, "documents")
+    pairs = D.minhash_near_dup_pairs(d, threshold=0.3)
+    return D.dedup_clusters(pairs)
+
+
 @register("x_minhash_near_dup", None)
 def x_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (32 perms) + LSH (8 bands × 4 rows) near-dup discovery with

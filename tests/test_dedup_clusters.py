@@ -1,0 +1,54 @@
+"""Connected-components clustering cross-checked against a driver-side
+union-find on the same pair set (small corpus — the distributed algorithm
+must agree exactly with the sequential reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.functions import dedup as D
+from kafka_streaming_spark.schemas import load_table
+from tests.conftest import SF_SMALL
+
+
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_clusters_match_union_find(spark):
+    d = load_table(spark, SF_SMALL, "documents")
+    pairs_df = D.minhash_near_dup_pairs(d, threshold=0.3)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    assert pairs, "expected near-dup pairs in the synthetic corpus"
+
+    expected = _union_find(pairs)
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs_df).collect()
+    }
+    assert got == expected
+    # cluster representative is the component minimum
+    for doc, cl in got.items():
+        assert cl <= doc
+
+
+def test_cluster_on_synthetic_chain(spark):
+    """A path graph (worst diameter case for label propagation) still
+    collapses to one component labeled by its minimum."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(11)}
