@@ -225,11 +225,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     but all data stays distributed (the only collect is the 1-row
     convergence check, the same pattern as GraphX/GraphFrames CC).
     """
+    # Materialize the edge set once: it is re-joined every propagation
+    # round, and its lineage may include the full upstream candidate
+    # pipeline (MinHash/LSH) — without the checkpoint each round would
+    # recompute all of it.
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -250,7 +254,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # Lazy checkpoint: the convergence count below is the action that
+        # materializes it — one Spark job per round, not two.
+        new_labels = new_labels.localCheckpoint(eager=False)
         # convergence: no label changed this round (1-row driver check)
         changed = (
             new_labels.alias("n")

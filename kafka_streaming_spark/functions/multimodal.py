@@ -84,6 +84,81 @@ def decode_image_meta(assets: DataFrame, batch_hint: int | None = None) -> DataF
     return assets.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: mapInPandas over (binary, metadata) with the target
+    shape pinned in the output schema.  The transform is a STUB —
+    deterministic byte down/up-sampling standing in for a real resampler
+    (swap the body for PIL ``Image.resize`` on a real cluster; the Spark
+    contract — Arrow batches in, fixed schema out — is unchanged)."""
+    target = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                if len(p) >= target:
+                    step = len(p) // target
+                    out_payloads.append(bytes(p[i * step] for i in range(target)))
+                else:
+                    reps = target // max(len(p), 1) + 1
+                    out_payloads.append((p * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out_payloads,
+                }
+            )
+
+    return assets.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing for video-like payloads: fan each asset out
+    to every ``every_n``-th fixed-size frame (1→N rows inside
+    ``mapInPandas`` — no explode of materialized frame arrays through a
+    shuffle).  Frame extraction is a STUB byte-slicer standing in for an
+    ffmpeg keyframe reader; row fan-out shape and schema are the real
+    contract."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                n_frames = max(len(p) // frame_bytes, 1)
+                for f in range(0, n_frames, every_n):
+                    ids.append(asset_id)
+                    idxs.append(f)
+                    frames.append(p[f * frame_bytes : (f + 1) * frame_bytes])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return assets.mapInPandas(do_sample, FRAME_SCHEMA)
+
+
 def decode_image_pixels(assets: DataFrame) -> DataFrame:
     """Full pixel decode — NOT IMPLEMENTED in this container (no imaging
     libraries).  Integration point: identical ``mapInPandas`` shape as
