@@ -159,6 +159,44 @@ def sample_frames(
     return assets.mapInPandas(do_sample, FRAME_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("energy", LongType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame, window_bytes: int = 512) -> DataFrame:
+    """Audio feature-extraction plumbing: per fixed-size window of the raw
+    payload, emit (energy, zero-crossing-count) — the STUB stand-ins for
+    MFCC/spectrogram features (swap the numpy body for librosa on a real
+    cluster).  Same 1→N fan-out shape as ``sample_frames``; features are
+    computed vectorized in numpy per Arrow batch."""
+    import numpy as np
+
+    def do_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, zcs = [], [], [], []
+            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                buf = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
+                n_win = max(len(buf) // window_bytes, 1)
+                for w in range(n_win):
+                    win = buf[w * window_bytes : (w + 1) * window_bytes].astype(np.int64)
+                    centered = win - 128
+                    ids.append(asset_id)
+                    idxs.append(w)
+                    energies.append(int((centered * centered).sum()))
+                    zcs.append(int((np.signbit(centered[1:]) != np.signbit(centered[:-1])).sum()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "window_idx": idxs, "energy": energies, "zero_crossings": zcs}
+            )
+
+    return assets.mapInPandas(do_extract, AUDIO_FEATURE_SCHEMA)
+
+
 def decode_image_pixels(assets: DataFrame) -> DataFrame:
     """Full pixel decode — NOT IMPLEMENTED in this container (no imaging
     libraries).  Integration point: identical ``mapInPandas`` shape as

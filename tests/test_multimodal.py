@@ -59,6 +59,19 @@ def test_sample_frames_fan_out(spark, assets):
         assert len(r["frame"]) <= 100
 
 
+def test_audio_features_windows(spark, assets):
+    from kafka_streaming_spark.functions.multimodal import extract_audio_features
+
+    feats = extract_audio_features(assets, window_bytes=64).collect()
+    n_bytes = {r["asset_id"]: r["n_bytes"] for r in decode_image_meta(assets).collect()}
+    per_asset: dict = {}
+    for r in feats:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+        assert r["energy"] >= 0 and 0 <= r["zero_crossings"] < 64
+    for aid, rows in per_asset.items():
+        assert len(rows) == max(n_bytes[aid] // 64, 1)
+
+
 def test_pixel_decode_raises_documented_stub(spark, assets):
     with pytest.raises(NotImplementedError):
         decode_image_pixels(assets)
