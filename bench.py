@@ -38,6 +38,17 @@ def bench_streaming(spark) -> tuple[float, int]:
     events = normalize_events(load_table(spark, SF_DIR, "events")).select(
         "id", "group_id", "score", "event_timestamp"
     )
+
+    # Warmup pass: a tiny medallion run first, so the timed run below
+    # measures pipeline throughput, not state-store/codegen/Python-worker
+    # cold start (batch queries get the same treatment above).
+    warm_src = f"{TMP}/warm_source"
+    events.limit(500).coalesce(1).write.mode("overwrite").parquet(warm_src)
+    warm_pipe = MedallionPipeline(spark, f"{TMP}/warm_tables", watermark_delay="40 days")
+    warm_stream = file_stream(spark, warm_src, events.schema)
+    warm_pipe.start_bronze_to_silver(warm_stream, available_now=True).awaitTermination()
+    warm_pipe.start_silver_to_gold(available_now=True).awaitTermination()
+    warm_pipe.start_gold_to_serving(available_now=True).awaitTermination()
     n = events.count()
     src = f"{TMP}/source"
     (

@@ -1670,6 +1670,27 @@ def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "a_array_agg",
+    """
+    SELECT user_id,
+           list_sort(list(event_id)) AS event_ids,
+           CAST(len(list(event_id)) AS BIGINT) AS n
+    FROM events
+    WHERE event_type = 'signup'
+    GROUP BY user_id
+    """,
+)
+def a_array_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation (collect_list) with a deterministic sort — arrays
+    as first-class output values, hash-compared element-wise."""
+    e = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ===========================================================================
 # Typed JSON parsing, regex extraction, supplier coverage
 # ===========================================================================
