@@ -7,9 +7,17 @@ expose the full operator registry from ``kafka_streaming_spark.queries``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver loads this module by file path; make the package importable
+# regardless of the caller's working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from kafka_streaming_spark.queries import REGISTRY
 
