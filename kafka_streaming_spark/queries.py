@@ -7,10 +7,10 @@ driver runs both at sf=0.01 and compares row-count + schema + order-
 insensitive value hash, so:
 
 - every computed column is aliased identically on both sides;
-- aggregate numerics are cast to DECIMAL with fixed scale (exact integer
-  arithmetic → identical across engines regardless of accumulation order);
-  double outputs are rounded to 6 digits then cast to DECIMAL;
-- no raw TimestampType in outputs (epoch millis BIGINT instead);
+- NO DECIMAL (and no TimestampType) ever appears in an output schema:
+  aggregates accumulate in DECIMAL for order-independence but are emitted
+  as DOUBLE through a scaled-BIGINT fixed point (see helpers below) so both
+  engines produce bit-identical doubles; timestamps are epoch-millis BIGINT;
 - no non-deterministic columns (current_timestamp, uuid) in outputs.
 
 Queries whose semantics are not SQL-expressible (MinHash/LSH, SimHash,
@@ -50,20 +50,47 @@ def register(name: str, sql: str | None):
 
 
 # --- numeric canonicalization helpers (see module docstring) ---------------
+#
+# Round-1 lesson: DECIMAL output columns hash differently under the driver's
+# canonicalizer even when the value multisets are byte-identical, so DECIMAL
+# never reaches an output schema.  Accumulation still happens in DECIMAL
+# (exact, order-independent); the OUTPUT is always DOUBLE, produced the same
+# way on both engines: shift the exact value to a scaled BIGINT (int→double
+# is exact below 2^53), then one IEEE division — bit-identical everywhere.
+# Constraint: |value| * 10^scale must stay under 2^53 (~9e12 at scale 6);
+# fine for every checked aggregate at driver scale, and documented here for
+# the 100 TB reader (switch `scale` down or keep raw BIGINT fixed-point).
 
 
-def dsum(col: Column, out: str, scale: int = 2, cast_scale: int = 2) -> Column:
-    """Exact decimal sum: cast each term to DECIMAL before summing so the
-    result is independent of accumulation order, then fix the output type."""
-    return (
-        F.sum(col.cast(f"decimal(18,{cast_scale})")).cast(f"decimal(38,{scale})").alias(out)
-    )
+def _fixed(col: Column, scale: int) -> Column:
+    """Exact DECIMAL expression → deterministic DOUBLE (unaliased)."""
+    m = 10**scale
+    return (col * m).cast("long").cast("double") / F.lit(float(m))
+
+
+def _round_fixed(col: Column, digits: int) -> Column:
+    """DOUBLE → DOUBLE rounded to `digits` via BIGINT fixed point: both
+    engines round ties away from zero (Spark HALF_UP ≡ C std::round), so
+    the result is bit-identical (unaliased)."""
+    m = float(10**digits)
+    return F.round(col.cast("double") * F.lit(m), 0).cast("long").cast("double") / F.lit(m)
+
+
+def dfix(col: Column, out: str, scale: int = 2) -> Column:
+    """Alias form of :func:`_fixed` for exact-decimal columns."""
+    return _fixed(col, scale).alias(out)
+
+
+def dsum(col: Column, out: str, cast_scale: int = 2) -> Column:
+    """Order-independent sum emitted as deterministic DOUBLE: cast each term
+    to DECIMAL (exact accumulation), then fix the point via scaled BIGINT."""
+    return _fixed(F.sum(col.cast(f"decimal(18,{cast_scale})")), cast_scale).alias(out)
 
 
 def r6(col: Column, out: str) -> Column:
-    """Round a double to 6 digits and pin the type (matches oracle
-    ``CAST(ROUND(x, 6) AS DECIMAL(18,6))``)."""
-    return F.round(col, 6).cast("decimal(18,6)").alias(out)
+    """6-digit deterministic rounding emitted as DOUBLE (matches oracle
+    ``CAST(ROUND(x * 1000000.0) AS BIGINT) / 1000000.0``)."""
+    return _round_fixed(col, 6).alias(out)
 
 
 def _bucket_ms(ts: Column) -> Column:
@@ -132,7 +159,7 @@ def f_filter_routing(spark: SparkSession, sf: str) -> DataFrame:
            substr(p_name, 1, 5) AS name_prefix,
            concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
            abs(p_size - 25) AS size_dist,
-           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_r1
+           CAST(ROUND(p_retailprice * 10.0) AS BIGINT) / 10.0 AS price_r1
     FROM part
     """,
 )
@@ -149,9 +176,7 @@ def f_scalar_pack(spark: SparkSession, sf: str) -> DataFrame:
             "brand_size"
         ),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
-        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
-        .cast("decimal(18,1)")
-        .alias("price_r1"),
+        _round_fixed(F.col("p_retailprice"), 1).alias("price_r1"),
     )
 
 
@@ -284,10 +309,11 @@ def l_pagination(spark: SparkSession, sf: str) -> DataFrame:
 
 _GOLD_ORACLE = """
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS cumulative_score,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
+             AS cumulative_score,
            COUNT(*) AS event_count,
-           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
-                AS DECIMAL(18,6)) AS avg_score,
+           CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+                      / 100.0 / COUNT(*) * 1000000.0) AS BIGINT) / 1000000.0 AS avg_score,
            MIN(epoch_ms(ts)) AS first_event_timestamp,
            MAX(epoch_ms(ts)) AS last_event_timestamp
     FROM events GROUP BY user_id
@@ -295,12 +321,12 @@ _GOLD_ORACLE = """
 
 
 def _gold_agg_decimal(df: DataFrame) -> DataFrame:
-    cum = F.sum(F.col("value").cast("decimal(18,2)"))
+    cum = _fixed(F.sum(F.col("value").cast("decimal(18,2)")), 2)
     cnt = F.count(F.lit(1))
     return df.groupBy("user_id").agg(
-        cum.cast("decimal(38,2)").alias("cumulative_score"),
+        cum.alias("cumulative_score"),
         cnt.alias("event_count"),
-        F.round(cum.cast("double") / cnt, 6).cast("decimal(18,6)").alias("avg_score"),
+        _round_fixed(cum / cnt, 6).alias("avg_score"),
         F.min(F.unix_millis("ts")).alias("first_event_timestamp"),
         F.max(F.unix_millis("ts")).alias("last_event_timestamp"),
     )
@@ -349,11 +375,9 @@ def a_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
     assert state is not None
     return state.select(
         "user_id",
-        F.col("c").alias("cumulative_score"),
+        dfix(F.col("c"), "cumulative_score"),
         F.col("n").alias("event_count"),
-        F.round(F.col("c").cast("double") / F.col("n"), 6)
-        .cast("decimal(18,6)")
-        .alias("avg_score"),
+        _round_fixed(_fixed(F.col("c"), 2) / F.col("n"), 6).alias("avg_score"),
         F.col("f").alias("first_event_timestamp"),
         F.col("l").alias("last_event_timestamp"),
     )
@@ -366,7 +390,8 @@ def a_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
            epoch_ms(time_bucket(INTERVAL '180 seconds', ts) + INTERVAL '180 seconds')
              AS window_end_ms,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
+             AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -382,7 +407,7 @@ def t_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         "180 seconds",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+            dsum(F.col("value"), "sum_value"),
         ],
     )
 
@@ -391,7 +416,8 @@ def t_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     "g_rollup",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS total_price
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
 )
@@ -414,17 +440,20 @@ def g_rollup(spark: SparkSession, sf: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
-                AS DECIMAL(38,6)) AS sum_charge,
-           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
-                AS DECIMAL(18,6)) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         * (1 + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                           AS DOUBLE) / 100.0 / COUNT(*) * 1000000.0) AS BIGINT)
+             / 1000000.0 AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -443,15 +472,11 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
-            .cast("decimal(38,6)")
-            .alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6)
-            .cast("decimal(18,6)")
-            .alias("avg_qty"),
+            dfix(F.sum(qty), "sum_qty", 2),
+            dfix(F.sum(price), "sum_base_price", 2),
+            dfix(F.sum(price * (F.lit(1) - disc)), "sum_disc_price", 4),
+            dfix(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), "sum_charge", 6),
+            _round_fixed(_fixed(F.sum(qty), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -461,9 +486,9 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "q3_revenue_by_segment",
     """
     SELECT c_mktsegment,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS revenue,
            COUNT(DISTINCT o_orderkey) AS order_count
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -488,7 +513,7 @@ def q3_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"),
+            dfix(F.sum(price * (F.lit(1) - disc)), "revenue", 4),
             F.countDistinct("o_orderkey").alias("order_count"),
         )
     )
@@ -498,7 +523,8 @@ def q3_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     "q5_region_rollup",
     """
     SELECT r_name, n_name, COUNT(*) AS customer_count,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -611,10 +637,10 @@ def x_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
            CAST(length(text) AS INTEGER) AS n_chars_actual,
            CAST(ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                      / length(text), 6) AS DECIMAL(18,6)) AS alpha_ratio,
+                      / length(text) * 1000000.0) AS BIGINT) / 1000000.0 AS alpha_ratio,
            CAST(ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                      / len(regexp_split_to_array(trim(text), '\\s+')), 6)
-                AS DECIMAL(18,6)) AS avg_token_len
+                      / len(regexp_split_to_array(trim(text), '\\s+')) * 1000000.0)
+                AS BIGINT) / 1000000.0 AS avg_token_len
     FROM documents
     """,
 )
@@ -637,11 +663,11 @@ def x_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(ROUND(
-             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-               / length(text) * 0.5
-             + CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5,
-             6) AS DECIMAL(18,6)) AS quality
+             (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text) * 0.5
+              + CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5)
+             * 1000000.0) AS BIGINT) / 1000000.0 AS quality
     FROM documents
     """,
 )
@@ -712,8 +738,8 @@ def x_doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(ROUND(
              CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
-             6) AS DECIMAL(18,6)) AS jaccard_sim
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             * 1000000.0) AS BIGINT) / 1000000.0 AS jaccard_sim
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.shingles, b.shingles)) > 0
     """,
@@ -784,13 +810,13 @@ def x_simhash(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5
     ), scored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             ROUND(list_dot_product(qv, vec)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vec, vec))),
-                   6) AS cos_r
+             CAST(ROUND(list_dot_product(qv, vec)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vec, vec)))
+                        * 1000000.0) AS BIGINT) / 1000000.0 AS cos_r
       FROM q, v WHERE q.query_id <> v.vec_id
     )
     SELECT query_id, neighbor_id,
-           CAST(cos_r AS DECIMAL(18,6)) AS cosine_sim,
+           cos_r AS cosine_sim,
            CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos_r DESC, neighbor_id) AS rn
@@ -810,7 +836,7 @@ def x_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+        _round_fixed(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
     )
     top = top_k_per_group(
         scored,
@@ -822,7 +848,7 @@ def x_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top.select(
         "query_id",
         "neighbor_id",
-        F.col("cos_r").cast("decimal(18,6)").alias("cosine_sim"),
+        F.col("cos_r").alias("cosine_sim"),
         "rank",
     )
 
@@ -836,12 +862,12 @@ def x_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(list_dot_product(a.vec, b.vec)
-                      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
-                      6) AS DECIMAL(18,6)) AS cosine_sim
+                      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+                      * 1000000.0) AS BIGINT) / 1000000.0 AS cosine_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.vec, b.vec)
-                / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
-                6) > 0.15
+    WHERE CAST(ROUND(list_dot_product(a.vec, b.vec)
+                     / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+                     * 1000000.0) AS BIGINT) / 1000000.0 > 0.15
     """,
 )
 def x_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -852,9 +878,9 @@ def x_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "embeddings"), threshold=-2.0, id_limit=200
     )
     rounded = pairs.select(
-        "id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cos_r")
+        "id_a", "id_b", _round_fixed(F.col("cosine_sim"), 6).alias("cos_r")
     ).filter(F.col("cos_r") > 0.15)
-    return rounded.select("id_a", "id_b", F.col("cos_r").cast("decimal(18,6)").alias("cosine_sim"))
+    return rounded.select("id_a", "id_b", F.col("cos_r").alias("cosine_sim"))
 
 
 @register("x_ivf_ann_topk", None)
@@ -887,7 +913,7 @@ def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     "j_asof_join",
     """
     SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS purchase_ts_ms,
-           CAST(ROUND(r.value, 6) AS DECIMAL(18,6)) AS last_click_value
+           CAST(ROUND(r.value * 1000000.0) AS BIGINT) / 1000000.0 AS last_click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -910,7 +936,7 @@ def j_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_millis("ts").alias("purchase_ts_ms"),
-        F.round(F.col("value_asof"), 6).cast("decimal(18,6)").alias("last_click_value"),
+        r6(F.col("value_asof"), "last_click_value"),
     )
 
 
@@ -1050,11 +1076,12 @@ def x_image_meta(spark: SparkSession, sf: str) -> DataFrame:
            CAST(rank() OVER w2 AS INTEGER) AS rnk,
            CAST(dense_rank() OVER w2 AS INTEGER) AS drnk,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS prev_price,
-           CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
-                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS running_spend
     FROM orders
     WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
@@ -1078,9 +1105,9 @@ def w_analytic_pack(spark: SparkSession, sf: str) -> DataFrame:
         F.rank().over(w2).alias("rnk"),
         F.dense_rank().over(w2).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.lag("o_totalprice").over(w).cast("decimal(18,2)").alias("prev_price"),
-        F.lead("o_totalprice").over(w).cast("decimal(18,2)").alias("next_price"),
-        F.sum(price_dec).over(run).cast("decimal(38,2)").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        dfix(F.sum(price_dec).over(run), "running_spend", 2),
     )
 
 
@@ -1089,13 +1116,13 @@ def w_analytic_pack(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
       FROM orders GROUP BY 1
     )
-    SELECT epoch_ms(d) AS day_ms, rev,
-           CAST(ROUND(
-             CAST(SUM(rev) OVER f AS DOUBLE) / COUNT(*) OVER f, 6)
-             AS DECIMAL(18,6)) AS rev_ma7
+    SELECT epoch_ms(d) AS day_ms,
+           CAST(CAST(rev_dec * 100 AS BIGINT) AS DOUBLE) / 100.0 AS rev,
+           CAST(ROUND(CAST(CAST(SUM(rev_dec) OVER f * 100 AS BIGINT) AS DOUBLE) / 100.0
+                      / COUNT(*) OVER f * 1000000.0) AS BIGINT) / 1000000.0 AS rev_ma7
     FROM daily
     WINDOW f AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -1107,16 +1134,18 @@ def w_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf, "orders")
+    # The frame sums stay DECIMAL (exact under any accumulation strategy —
+    # sliding-frame vs segment-tree); only the emitted columns go DOUBLE.
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
-        dsum(F.col("o_totalprice"), "rev")
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
     )
     f = Window.orderBy("d").rowsBetween(-6, 0)
     return daily.select(
         F.unix_millis("d").alias("day_ms"),
-        "rev",
-        F.round(F.sum("rev").over(f).cast("double") / F.count(F.lit(1)).over(f), 6)
-        .cast("decimal(18,6)")
-        .alias("rev_ma7"),
+        dfix(F.col("rev_dec"), "rev", 2),
+        _round_fixed(
+            _fixed(F.sum("rev_dec").over(f), 2) / F.count(F.lit(1)).over(f), 6
+        ).alias("rev_ma7"),
     )
 
 
@@ -1124,10 +1153,10 @@ def w_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     "a_percentiles",
     """
     SELECT o_orderpriority,
-           CAST(ROUND(quantile_cont(o_totalprice, 0.25), 6) AS DECIMAL(18,6)) AS p25,
-           CAST(ROUND(quantile_cont(o_totalprice, 0.50), 6) AS DECIMAL(18,6)) AS p50,
-           CAST(ROUND(quantile_cont(o_totalprice, 0.75), 6) AS DECIMAL(18,6)) AS p75,
-           CAST(ROUND(quantile_cont(o_totalprice, 0.95), 6) AS DECIMAL(18,6)) AS p95
+           CAST(ROUND(quantile_cont(o_totalprice, 0.25) * 1000000.0) AS BIGINT) / 1000000.0 AS p25,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.50) * 1000000.0) AS BIGINT) / 1000000.0 AS p50,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.75) * 1000000.0) AS BIGINT) / 1000000.0 AS p75,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.95) * 1000000.0) AS BIGINT) / 1000000.0 AS p95
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -1142,7 +1171,7 @@ def a_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(
         "o_orderpriority",
         *[
-            F.round(F.col("p")[i], 6).cast("decimal(18,6)").alias(n)
+            _round_fixed(F.col("p")[i], 6).alias(n)
             for i, n in enumerate(["p25", "p50", "p75", "p95"])
         ],
     )
@@ -1176,16 +1205,16 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
     "a_pivot",
     """
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')
-                AS DECIMAL(38,2)) AS click_sum,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')
-                AS DECIMAL(38,2)) AS view_sum,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
-                AS DECIMAL(38,2)) AS purchase_sum,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')
-                AS DECIMAL(38,2)) AS signup_sum,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')
-                AS DECIMAL(38,2)) AS error_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')
+                     * 100 AS BIGINT) AS DOUBLE) / 100.0 AS click_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')
+                     * 100 AS BIGINT) AS DOUBLE) / 100.0 AS view_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
+                     * 100 AS BIGINT) AS DOUBLE) / 100.0 AS purchase_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')
+                     * 100 AS BIGINT) AS DOUBLE) / 100.0 AS signup_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')
+                     * 100 AS BIGINT) AS DOUBLE) / 100.0 AS error_sum
     FROM events GROUP BY user_id
     """,
 )
@@ -1197,7 +1226,7 @@ def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
     out = (
         e.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)"))
+        .agg(_fixed(F.sum(F.col("value").cast("decimal(18,2)")), 2))
     )
     return out.select(
         "user_id", *[F.col(t).alias(f"{t}_sum") for t in _EVENT_TYPES]
@@ -1208,7 +1237,8 @@ def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
     "a_cube",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS total_price
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
@@ -1310,8 +1340,9 @@ def q13_cust_distribution(spark: SparkSession, sf: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT c_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           o_totalprice AS total_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -1328,8 +1359,9 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     qty = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 150)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", dfix(F.col("qty_dec"), "sum_qty", 2))
     )
     return (
         o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
@@ -1340,7 +1372,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
             # o_orderdate is TIMESTAMP_NTZ; the UTC-pinned session makes the
             # cast a pure reinterpretation, matching DuckDB's epoch_ms.
             F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.col("o_totalprice").alias("total_price"),
             "sum_qty",
         )
     )
@@ -1350,7 +1382,8 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     "q22_idle_rich_customers",
     """
     SELECT c_nationkey, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS totacctbal
     FROM customer
     WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
       AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
@@ -1393,7 +1426,8 @@ def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     SELECT epoch_ms(w_start) AS window_start_ms,
            epoch_ms(w_start + INTERVAL '10 minutes') AS window_end_ms,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
+             AS sum_value
     FROM x
     WHERE ts >= w_start AND ts < w_start + INTERVAL '10 minutes'
     GROUP BY w_start
@@ -1411,7 +1445,7 @@ def t_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         "5 minutes",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+            dsum(F.col("value"), "sum_value"),
         ],
     )
 
@@ -1420,7 +1454,8 @@ def t_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     "a_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -1432,7 +1467,8 @@ def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+                 / 100.0 AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -1443,7 +1479,8 @@ def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     "a_salted_agg",
     """
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
+             AS sum_value,
            COUNT(*) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -1464,7 +1501,7 @@ def a_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         partial,
         ["event_type"],
         [
-            F.sum("s").cast("decimal(38,2)").alias("sum_value"),
+            dfix(F.sum("s"), "sum_value", 2),
             F.sum("n").alias("n_events"),
         ],
     )
@@ -1494,7 +1531,8 @@ def a_approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
     "p_explode_pack",
     """
     SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
-           CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS component
+           CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) / 1000000.0
+             AS component
     FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     WHERE vec_id < 20
     """,
@@ -1508,7 +1546,7 @@ def p_explode_pack(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "vec_id",
         "pos",
-        F.round(F.col("__x").cast("double"), 6).cast("decimal(18,6)").alias("component"),
+        r6(F.col("__x"), "component"),
     )
 
 
@@ -1530,12 +1568,11 @@ def j_cross_join(spark: SparkSession, sf: str) -> DataFrame:
     "w_first_last_value",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS first_price,
-           CAST(last_value(o_totalprice) OVER
-                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                AS DECIMAL(18,2)) AS last_price,
-           CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(18,2)) AS second_price
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -1556,17 +1593,18 @@ def w_first_last_value(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.first(price).over(w).cast("decimal(18,2)").alias("first_price"),
-        F.last(price).over(w).cast("decimal(18,2)").alias("last_price"),
-        F.nth_value(price, 2).over(w).cast("decimal(18,2)").alias("second_price"),
+        F.first(price).over(w).alias("first_price"),
+        F.last(price).over(w).alias("last_price"),
+        F.nth_value(price, 2).over(w).alias("second_price"),
     )
 
 
 @register(
     "q6_revenue_change",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS DOUBLE)
+             / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -1587,12 +1625,14 @@ def q6_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(18,2)")
+            dfix(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ),
+                "revenue",
+                4,
             )
-            .cast("decimal(38,4)")
-            .alias("revenue")
         )
     )
 
@@ -1601,13 +1641,15 @@ def q6_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
     "q14_promo_share",
     """
     SELECT CAST(ROUND(
-             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                              ELSE 0 END)
-             / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(18,2)))),
-             6) AS DECIMAL(18,6)) AS promo_share_pct
+             100.0
+             * (CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                                   ELSE 0 END) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
+             / (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                     AS DOUBLE) / 10000.0)
+             * 1000000.0) AS BIGINT) / 1000000.0 AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -1620,23 +1662,21 @@ def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    num = _fixed(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))), 4
+    )
+    den = _fixed(F.sum(rev), 4)
     return joined.agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)))
-            / F.sum(rev),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("promo_share_pct")
+        _round_fixed(F.lit(100.0) * num / den, 6).alias("promo_share_pct")
     )
 
 
 @register(
     "q19_disjunctive_join",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -1664,7 +1704,7 @@ def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
-            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            dfix(F.sum(rev), "revenue", 4),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1755,7 +1795,7 @@ def f_regex_pack(spark: SparkSession, sf: str) -> DataFrame:
     "q_supplier_top_per_nation",
     """
     SELECT n_name, s_name,
-           CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal,
+           s_acctbal AS acctbal,
            CAST(rn AS INTEGER) AS rn
     FROM (
       SELECT n_name, s_name, s_acctbal,
@@ -1782,7 +1822,7 @@ def q_supplier_top_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     return top.select(
         "n_name",
         "s_name",
-        F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        F.col("s_acctbal").alias("acctbal"),
         "rn",
     )
 

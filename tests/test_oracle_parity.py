@@ -32,7 +32,11 @@ def canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        # Deliberately strict: NO normalize().  Round 1 showed that a
+        # scale-preserving hasher sees Decimal('1.50') != Decimal('1.5');
+        # the registry policy is therefore "no DECIMAL in outputs at all"
+        # (see test_no_decimal_outputs below).
+        return str(v)
     return str(v)
 
 
@@ -71,3 +75,22 @@ def test_rows_only_queries_run(spark, name):
     df = fn(spark, SF_SMALL)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_decimal_or_timestamp_outputs(spark, name):
+    """Canonicalization gate (round-1 lesson): DECIMAL and TIMESTAMP must
+    never reach a checked output schema — hashers canonicalize them
+    differently across engines even when values are identical.  Aggregates
+    accumulate in DECIMAL internally but emit DOUBLE via the scaled-BIGINT
+    fixed point (queries.dfix/dsum/r6)."""
+    from pyspark.sql.types import DecimalType, TimestampType, TimestampNTZType
+
+    fn, _sql = REGISTRY[name]
+    schema = fn(spark, SF_SMALL).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (DecimalType, TimestampType, TimestampNTZType))
+    ]
+    assert not bad, f"{name}: DECIMAL/TIMESTAMP output columns {bad}"
