@@ -13,6 +13,8 @@ Reference sites: table builder with liquid clustering + CDF + auto-optimize
 
 from __future__ import annotations
 
+import datetime
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +24,28 @@ from pyspark.sql.types import StructType
 
 class DeltaUnavailableError(RuntimeError):
     pass
+
+
+def _sql_literal(v) -> str | None:
+    """Render a Python value as a safe Spark-SQL literal for the MERGE
+    prune predicate, or None when the type has no safe literal form.
+    Python ``repr`` is NOT valid SQL for strings (quoting style) or
+    dates/timestamps, and splicing data-derived strings unescaped into a
+    merge condition is an injection surface."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    return None
 
 
 def _delta():
@@ -101,9 +125,14 @@ def merge_insert_if_absent(
     cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     if prune_col is not None:
         values = [r[0] for r in batch.select(prune_col).distinct().limit(prune_limit + 1).collect()]
-        if len(values) <= prune_limit:
-            in_list = ", ".join(repr(v) for v in values)
-            cond = f"t.{prune_col} IN ({in_list}) AND {cond}"
+        literals = [_sql_literal(v) for v in values if v is not None]
+        # NULL prune values can never equi-match a target row, so dropping
+        # them from the IN-list is semantics-preserving.  If any value's
+        # type has no safe literal form, skip the prune (it is only an
+        # optimization) rather than splice unescaped data into SQL.
+        if len(values) <= prune_limit and all(lit is not None for lit in literals):
+            if literals:
+                cond = f"t.{prune_col} IN ({', '.join(literals)}) AND {cond}"
     target.alias("t").merge(batch.alias("s"), cond).whenNotMatchedInsertAll().execute()
 
 

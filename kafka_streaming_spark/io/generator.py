@@ -58,25 +58,30 @@ class EventGenerator:
         """(id, group_id, score, event_timestamp) tuples, interleaved across
         workers in timestamp order — the merge order a Kafka consumer group
         would observe."""
-        out: list[tuple[str, str, float, int]] = []
-        late: list[tuple[int, tuple[str, str, float, int]]] = []
+        # Stream position is determined by ARRIVAL time, which for on-time
+        # rows equals the event time and for late replays is
+        # ``ts + late_by_ms`` while the row keeps its ORIGINAL
+        # event_timestamp (arrival skew, FIXTURES.md F1).  A single stable
+        # sort on the arrival key interleaves workers, keeps immediate
+        # duplicates adjacent to their originals, and genuinely places late
+        # replays beyond the watermark frontier — sorting the rows by event
+        # time instead would put each replay right next to its original and
+        # never exercise the late-arrival path.
+        arrivals: list[tuple[int, tuple[str, str, float, int]]] = []
         for w in range(self.workers):
             rng = random.Random(self.seed + w)
             group_id = _seeded_uuid(rng)
             for i in range(events_per_worker):
                 ts = self.start_ms + i * self.period_ms
                 row = (_seeded_uuid(rng), group_id, rng.random(), ts)
-                out.append(row)
+                arrivals.append((ts, row))
                 n = w * events_per_worker + i + 1
                 if self.duplicate_every and n % self.duplicate_every == 0:
-                    out.append(row)  # exact dup, same event time
+                    arrivals.append((ts, row))  # exact dup, same arrival
                 if self.late_every and n % self.late_every == 0:
-                    late.append((ts + self.late_by_ms, row))
-        # Late replays keep their ORIGINAL event_timestamp but arrive at a
-        # later stream position (arrival skew, FIXTURES.md F1).
-        out.extend(row for _, row in sorted(late, key=lambda p: p[0]))
-        out.sort(key=lambda r: r[3])  # interleave workers by event time
-        return out
+                    arrivals.append((ts + self.late_by_ms, row))
+        arrivals.sort(key=lambda p: p[0])
+        return [row for _, row in arrivals]
 
     def dataframe(self, spark: SparkSession, events_per_worker: int) -> DataFrame:
         return spark.createDataFrame(self.rows(events_per_worker), schema=EVENT_SCHEMA)

@@ -87,10 +87,26 @@ class ParquetUpsertTable:
         return f"{self.root}/cdf"
 
     def _versions(self) -> list[int]:
+        """Finalized state versions only: a dir without Spark's ``_SUCCESS``
+        marker is a crashed half-write and must be invisible to readers (and
+        to the replay guard, so the retry rewrites it)."""
         d = f"{self.root}/data"
         return sorted(
-            int(name.split("_")[1]) for name in os.listdir(d) if name.startswith("v_")
+            int(name.split("_")[1])
+            for name in os.listdir(d)
+            if name.startswith("v_") and os.path.exists(f"{d}/{name}/_SUCCESS")
         )
+
+    def version_applied(self, version: int) -> bool:
+        """True when commit ``version`` fully ran (state finalized AND its
+        change-feed files registered).  foreachBatch replays re-run with the
+        same batch_id after a crash between the table commit and the
+        checkpoint commit — callers use this to no-op instead of folding the
+        same micro-batch into running state twice."""
+        if not os.path.exists(f"{self.root}/data/v_{version}/_SUCCESS"):
+            return False
+        prefix = f"v{version}_"
+        return any(f.startswith(prefix) for f in os.listdir(self.cdf_dir))
 
     @property
     def latest_version(self) -> int | None:
@@ -173,11 +189,23 @@ class ParquetUpsertTable:
         shutil.rmtree(stage, ignore_errors=True)
         self._link_to_cdf(committed, "insert", version)
 
-    def upsert_state(self, new_state: DataFrame, changed_keys: DataFrame, version: int) -> None:
+    def upsert_state(self, new_state: DataFrame, changed_keys: DataFrame, version: int) -> bool:
         """J2: commit a new full state (versioned dir) and log the changed
-        keys' post-image rows to the change feed."""
-        had_prior = self.latest_version is not None
-        new_state.write.mode("overwrite").parquet(f"{self.root}/data/v_{version}")
+        keys' post-image rows to the change feed.
+
+        Idempotent under micro-batch replay (same ``version`` re-offered
+        after a crash): a fully applied version is a no-op (returns False);
+        a version whose state landed but whose change-feed registration was
+        interrupted redoes only the cdf step from the committed state."""
+        state_dir = f"{self.root}/data/v_{version}"
+        state_done = os.path.exists(f"{state_dir}/_SUCCESS")
+        cdf_done = any(f.startswith(f"v{version}_") for f in os.listdir(self.cdf_dir))
+        if state_done and cdf_done:
+            return False
+        had_prior = any(v < version for v in self._versions())
+        if not state_done:
+            shutil.rmtree(state_dir, ignore_errors=True)  # crashed half-write
+            new_state.write.mode("overwrite").parquet(state_dir)
         committed = self.spark.read.schema(self.schema).parquet(f"{self.root}/data/v_{version}")
         changes = committed.join(changed_keys.dropDuplicates(self.keys), self.keys, "left_semi")
         ctype = "update_postimage" if had_prior else "insert"
@@ -192,6 +220,7 @@ class ParquetUpsertTable:
                 os.rename(f"{stage}/{name}", dst)
                 files.append(dst)
         shutil.rmtree(stage, ignore_errors=True)
+        return True
 
     def vacuum(self, keep_last: int = 2) -> None:
         """D3: drop all but the newest ``keep_last`` state versions."""

@@ -35,11 +35,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 def salt(df: DataFrame, key_cols: Sequence[str], buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Add a deterministic salt derived from the full row's key hash,
-    splitting each hot key into ``buckets`` sub-keys.  Aggregate on
-    ``key_cols + [salt_col]`` first (partial), then ``unsalt_agg`` combines
-    partials per real key — two small shuffles instead of one skewed one."""
-    h = F.abs(F.hash(*[F.col(c) for c in key_cols], F.monotonically_increasing_id()))
+    """Add a salt column splitting each hot key into ``buckets`` sub-keys.
+    Aggregate on ``key_cols + [salt_col]`` first (partial), then
+    ``unsalt_agg`` combines partials per real key — two small shuffles
+    instead of one skewed one.
+
+    The salt is derived from a hash of the FULL row content (all columns),
+    never from ``monotonically_increasing_id``/``rand``: non-deterministic
+    expressions feeding a shuffle are the classic stage-retry correctness
+    hazard — a retried task would re-deal rows into different sub-keys than
+    the partials already shuffled downstream.  Content hashing is
+    deterministic under retries; its one caveat is that byte-identical
+    duplicate rows share a bucket, which only matters if a hot key's rows
+    are all literally identical (then there is nothing to spread that a
+    map-side partial aggregate hasn't already collapsed)."""
+    h = F.abs(F.hash(*[F.col(c) for c in df.columns]))
     return df.withColumn(salt_col, (h % buckets).cast("int"))
 
 

@@ -88,7 +88,7 @@ def build_session(
         # Reference: utils.py:29-38 — Delta extension + catalog, CDF on.
         conf["spark.sql.extensions"] = "io.delta.sql.DeltaSparkSessionExtension"
         conf["spark.sql.catalog.spark_catalog"] = (
-            "org.apache.spark.sql.catalog.spark_catalog.DeltaCatalog"
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
         )
         conf["spark.databricks.delta.properties.defaults.enableChangeDataFeed"] = "true"
     if extra_conf:

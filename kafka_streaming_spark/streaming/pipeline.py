@@ -112,6 +112,12 @@ class MedallionPipeline:
         """K2 body (gold.py:7-46): per-batch aggregate + running-total
         upsert.  ``least/greatest`` maintenance of first/last timestamps
         (see aggregates.combine_states for the documented deviation)."""
+        if self.gold.version_applied(batch_id):
+            # foreachBatch replay after a crash between the gold commit and
+            # the checkpoint commit: the running totals already include this
+            # micro-batch — folding it again would double-count.  (The
+            # reference's gold MERGE has the same hazard, unguarded.)
+            return
         inserts = batch_df.filter(
             ~F.col("_change_type").isin("update_postimage", "update_preimage", "delete")
         ).drop("_change_type", "_commit_version")

@@ -43,6 +43,24 @@ def test_generator_duplicate_injection():
     assert len(set(ids)) == 200  # every injected row reuses an existing id
 
 
+def test_generator_late_rows_arrive_late():
+    """Late replays must occupy a stream position AFTER rows whose event
+    time exceeds theirs (true arrival skew) — not sit next to their
+    originals, which would never exercise the beyond-watermark path."""
+    gen = EventGenerator(seed=7, workers=2, late_every=25, late_by_ms=120_000)
+    rows = gen.rows(100)
+    # late_by_ms (120 s) exceeds the on-time stream span (100 * 50 ms), so
+    # every replay's arrival key lands beyond the last on-time arrival: the
+    # 8 replays must be exactly the stream's final 8 rows.
+    on_time, replays = rows[:-8], rows[-8:]
+    assert len({r[0] for r in on_time}) == len(on_time)  # no dups up front
+    on_time_ids = {r[0] for r in on_time}
+    assert all(r[0] in on_time_ids for r in replays)
+    # and each replay keeps its ORIGINAL event_timestamp (no re-stamping)
+    first_ts = {r[0]: r[3] for r in on_time}
+    assert all(r[3] == first_ts[r[0]] for r in replays)
+
+
 def test_generated_stream_through_pipeline(spark, tmp_path_factory):
     """End-to-end: adversarial generated stream (dups within watermark, late
     replays beyond it) → medallion; silver holds exactly the distinct ids

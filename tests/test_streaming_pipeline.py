@@ -304,3 +304,72 @@ def test_duplicate_replay_is_idempotent(spark, tmp_path_factory):
     gold = pipe.gold.read()
     total = gold.agg(F.sum("event_count")).collect()[0][0]
     assert total == 4
+
+
+def test_gold_batch_replay_same_batch_id_is_noop(spark, tmp_path_factory):
+    """foreachBatch replay guard (micro-batch retry semantics): if the query
+    dies after the gold commit but before the checkpoint commit, the same
+    batch_id is re-offered on restart — the running totals must not fold the
+    same micro-batch twice."""
+    from kafka_streaming_spark.io.sinks import attach_cdf_metadata
+
+    root = str(tmp_path_factory.mktemp("goldreplay"))
+    base_ms = 1_700_000_000_000
+    rows = [
+        ("a", "g1", 1.0, base_ms),
+        ("b", "g1", 2.0, base_ms + 1_000),
+        ("c", "g2", 3.0, base_ms + 2_000),
+    ]
+    events = spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+    pipe = MedallionPipeline(spark, f"{root}/tables")
+    silver_rows = derive_event_columns(events).select(
+        *[f.name for f in pipe.silver.schema.fields]
+    )
+    pipe.silver.insert_if_absent(silver_rows, version=0, prune_col="minute_timestamp")
+    cdf_batch = pipe.silver.read_cdf()
+
+    pipe._gold_batch(cdf_batch, batch_id=0)
+    state_once = sorted(
+        (r["group_id"], r["cumulative_score"], r["event_count"])
+        for r in pipe.gold.read().collect()
+    )
+    assert [(g, n) for g, _s, n in state_once] == [("g1", 2), ("g2", 1)]
+
+    # replay: same batch content, same batch_id → must be a no-op
+    pipe._gold_batch(cdf_batch, batch_id=0)
+    state_twice = sorted(
+        (r["group_id"], r["cumulative_score"], r["event_count"])
+        for r in pipe.gold.read().collect()
+    )
+    assert state_twice == state_once
+    # a NEW batch id with new content still folds normally
+    more = spark.createDataFrame(
+        [("d", "g1", 5.0, base_ms + 3_000)], schema=EVENT_SCHEMA
+    )
+    pipe.silver.insert_if_absent(
+        derive_event_columns(more).select(*[f.name for f in pipe.silver.schema.fields]),
+        version=1,
+        prune_col="minute_timestamp",
+    )
+    new_cdf = pipe.silver.read_cdf(starting_version=1)
+    pipe._gold_batch(new_cdf, batch_id=1)
+    per_group = {r["group_id"]: r["event_count"] for r in pipe.gold.read().collect()}
+    assert per_group == {"g1": 3, "g2": 1}
+
+
+def test_sql_literal_formats_types_safely():
+    """MERGE prune literals: typed formatting, no repr() splicing."""
+    import datetime
+
+    from kafka_streaming_spark.delta_utils import _sql_literal
+
+    assert _sql_literal(7) == "7"
+    assert _sql_literal(True) == "true"
+    assert _sql_literal(1.5) == "1.5"
+    assert _sql_literal("plain") == "'plain'"
+    # the round-1 injection surface: quotes/backslashes now escaped
+    assert _sql_literal("it's") == r"'it\'s'"
+    assert _sql_literal("a\\'b") == r"'a\\\'b'"
+    assert _sql_literal(datetime.date(2026, 1, 2)) == "DATE '2026-01-02'"
+    assert _sql_literal(datetime.datetime(2026, 1, 2, 3, 4, 5)).startswith("TIMESTAMP '2026-01-02 03:04:05")
+    assert _sql_literal(object()) is None  # unsupported → caller skips prune
