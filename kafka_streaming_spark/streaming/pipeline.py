@@ -37,6 +37,7 @@ from kafka_streaming_spark.io.sinks import (
     attach_cdf_metadata,
     start_foreach_batch,
 )
+from kafka_streaming_spark.io.serving import ParquetServingWriter
 from kafka_streaming_spark.io.sources import file_stream
 from kafka_streaming_spark.ops.aggregates import combine_states, group_agg
 from kafka_streaming_spark.ops.dedup import latest_per_key
@@ -73,7 +74,13 @@ class MedallionPipeline:
     methods return live streaming queries for continuous mode.
     """
 
-    def __init__(self, spark: SparkSession, root: str, watermark_delay: str = "30 seconds"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        watermark_delay: str = "30 seconds",
+        serving_writer=None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.watermark_delay = watermark_delay
@@ -84,6 +91,10 @@ class MedallionPipeline:
             spark, f"{self.root}/gold", GOLD_SCHEMA, keys=("group_id",)
         )
         self.serving_dir = f"{self.root}/serving"
+        # K3 is pluggable (reference tomongo.py → MongoServingWriter); the
+        # default parquet writer keeps the pipeline runnable with pyspark
+        # alone, same J3 read semantics.
+        self.serving_writer = serving_writer or ParquetServingWriter(self.serving_dir)
 
     # -- stage 1: bronze → silver ------------------------------------------
 
@@ -148,14 +159,15 @@ class MedallionPipeline:
     # -- stage 3: gold CDF → serving ----------------------------------------
 
     def _serving_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """K3 body (tomongo.py:6-17): key-replaced append — ``_id`` =
-        group_id, last-writer-wins at read time (J3)."""
+        """K3 body (tomongo.py:6-17): key-replaced append through the
+        pluggable writer — ``_id`` = group_id, last-writer-wins at read
+        time (J3) or by the store's ``_id`` replacement."""
         out = (
             batch_df.filter("_change_type != 'update_preimage'")
             .drop("_change_type", "_commit_version")
             .withColumn("_id", F.col("group_id"))
         )
-        out.write.mode("append").parquet(self.serving_dir)
+        self.serving_writer.write(out, batch_id)
 
     def start_gold_to_serving(self, available_now: bool = True, max_files_per_trigger: int = 16):
         cdf = _cdf_stream(self.spark, self.gold, GOLD_SCHEMA, max_files_per_trigger)
@@ -170,13 +182,41 @@ class MedallionPipeline:
     # -- orchestration -------------------------------------------------------
 
     def run_available_now(self, events: DataFrame) -> DataFrame:
-        """Drain a finite source through all three stages (T6 in finite
-        form: the continuous deployment starts all three and calls
-        ``spark.streams.awaitAnyTermination()``).  Returns the gold state."""
+        """Drain a finite source through all three stages in sequence — the
+        test/backfill mode.  Returns the gold state."""
         self.start_bronze_to_silver(events, available_now=True).awaitTermination()
         self.start_silver_to_gold(available_now=True).awaitTermination()
         self.start_gold_to_serving(available_now=True).awaitTermination()
         return self.gold.read()
+
+    def start_all_live(self, events: DataFrame):
+        """T6, the reference's actual deployment mode (main.py:12-20): all
+        three stages as CONCURRENT live queries with ``processingTime="0
+        seconds"`` triggers (ASAP, the reference's config.py:21 default);
+        each downstream stage continuously tails its upstream's change
+        feed.  Returns the three StreamingQuery handles (bronze_to_silver,
+        silver_to_gold, gold_to_serving); pair with ``await_any`` /
+        ``stop_all``."""
+        q1 = self.start_bronze_to_silver(events, available_now=False)
+        q2 = self.start_silver_to_gold(available_now=False)
+        q3 = self.start_gold_to_serving(available_now=False)
+        return [q1, q2, q3]
+
+    def await_any(self, timeout_sec: float | None = None) -> None:
+        """``spark.streams.awaitAnyTermination()`` (reference main.py:20):
+        block until any stage dies — the supervisor then restarts the job."""
+        if timeout_sec is None:
+            self.spark.streams.awaitAnyTermination()
+        else:
+            self.spark.streams.awaitAnyTermination(int(timeout_sec * 1000))
+
+    @staticmethod
+    def stop_all(queries) -> None:
+        for q in queries:
+            if q.isActive:
+                q.stop()
+        for q in queries:
+            q.awaitTermination()
 
     def serving_view(self) -> DataFrame:
         """J3 read side: latest row per ``_id`` (deterministic via

@@ -373,3 +373,111 @@ def test_sql_literal_formats_types_safely():
     assert _sql_literal(datetime.date(2026, 1, 2)) == "DATE '2026-01-02'"
     assert _sql_literal(datetime.datetime(2026, 1, 2, 3, 4, 5)).startswith("TIMESTAMP '2026-01-02 03:04:05")
     assert _sql_literal(object()) is None  # unsupported → caller skips prune
+
+
+def test_concurrent_live_pipeline(spark, tmp_path_factory):
+    """T6 in the reference's real deployment shape (main.py:12-20): all
+    three stages run CONCURRENTLY with processingTime triggers while the
+    source keeps growing; gold must converge to the batch re-aggregation of
+    the full deduped history, and serving must converge to gold."""
+    import time
+
+    root = str(tmp_path_factory.mktemp("live"))
+    base_ms = 1_700_000_000_000
+
+    def batch_rows(offset, n, group):
+        return [
+            (f"id{offset + i}", group, float(i % 7), base_ms + (offset + i) * 1_000)
+            for i in range(n)
+        ]
+
+    first = spark.createDataFrame(
+        batch_rows(0, 40, "g1") + batch_rows(1000, 40, "g2"), schema=EVENT_SCHEMA
+    )
+    src = f"{root}/source"
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from kafka_streaming_spark.io.sources import file_stream
+
+    pipe = MedallionPipeline(spark, f"{root}/tables", watermark_delay="1 hour")
+    stream = file_stream(spark, src, first.schema, max_files_per_trigger=4)
+    queries = pipe.start_all_live(stream)
+    try:
+        assert all(q.isActive for q in queries)
+        # keep feeding while the three queries run concurrently
+        second = spark.createDataFrame(
+            batch_rows(40, 30, "g1") + batch_rows(2000, 25, "g3"), schema=EVENT_SCHEMA
+        )
+        second.coalesce(1).write.mode("append").parquet(src)
+
+        expected = {"g1": 70, "g2": 40, "g3": 25}
+        deadline = time.monotonic() + 120
+        per_group: dict[str, int] = {}
+        while time.monotonic() < deadline:
+            gold = pipe.gold.read()
+            per_group = {r["group_id"]: r["event_count"] for r in gold.collect()}
+            if per_group == expected:
+                break
+            time.sleep(2)
+        assert per_group == expected, f"gold never converged: {per_group}"
+
+        # serving converges to the same state (J3 last-writer-wins view)
+        deadline = time.monotonic() + 60
+        serving_counts: dict[str, int] = {}
+        while time.monotonic() < deadline:
+            try:
+                serving_counts = {
+                    r["_id"]: r["event_count"] for r in pipe.serving_view().collect()
+                }
+            except Exception:
+                serving_counts = {}
+            if serving_counts == expected:
+                break
+            time.sleep(2)
+        assert serving_counts == expected, f"serving never converged: {serving_counts}"
+        assert all(q.isActive for q in queries)  # nothing crashed en route
+    finally:
+        pipe.stop_all(queries)
+    assert not any(q.isActive for q in queries)
+
+
+def test_serving_writer_interface(spark, tmp_path_factory):
+    """K3 pluggability: a custom writer observes every serving batch; the
+    mongo writer exposes the reference's option bundle (config.py:62-77)
+    without needing the connector at import time."""
+    from kafka_streaming_spark.io.serving import MongoServingWriter
+
+    class RecordingWriter:
+        def __init__(self, path):
+            self.path = path
+            self.batches = 0
+
+        def write(self, df, batch_id):
+            self.batches += 1
+            df.write.mode("append").parquet(self.path)
+
+    root = str(tmp_path_factory.mktemp("servingif"))
+    rec = RecordingWriter(f"{root}/tables/serving")
+    events = spark.createDataFrame(
+        [("a", "g1", 1.0, 1_700_000_000_000), ("b", "g2", 2.0, 1_700_000_001_000)],
+        schema=EVENT_SCHEMA,
+    )
+    src = f"{root}/source"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from kafka_streaming_spark.io.sources import file_stream
+
+    pipe = MedallionPipeline(spark, f"{root}/tables", serving_writer=rec)
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    pipe.start_bronze_to_silver(stream, available_now=True).awaitTermination()
+    pipe.start_silver_to_gold(available_now=True).awaitTermination()
+    pipe.start_gold_to_serving(available_now=True).awaitTermination()
+    assert rec.batches >= 1
+    assert {r["_id"] for r in pipe.serving_view().collect()} == {"g1", "g2"}
+
+    mongo = MongoServingWriter("mongodb://localhost:27017", "analytics", "gold")
+    assert mongo.options() == {
+        "connection.uri": "mongodb://localhost:27017",
+        "database": "analytics",
+        "collection": "gold",
+    }
