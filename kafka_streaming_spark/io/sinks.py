@@ -21,10 +21,11 @@ files into ``cdf/`` — zero extra write amplification per micro-batch, the
 same trick Delta plays by logging file-level actions rather than row-level
 copies.
 
-CDF deviation from Delta (documented): the emulation emits ``insert`` and
-``update_postimage`` rows only — the reference's downstream consumers filter
-*out* preimages/deletes anyway (gold.py:57, tomongo.py:26), so the consuming
-semantics are identical.
+CDF coverage vs Delta: upsert commits emit ``update_preimage`` (the changed
+keys' previous rows) AND ``update_postimage``; first-time commits emit
+``insert``.  ``delete`` never occurs (neither table deletes rows — same as
+the reference's workload); the delete routing filters are exercised against
+synthetic delete rows in tests.
 """
 
 from __future__ import annotations
@@ -102,11 +103,15 @@ class ParquetUpsertTable:
         change-feed files registered).  foreachBatch replays re-run with the
         same batch_id after a crash between the table commit and the
         checkpoint commit — callers use this to no-op instead of folding the
-        same micro-batch into running state twice."""
+        same micro-batch into running state twice.
+
+        The commit-final marker is the insert/update_postimage file set:
+        preimages are staged FIRST, so their presence alone means the
+        commit was interrupted and must be redone."""
         if not os.path.exists(f"{self.root}/data/v_{version}/_SUCCESS"):
             return False
-        prefix = f"v{version}_"
-        return any(f.startswith(prefix) for f in os.listdir(self.cdf_dir))
+        final = (f"v{version}_insert_", f"v{version}_update_postimage_")
+        return any(f.startswith(final) for f in os.listdir(self.cdf_dir))
 
     @property
     def latest_version(self) -> int | None:
@@ -197,30 +202,53 @@ class ParquetUpsertTable:
         after a crash): a fully applied version is a no-op (returns False);
         a version whose state landed but whose change-feed registration was
         interrupted redoes only the cdf step from the committed state."""
-        state_dir = f"{self.root}/data/v_{version}"
-        state_done = os.path.exists(f"{state_dir}/_SUCCESS")
-        cdf_done = any(f.startswith(f"v{version}_") for f in os.listdir(self.cdf_dir))
-        if state_done and cdf_done:
+        if self.version_applied(version):
             return False
-        had_prior = any(v < version for v in self._versions())
-        if not state_done:
+        state_dir = f"{self.root}/data/v_{version}"
+        prior_versions = [v for v in self._versions() if v < version]
+        if not os.path.exists(f"{state_dir}/_SUCCESS"):
             shutil.rmtree(state_dir, ignore_errors=True)  # crashed half-write
             new_state.write.mode("overwrite").parquet(state_dir)
         committed = self.spark.read.schema(self.schema).parquet(f"{self.root}/data/v_{version}")
-        changes = committed.join(changed_keys.dropDuplicates(self.keys), self.keys, "left_semi")
-        ctype = "update_postimage" if had_prior else "insert"
-        stage = f"{self.root}/stage/cdf_{version}"
-        changes.select(*[f.name for f in self.schema.fields]).write.mode("overwrite").parquet(
+        keyset = changed_keys.dropDuplicates(self.keys)
+        if prior_versions:
+            # Delta-faithful CDF: changed keys that existed before also emit
+            # their PREVIOUS row as an update_preimage — downstream T4
+            # routing filters (gold.py:57 / tomongo.py:26 shapes) run
+            # against real preimage rows, not just inserts.  Preimages go
+            # FIRST: the postimage/insert files are the commit-final marker
+            # (see version_applied), so an interrupted commit redoes both.
+            prior = self.spark.read.schema(self.schema).parquet(
+                f"{self.root}/data/v_{prior_versions[-1]}"
+            )
+            pre = prior.join(keyset, self.keys, "left_semi")
+            self._stage_cdf(pre, version, "update_preimage")
+        post = committed.join(keyset, self.keys, "left_semi")
+        self._stage_cdf(post, version, "update_postimage" if prior_versions else "insert")
+        return True
+
+    def _stage_cdf(self, rows: DataFrame, version: int, ctype: str) -> None:
+        """Write change rows into the feed under ``v<version>_<ctype>_``.
+        A retried commit first clears any partial files of the same
+        (version, ctype) so replays never double rows; a live downstream
+        file-stream that already consumed removed partials may re-see their
+        replacements (at-least-once, standard file-source semantics —
+        harmless for the insert-only gold path and the last-writer-wins
+        serving view)."""
+        prefix = f"v{version}_{ctype}_"
+        for name in os.listdir(self.cdf_dir):
+            if name.startswith(prefix):
+                os.remove(f"{self.cdf_dir}/{name}")
+        stage = f"{self.root}/stage/cdf_{version}_{ctype}"
+        rows.select(*[f.name for f in self.schema.fields]).write.mode("overwrite").parquet(
             stage
         )
-        files = []
         for name in sorted(os.listdir(stage)):
             if name.endswith(".parquet"):
-                dst = f"{self.cdf_dir}/v{version}_{ctype}_{name}"
-                os.rename(f"{stage}/{name}", dst)
-                files.append(dst)
+                os.rename(
+                    f"{stage}/{name}", f"{self.cdf_dir}/v{version}_{ctype}_{name}"
+                )
         shutil.rmtree(stage, ignore_errors=True)
-        return True
 
     def vacuum(self, keep_last: int = 2) -> None:
         """D3: drop all but the newest ``keep_last`` state versions."""

@@ -896,12 +896,13 @@ def x_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register("x_lsh_ann_topk", None)
 def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN: multi-table random-hyperplane LSH (deterministic
-    integer-mixed hyperplanes, OR-amplified across 4 tables),
-    bucket-equijoin, exact re-scoring inside buckets.  Recall measured
-    against the brute-force baseline in tests."""
+    integer-mixed hyperplanes, OR-amplified across 8 tables) with radius-1
+    multiprobe on the query side, bucket-equijoin, exact re-scoring inside
+    buckets.  Recall ≥0.5 (measured 0.92) vs the brute-force baseline is
+    pinned in tests."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=5, dim=64, planes=6, tables=4)
+    return S.lsh_topk(emb, queries, k=5, dim=64)
 
 
 # ===========================================================================

@@ -52,3 +52,28 @@ def test_cluster_on_synthetic_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(chain).collect()}
     assert got == {i: 0 for i in range(11)}
+
+
+def test_cluster_50_chain_with_storage_checkpoint(spark, tmp_path_factory):
+    """VERDICT r01 item 8: 50-node chain (diameter 49 — needs the pointer-
+    jumping acceleration to converge inside max_rounds) through the
+    STORAGE-backed checkpoint path, and the backend choice must not change
+    results vs localCheckpoint."""
+    spill = str(tmp_path_factory.mktemp("ccspill"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    durable = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(chain, checkpoint=spill).collect()
+    }
+    assert durable == {i: 0 for i in range(50)}
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(chain, checkpoint="local").collect()
+    }
+    assert local == durable
+    # the spill dir actually received round files (the durability evidence)
+    import os
+
+    assert any(name.startswith("round_") for name in os.listdir(spill))

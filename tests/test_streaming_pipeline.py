@@ -481,3 +481,91 @@ def test_serving_writer_interface(spark, tmp_path_factory):
         "database": "analytics",
         "collection": "gold",
     }
+
+
+def test_cdf_emits_preimages_and_t4_routing(spark, tmp_path_factory):
+    """T4 against ALL FOUR change types: the gold upsert emulation now
+    emits real update_preimage rows next to postimages; synthetic delete
+    rows complete the matrix.  Gold folds only inserts; serving drops only
+    preimages — the reference's routing filters (gold.py:57, tomongo.py:26)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from kafka_streaming_spark.io.sinks import ParquetUpsertTable
+    from kafka_streaming_spark.schemas import GOLD_SCHEMA
+
+    root = str(tmp_path_factory.mktemp("cdftypes"))
+    gold = ParquetUpsertTable(spark, f"{root}/gold", GOLD_SCHEMA, keys=("group_id",))
+
+    def mk_state(rows):
+        return spark.createDataFrame(rows, schema=GOLD_SCHEMA)
+
+    s0 = [("g1", 1.0, 1, 1.0, 0, 0, 0), ("g2", 2.0, 1, 2.0, 0, 0, 0)]
+    gold.upsert_state(mk_state(s0), changed_keys=mk_state(s0).select("group_id"), version=0)
+    s1 = [("g1", 4.0, 2, 2.0, 0, 5, 1), ("g2", 2.0, 1, 2.0, 0, 0, 0)]
+    gold.upsert_state(
+        mk_state(s1),
+        changed_keys=spark.createDataFrame([("g1",)], ["group_id"]),
+        version=1,
+    )
+
+    cdf = gold.read_cdf()
+    by_type = {
+        r["_change_type"]: r["cnt"]
+        for r in cdf.groupBy("_change_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # v0: 2 inserts; v1: 1 preimage (g1 old row) + 1 postimage (g1 new row)
+    assert by_type == {"insert": 2, "update_preimage": 1, "update_postimage": 1}
+    pre = cdf.filter("_change_type = 'update_preimage'").collect()
+    assert len(pre) == 1 and pre[0]["cumulative_score"] == 1.0  # the OLD row
+    post = cdf.filter("_change_type = 'update_postimage'").collect()
+    assert post[0]["cumulative_score"] == 4.0  # the NEW row
+
+    # full four-type matrix through the T4 filters (synthetic delete row)
+    delete_rows = cdf.limit(1).withColumn("_change_type", F.lit("delete"))
+    all_types = cdf.unionByName(delete_rows)
+    gold_route = all_types.filter(
+        ~F.col("_change_type").isin("update_postimage", "update_preimage", "delete")
+    )
+    assert {r["_change_type"] for r in gold_route.collect()} == {"insert"}
+    serving_route = all_types.filter("_change_type != 'update_preimage'")
+    assert {r["_change_type"] for r in serving_route.collect()} == {
+        "insert", "update_postimage", "delete",
+    }
+
+
+def test_serving_compaction_bounds_file_count(spark, tmp_path_factory):
+    """OPTIMIZE-analog for the serving dir (VERDICT r01 item 10): after N
+    append commits the parquet file count stays bounded by the compaction
+    threshold and the last-writer-wins view is unchanged."""
+    from kafka_streaming_spark.io.serving import ParquetServingWriter
+    from kafka_streaming_spark.ops.dedup import latest_per_key
+    from kafka_streaming_spark.schemas import GOLD_SCHEMA
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    root = str(tmp_path_factory.mktemp("compaction"))
+    path = f"{root}/serving"
+    writer = ParquetServingWriter(path, compact_threshold=4)
+    schema = StructType(list(GOLD_SCHEMA.fields) + [StructField("_id", StringType(), True)])
+
+    n_commits = 12
+    for v in range(n_commits):
+        batch = spark.createDataFrame(
+            [
+                ("g1", float(v + 1), v + 1, 1.0, 0, 0, v, "g1"),
+                ("g2", float(2 * (v + 1)), v + 1, 2.0, 0, 0, v, "g2"),
+            ],
+            schema=schema,
+        )
+        writer.write(batch.coalesce(1), batch_id=v)
+
+    n_files = len(writer._files())
+    assert n_files <= 4 + 1, f"compaction never ran: {n_files} files after {n_commits} commits"
+    view = latest_per_key(
+        spark.read.schema(schema).parquet(path), ["_id"], "updated_at",
+        tiebreak="event_count",
+    )
+    state = {r["_id"]: (r["cumulative_score"], r["event_count"]) for r in view.collect()}
+    assert state == {
+        "g1": (float(n_commits), n_commits),
+        "g2": (float(2 * n_commits), n_commits),
+    }
