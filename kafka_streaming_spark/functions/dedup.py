@@ -263,10 +263,20 @@ def dedup_clusters(
     # Materialize the edge set once: it is re-joined every propagation
     # round, and its lineage may include the full upstream candidate
     # pipeline (MinHash/LSH) — without the checkpoint each round would
-    # recompute all of it.
+    # recompute all of it.  The symmetric closure is built with a single
+    # explode pass (NOT a self-union: two union branches would execute the
+    # whole upstream candidate pipeline twice — measurably 2× the corpus
+    # scan at any scale).
     edges = _materialize(
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                    F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct(),
         checkpoint,
         "edges",
@@ -277,6 +287,13 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence detector: labels are monotone non-increasing per node, so
+    # the label sum strictly decreases every round that changes anything and
+    # is exactly unchanged at the fixed point.  Comparing sums replaces a
+    # new-vs-old join per round with a single aggregate; decimal(38,0) keeps
+    # the sum exact (no 64-bit wrap) for up to ~10^19 total label mass.
+    _sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_sum_expr).collect()[0]["s"]
     for rnd in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -293,7 +310,10 @@ def dedup_clusters(
             )
         )
         # Pointer jumping (path halving): adopt the label of your label —
-        # min-labels hop 2^r nodes per round instead of 1.
+        # min-labels hop 2^r nodes per round instead of 1.  ``propagated``
+        # feeds both sides of the self-join; cache it so the propagation
+        # subtree (two joins + an aggregate) runs once per round, not twice.
+        propagated = propagated.persist()
         new_labels = (
             propagated.alias("x")
             .join(
@@ -310,20 +330,15 @@ def dedup_clusters(
                 ),
             )
         )
-        # Lazy checkpoint: the convergence count below is the action that
-        # materializes it — one Spark job per round, not two.
+        # Lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it — one Spark job per round, not two.
         new_labels = _materialize(new_labels, checkpoint, f"round_{rnd}", eager=False)
-        # convergence: no label changed this round (1-row driver check)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(_sum_expr).collect()[0]["s"]
+        propagated.unpersist()  # new_labels is materialized by the agg above
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
