@@ -18,6 +18,8 @@ import shutil
 import sys
 import time
 
+import pandas as pd
+
 from kafka_streaming_spark.queries import REGISTRY
 from kafka_streaming_spark.session import build_session
 
@@ -87,12 +89,31 @@ def main() -> None:
 
     # Warmup: JVM + codegen + parquet footer caches.
     next(iter(REGISTRY.values()))[0](spark, SF_DIR).count()
+    # Warm the Arrow/pandas_udf worker pool too (workers are reused across
+    # queries, so spawning them — a per-process cost of importing
+    # numpy/pandas in every core's worker — shouldn't land on the first
+    # pandas_udf query measured).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    spark.range(0, int(CPUS) * 100, 1, int(CPUS)).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Batch queries persist intermediates (e.g. shingle-hash arrays); free
+    # that memory before the streaming measurement so state-store and
+    # shuffle work isn't competing with stale caches.
+    spark.catalog.clearCache()
 
     stream_sec, n_events = bench_streaming(spark)
     timings["streaming_medallion"] = round(stream_sec, 3)

@@ -211,44 +211,49 @@ class ParquetUpsertTable:
             new_state.write.mode("overwrite").parquet(state_dir)
         committed = self.spark.read.schema(self.schema).parquet(f"{self.root}/data/v_{version}")
         keyset = changed_keys.dropDuplicates(self.keys)
+        cols = [f.name for f in self.schema.fields]
         if prior_versions:
             # Delta-faithful CDF: changed keys that existed before also emit
             # their PREVIOUS row as an update_preimage — downstream T4
             # routing filters (gold.py:57 / tomongo.py:26 shapes) run
-            # against real preimage rows, not just inserts.  Preimages go
-            # FIRST: the postimage/insert files are the commit-final marker
-            # (see version_applied), so an interrupted commit redoes both.
+            # against real preimage rows, not just inserts.
             prior = self.spark.read.schema(self.schema).parquet(
                 f"{self.root}/data/v_{prior_versions[-1]}"
             )
-            pre = prior.join(keyset, self.keys, "left_semi")
-            self._stage_cdf(pre, version, "update_preimage")
-        post = committed.join(keyset, self.keys, "left_semi")
-        self._stage_cdf(post, version, "update_postimage" if prior_versions else "insert")
-        return True
-
-    def _stage_cdf(self, rows: DataFrame, version: int, ctype: str) -> None:
-        """Write change rows into the feed under ``v<version>_<ctype>_``.
-        A retried commit first clears any partial files of the same
-        (version, ctype) so replays never double rows; a live downstream
-        file-stream that already consumed removed partials may re-see their
-        replacements (at-least-once, standard file-source semantics —
-        harmless for the insert-only gold path and the last-writer-wins
-        serving view)."""
-        prefix = f"v{version}_{ctype}_"
-        for name in os.listdir(self.cdf_dir):
-            if name.startswith(prefix):
-                os.remove(f"{self.cdf_dir}/{name}")
-        stage = f"{self.root}/stage/cdf_{version}_{ctype}"
-        rows.select(*[f.name for f in self.schema.fields]).write.mode("overwrite").parquet(
-            stage
-        )
-        for name in sorted(os.listdir(stage)):
-            if name.endswith(".parquet"):
-                os.rename(
-                    f"{stage}/{name}", f"{self.cdf_dir}/v{version}_{ctype}_{name}"
-                )
+            pre = prior.join(keyset, self.keys, "left_semi").select(
+                F.lit("update_preimage").alias("__ctype"), *cols
+            )
+            post = committed.join(keyset, self.keys, "left_semi").select(
+                F.lit("update_postimage").alias("__ctype"), *cols
+            )
+            rows = pre.unionByName(post)
+            ctypes = ["update_preimage", "update_postimage"]
+        else:
+            rows = committed.join(keyset, self.keys, "left_semi").select(
+                F.lit("insert").alias("__ctype"), *cols
+            )
+            ctypes = ["insert"]
+        # ONE Spark job stages every change row, partitioned by change type
+        # (pre+postimage previously cost a write job each — per-micro-batch
+        # job count matters more than anything else for streaming
+        # throughput).  Rename order preserves the crash protocol: preimages
+        # land in cdf/ FIRST, and the postimage/insert files remain the
+        # commit-final marker (see version_applied), so an interrupted
+        # commit redoes both.
+        stage = f"{self.root}/stage/cdf_{version}"
+        rows.write.mode("overwrite").partitionBy("__ctype").parquet(stage)
+        for ctype in ctypes:
+            prefix = f"v{version}_{ctype}_"
+            for name in os.listdir(self.cdf_dir):
+                if name.startswith(prefix):
+                    os.remove(f"{self.cdf_dir}/{name}")
+            part_dir = f"{stage}/__ctype={ctype}"
+            if os.path.isdir(part_dir):
+                for name in sorted(os.listdir(part_dir)):
+                    if name.endswith(".parquet"):
+                        os.rename(f"{part_dir}/{name}", f"{self.cdf_dir}/{prefix}{name}")
         shutil.rmtree(stage, ignore_errors=True)
+        return True
 
     def vacuum(self, keep_last: int = 2) -> None:
         """D3: drop all but the newest ``keep_last`` state versions."""
