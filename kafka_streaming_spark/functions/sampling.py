@@ -1,0 +1,111 @@
+"""Deterministic sampling & dataset-assembly operators for training-data
+pipelines: hash-based uniform sampling, stratified sampling, train/val/test
+splits, weighted source mixing, and context-window token packing.
+
+Everything is derived from ``md5`` of a stable key — no RNG, no seed state,
+no ``rand()``: the same row lands in the same sample/split/pack on every
+run, every engine, every retry (the property that matters when a 100 TB
+pipeline stage is re-executed after a stage failure — ``rand()``-based
+sampling silently changes the sample under retry; see the round-robin
+repartition hazard class).
+
+Cross-engine contract: the sampling predicate is a plain string comparison
+on an md5-hex prefix (both Spark and DuckDB emit lowercase hex), so every
+operator here is oracle-checkable with vanilla ANSI SQL.
+
+Scale shape: all operators are narrow (per-row predicates) except packing,
+which is a prefix-sum — one window shuffle over the ordering key, the
+documented cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hex-prefix width for sampling thresholds: 4 hex chars = 16-bit
+#: granularity (rates resolve to 1/65536).
+_PREFIX = 4
+
+
+def _hash_prefix(key: Column) -> Column:
+    """First 4 hex chars of md5(key) — a uniform 16-bit draw as a string."""
+    return F.substring(F.md5(key.cast("string")), 1, _PREFIX)
+
+
+def rate_threshold(rate: float) -> str:
+    """The hex-string threshold t such that P(md5-prefix < t) == round(rate *
+    65536) / 65536 under a uniform hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(round(rate * 16**_PREFIX)), 16**_PREFIX - 1), "04x")
+
+
+def uniform_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``: keep the
+    row iff its hash prefix falls below the rate threshold."""
+    return df.filter(_hash_prefix(F.col(key_col)) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-balancing primitive
+    (e.g. downsample boilerplate-heavy sources, keep rare languages whole).
+    Strata absent from ``rates`` are dropped (rate 0)."""
+    expr = F.lit("0000")
+    for stratum, rate in rates.items():
+        expr = F.when(F.col(strata_col) == stratum, F.lit(rate_threshold(rate))).otherwise(
+            expr
+        )
+    return df.filter(_hash_prefix(F.col(key_col)) < expr)
+
+
+def hash_split(df: DataFrame, key_col: str, val_rate: float, test_rate: float) -> DataFrame:
+    """Train/val/test assignment as a derived column ``split``: hash-range
+    partitioning of the unit interval ([0, val) → val, [val, val+test) →
+    test, rest → train).  Deterministic, disjoint, exhaustive — and stable
+    under corpus growth (a doc's split never changes when other docs are
+    added, unlike row_number()-based splits)."""
+    h = _hash_prefix(F.col(key_col))
+    val_t = rate_threshold(val_rate)
+    test_t = rate_threshold(val_rate + test_rate)
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(val_t), F.lit("val"))
+        .when(h < F.lit(test_t), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def weighted_mix(
+    df: DataFrame, key_col: str, source_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Weighted dataset mixing: per-source keep-rates applied with the
+    stratified predicate — the "N epochs of Wikipedia, 0.3 of CommonCrawl"
+    recipe as one narrow filter (rates > 1 mean upsampling, which needs an
+    explode pass — not expressible as a filter; this operator caps at 1)."""
+    return stratified_sample(
+        df, key_col, source_col, {s: min(w, 1.0) for s, w in weights.items()}
+    )
+
+
+def pack_sequential(
+    df: DataFrame, order_col: str, token_col: str, budget: int
+) -> DataFrame:
+    """Context-window packing: assign docs (in ``order_col`` order) to
+    consecutive packs of ~``budget`` tokens — ``pack_id = floor(
+    (running_sum - tokens) / budget)``, the standard streaming-concat
+    approximation (a doc may straddle a boundary; exact first-fit packing is
+    inherently sequential and not worth a distributed pass).
+
+    One window prefix-sum is the whole cost; at 100 TB, range-partition by
+    ``order_col`` first and run the same expression per range with offset
+    stitching (the prefix-sum decomposes exactly)."""
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    running = F.sum(F.col(token_col)).over(w)
+    return df.select(
+        order_col,
+        F.col(token_col),
+        F.floor((running - F.col(token_col)) / F.lit(budget)).cast("long").alias("pack_id"),
+    )

@@ -102,6 +102,34 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def bigrams(text: Column) -> Column:
+    """Word bigrams (non-distinct, corpus-statistics form) → array<string>.
+    Single-token documents yield an empty array."""
+    toks = tokens(F.lower(text))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+#: PII-ish detection patterns — lookahead-free so they run identically on
+#: Java regex (Spark) and RE2 (DuckDB).  Deterministic *detectors* for
+#: corpus redaction triage (counting, not redacting: the redaction rewrite
+#: is a regexp_replace with the same patterns).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(email, url, phone-like) match counts per document."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)),
+        F.regexp_count(text, F.lit(URL_PATTERN)),
+        F.regexp_count(text, F.lit(PHONE_PATTERN)),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash over the
     character codes, mod 1e9+7 — the classic Rabin-Karp shape, expressed as

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streaming_spark.functions import dedup as D
+from kafka_streaming_spark.functions import sampling as SP
 from kafka_streaming_spark.functions import similarity as S
 from kafka_streaming_spark.functions import text as T
 from kafka_streaming_spark.functions.multimodal import decode_image_meta
@@ -1825,6 +1826,278 @@ def q_supplier_top_per_nation(spark: SparkSession, sf: str) -> DataFrame:
         "s_name",
         F.col("s_acctbal").alias("acctbal"),
         "rn",
+    )
+
+
+# ===========================================================================
+# Training-data assembly: deterministic sampling / splits / mixing / packing
+# ===========================================================================
+
+
+@register(
+    "x_doc_sample_uniform",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+)
+def x_doc_sample_uniform(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Bernoulli(0.25) corpus sample keyed on doc_id — no
+    rand(), so stage retries and engine swaps reproduce the exact sample
+    (the retry-safety property ``sample()``-based pipelines lack)."""
+    d = load_table(spark, sf, "documents")
+    return SP.uniform_sample(d, "doc_id", 0.25).select("doc_id", "lang", "source")
+
+
+@register(
+    "x_doc_sample_stratified",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE source WHEN 'src0' THEN '2000' WHEN 'src1' THEN '8000'
+                      WHEN 'src2' THEN 'ffff' ELSE '0000' END
+    """,
+)
+def x_doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified per-source sampling (corpus rebalancing: downsample src0
+    to 1/8, src1 to 1/2, keep src2 whole) as one narrow predicate."""
+    d = load_table(spark, sf, "documents")
+    return SP.stratified_sample(
+        d, "doc_id", "source", {"src0": 0.125, "src1": 0.5, "src2": 0.9999847412109375}
+    ).select("doc_id", "source")
+
+
+@register(
+    "x_doc_split",
+    """
+    SELECT split, COUNT(*) AS n_docs
+    FROM (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def x_doc_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test hash-range split (5%/5%/90%), stable under corpus
+    growth — a doc's assignment never changes when other docs are added."""
+    d = load_table(spark, sf, "documents")
+    return SP.hash_split(d, "doc_id", 0.05, 0.05).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "x_dataset_mix",
+    """
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE source WHEN 'src0' THEN '4000' WHEN 'src1' THEN 'ffff'
+                      WHEN 'src2' THEN 'b333' ELSE '0000' END
+    GROUP BY source
+    """,
+)
+def x_dataset_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted source mixing ("0.25 of src0, all of src1, 0.7 of src2")
+    with per-source doc/char budgets — the dataset-recipe operator."""
+    d = load_table(spark, sf, "documents")
+    mixed = SP.weighted_mix(
+        d, "doc_id", "source", {"src0": 0.25, "src1": 0.9999847412109375, "src2": 0.7}
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "x_token_pack",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    FROM packed GROUP BY pack_id
+    """,
+)
+def x_token_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window packing: docs (in doc_id order) assigned to ~512-token
+    packs via one window prefix-sum, then per-pack budgets.  The prefix-sum
+    decomposes exactly across range partitions at scale (see
+    functions.sampling.pack_sequential)."""
+    d = load_table(spark, sf, "documents")
+    with_tokens = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    packed = SP.pack_sequential(with_tokens, "doc_id", "n_tokens", budget=512)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
+@register(
+    "x_topk_bigrams",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def x_topk_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram statistics (the n-gram-LM / contamination-check
+    primitive): explode word bigrams, count, top-20 with a total order.
+    One explode + one shuffle; the ORDER/LIMIT is a partial top-k
+    (TakeOrderedAndProject), never a full sort of the counts."""
+    d = load_table(spark, sf, "documents")
+    bg = d.select(F.explode(T.bigrams(F.col("text"))).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "x_pii_scan",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1 (555) 123-4567' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS n_phones
+    FROM enriched
+    WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+          + len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) > 0
+    """,
+)
+def x_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII triage: per-doc email/URL/phone-like match counts, rows only for
+    docs with at least one hit (the redaction work queue).  The synthetic
+    corpus is PII-free, so the query deterministically plants email/URL/
+    phone strings on doc_id residue classes first — the detectors are
+    exercised against real positive AND negative rows.  Pure regex Column
+    expressions; the redaction rewrite is the same patterns through
+    ``regexp_replace``."""
+    d = load_table(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" see https://example.org/doc/"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call +1 (555) 123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    emails, urls, phones = T.pii_counts(F.col("text"))
+    scored = planted.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        urls.cast("long").alias("n_urls"),
+        phones.cast("long").alias("n_phones"),
+    )
+    return scored.filter(
+        (F.col("n_emails") + F.col("n_urls") + F.col("n_phones")) > 0
+    )
+
+
+@register(
+    "x_embedding_normalize",
+    """
+    SELECT vec_id,
+           CAST(CAST(ROUND(sqrt(list_dot_product(v, v)) * 1000000.0) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS l2_norm,
+           CAST(CAST(ROUND(CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v[1]
+                                ELSE v[1] / sqrt(list_dot_product(v, v)) END * 1000000.0)
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS first_component,
+           len(v) AS dim
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    """,
+)
+def x_embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 normalization (checked through scalar projections: norm, first
+    normalized component, dim — array outputs don't canonicalize across
+    engines).  Normalized corpora make downstream cosine a plain dot."""
+    e = load_table(spark, sf, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    normalized = S.l2_normalize(v)
+    return e.select(
+        "vec_id",
+        r6(S.norm(v), "l2_norm"),
+        r6(F.element_at(normalized, 1), "first_component"),
+        F.size(v).cast("long").alias("dim"),
+    )
+
+
+@register(
+    "x_embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             CAST(list_aggregate(list_transform(vec, x -> abs(x)), 'max') AS DOUBLE)
+               / 127.0 AS scale,
+             list_transform(vec, x ->
+               CAST(ROUND(x / (CAST(list_aggregate(list_transform(vec, y -> abs(y)), 'max')
+                               AS DOUBLE) / 127.0)) AS BIGINT)) AS codes
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(CAST(ROUND(scale * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS scale_r,
+           list_aggregate(codes, 'sum') AS code_sum,
+           list_aggregate(list_transform(codes, c -> abs(c)), 'max') AS code_max
+    FROM q
+    """,
+)
+def x_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (4× ANN-index memory reduction),
+    checked through scalar projections: the dequant scale, code checksum,
+    and max |code| (== 127 for every non-zero vector by construction)."""
+    e = load_table(spark, sf, "embeddings")
+    qz = S.quantize_int8(S.as_double(F.col("embedding")))
+    return e.select(
+        "vec_id",
+        r6(qz["scale"], "scale_r"),
+        F.aggregate(qz["q"], F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
+        F.array_max(F.transform(qz["q"], F.abs)).alias("code_max"),
     )
 
 
