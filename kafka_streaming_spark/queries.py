@@ -2101,4 +2101,338 @@ def x_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# TPC-H extension shapes (adapted to the testdata's column subset)
+# ===========================================================================
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM (
+      SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey <> n2.n_nationkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): fact → two dim chains (customer
+    and supplier nation), cross-nation filter, revenue by (nation pair,
+    year).  All four dims broadcast — the lineitem side joins map-side and
+    shuffles once, for the final 3-key aggregate."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            price.alias("__p"),
+            disc.alias("__d"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dfix(F.sum(F.col("__p") * (F.lit(1) - F.col("__d"))), "revenue", 4))
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,1))
+                           * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey  = p_partkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the testdata has no partsupp/
+    ps_supplycost, so cost is proxied as 10% of retail price × quantity
+    (documented deviation; the join/aggregate structure is Q9's).  Part
+    filter pushed to the part scan before its broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.1).cast("decimal(3,1)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (price * (F.lit(1) - disc) - cost).alias("__amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dfix(F.sum("__amount"), "profit", 4))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer over a half-year window, top 20.  Returnflag + date filters
+    push to the scans; the ORDER/LIMIT is a partial top-k."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dfix(F.sum(price * (F.lit(1) - disc)), "revenue", 4))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+                  AS DOUBLE) / 10000.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue view, keep the
+    supplier(s) at the global max.  The max is a rank-1 window over the
+    tiny aggregated view (|suppliers| rows) — no second scan of lineitem,
+    unlike the literal scalar-subquery plan."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dfix(F.sum(price * (F.lit(1) - disc)), "total_revenue", 4)
+    )
+    ranked = revenue.withColumn(
+        "__mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    s = load_table(spark, sf, "supplier")
+    return (
+        F.broadcast(ranked)
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 * 100 AS BIGINT)
+                AS DOUBLE) / 100.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_partkey, 0.5 * AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) part_agg ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated avg-quantity
+    subquery decorrelated into a self-aggregate + join — the standard
+    rewrite Spark and DuckDB both plan; the brand filter prunes the part
+    side before broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("avg_qty")
+    )
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(part_agg, F.col("agg_partkey") == li["l_partkey"])
+        .filter(F.col("l_quantity") < F.col("avg_qty"))
+    )
+    return joined.agg(
+        dfix(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0),
+            "avg_yearly",
+            2,
+        )
+    )
+
+
+@register(
+    "q20_part_suppliers",
+    """
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 's%'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 2100
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    > 2100 units of 's%' parts — an aggregate-HAVING derived key set
+    consumed as a left-semi join (no partsupp in the testdata, so the
+    availability predicate is on shipped quantity; structure unchanged)."""
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("s%"))
+    movers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 2100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(movers), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH order_stats AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supps
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem
+    JOIN order_stats ON lineitem.l_orderkey = order_stats.l_orderkey
+    JOIN orders ON o_orderkey = lineitem.l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_returnflag = 'R'
+      AND o_orderstatus = 'F'
+      AND n_supps > 1
+      AND n_r_supps = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS
+    (another supplier on the order) / NOT EXISTS (another supplier also
+    late) pair decorrelated into one per-order aggregate — no commitdate
+    in the testdata, so "late" is the returned flag; the blame predicate
+    (sole returning supplier on a multi-supplier finalized order) is
+    Q21's."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf, "supplier")
+    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supps"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(order_stats, li["l_orderkey"] == F.col("os_orderkey"))
+        .filter((F.col("n_supps") > 1) & (F.col("n_r_supps") == 1))
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 __all__ = ["REGISTRY", "register"]
