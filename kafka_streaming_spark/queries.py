@@ -2435,4 +2435,275 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(CAST(ROUND((CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                          THEN volume ELSE 0 END) AS DOUBLE)
+                            / CAST(SUM(volume) AS DOUBLE)) * 1000000.0) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey  = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue among ASIA-region customers per order year.  Seven-table star:
+    every dim broadcasts, lineitem shuffles once for the per-year aggregate;
+    the share is a conditional-sum ratio computed in DOUBLE on both engines
+    (exact DECIMAL sums → correctly-rounded doubles → one IEEE divide)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    base = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("__vol"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("__vol")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return base.groupBy("o_year").agg(
+        r6(num.cast("double") / F.sum("__vol").cast("double"), "mkt_share")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT pk, sk, unit_cost, MIN(unit_cost) OVER (PARTITION BY pk) AS best
+      FROM costs
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(CAST(ROUND(unit_cost * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS unit_cost
+    FROM ranked
+    JOIN part ON pk = p_partkey
+    JOIN supplier ON sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE unit_cost = best AND p_size = 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the testdata has no
+    partsupp/ps_supplycost, so unit cost is proxied as the cheapest
+    observed price-per-unit each supplier shipped a part for (documented
+    deviation; the correlated-min-per-part structure is Q2's).  The
+    correlated subquery is decorrelated into a per-part window min; region
+    filter prunes suppliers before the window."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    costs = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.min(
+            F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+        ).alias("unit_cost")
+    )
+    ranked = (
+        costs.join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .withColumn("best", F.min("unit_cost").over(Window.partitionBy("pk")))
+        .filter(F.col("unit_cost") == F.col("best"))
+    )
+    return (
+        ranked.join(F.broadcast(p), F.col("pk") == p["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            _round_fixed(F.col("unit_cost"), 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH vals AS (
+      SELECT l_partkey AS p_key,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT p_key AS l_partkey,
+           CAST(CAST(val * 100 AS BIGINT) AS DOUBLE) / 100.0 AS part_value
+    FROM vals
+    WHERE val > (SELECT SUM(val) * 0.001 FROM vals)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part shipped value from one
+    nation's suppliers, kept when above 0.1% of that nation's total (no
+    partsupp, so value = shipped extendedprice; the HAVING-vs-global-scalar
+    structure is Q11's).  The global total is an empty-partition window over
+    the already-aggregated |parts| rows — no second lineitem scan; the
+    threshold compare stays in exact DECIMAL on both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    vals = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("l_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__val"))
+    )
+    total = F.sum("__val").over(Window.partitionBy())
+    return (
+        vals.withColumn("__total", total)
+        .filter(F.col("__val") > F.col("__total") * F.lit(0.001).cast("decimal(4,3)"))
+        .select("l_partkey", dfix(F.col("__val"), "part_value", 2))
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): no l_shipmode/commitdate
+    in the testdata, so the class is the return flag and "late" means
+    shipped > 60 days after ordering (documented deviation; the
+    high/low-priority conditional-count split is Q12's).  The lateness
+    predicate is a non-equi condition evaluated inside the single
+    broadcast-joined scan — integer counts, hash-exact by construction."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 30, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+    per (brand, size) over an excluded brand/type/size-list, minus
+    blacklisted suppliers (no partsupp → supply relation comes from
+    lineitem; no s_comment → the complaint NOT-IN is negative account
+    balance).  The blacklist is a broadcast anti-join; count-distinct
+    expands to the standard two-phase partial aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 30, 45))
+    )
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
 __all__ = ["REGISTRY", "register"]
