@@ -1963,8 +1963,10 @@ def x_topk_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus bigram statistics (the n-gram-LM / contamination-check
     primitive): explode word bigrams, count, top-20 with a total order.
     One explode + one shuffle; the ORDER/LIMIT is a partial top-k
-    (TakeOrderedAndProject), never a full sort of the counts."""
-    d = load_table(spark, sf, "documents")
+    (TakeOrderedAndProject), never a full sort of the counts.  ``spread``
+    unpins the CPU-heavy tokenize+explode from the single-file local scan
+    (no-op on a real multi-split table)."""
+    d = spread(load_table(spark, sf, "documents"))
     bg = d.select(F.explode(T.bigrams(F.col("text"))).alias("bigram"))
     return (
         bg.groupBy("bigram")
