@@ -54,6 +54,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(ngram)
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word ``n``-grams appear anywhere in the heldout (benchmark)
+    set.  Docs with no hit are absent from the result.
+
+    Scale shape: both sides explode to (doc, ngram) rows and meet in ONE
+    semi-join shuffled on the ngram string; the heldout side is first
+    collapsed to its distinct ngrams (benchmark sets are orders of magnitude
+    smaller than the corpus, so the planner broadcasts it when it fits and
+    falls back to a shuffle join when it doesn't — no forced hint)."""
+    c = spread(corpus).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__ng")
+    )
+    h = heldout.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("__ng")
+    ).distinct()
+    return (
+        c.join(h, "__ng", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b))

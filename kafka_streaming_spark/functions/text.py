@@ -117,6 +117,29 @@ def bigrams(text: Column) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word n-grams in document order (non-distinct) → array<string>.
+    Documents shorter than ``n`` tokens yield one truncated n-gram (their
+    full token join), mirroring ``dedup.word_shingles``."""
+    toks = tokens(F.lower(text))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def repetition_ratios(text: Column) -> tuple[Column, Column]:
+    """(duplicate-word fraction, duplicate-trigram fraction) — the
+    Gopher/C4-style intra-document repetition quality signals.  A document
+    that repeats itself has distinct/total well below 1; both ratios are
+    pure array expressions (one pass per doc, no shuffle, no UDF)."""
+    toks = tokens(F.lower(text))
+    tg = word_ngrams(text, 3)
+    dup_words = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    dup_trigrams = F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg)
+    return dup_words, dup_trigrams
+
+
 #: PII-ish detection patterns — lookahead-free so they run identically on
 #: Java regex (Spark) and RE2 (DuckDB).  Deterministic *detectors* for
 #: corpus redaction triage (counting, not redacting: the redaction rewrite

@@ -16,6 +16,14 @@ insensitive value hash, so:
 Queries whose semantics are not SQL-expressible (MinHash/LSH, SimHash,
 hyperplane ANN, streaming pipeline) carry ``None`` oracles → the driver
 records a rows-only check.
+
+Broadcast policy (100 TB rule): ``F.broadcast`` is forced only on relations
+whose size is bounded by a CONSTANT at every scale factor — nation (25),
+region (5), single-row aggregates, top-k/query sets.  SF-scaled tables
+(orders, customer, supplier, part, and anything derived from them) carry no
+hint: at test scale the planner auto-broadcasts them from parquet stats
+(same physical plan), and on a 100 TB cluster it correctly falls back to a
+shuffle join + AQE instead of OOM-ing the executors on a forced broadcast.
 """
 
 from __future__ import annotations
@@ -511,7 +519,7 @@ def q3_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             dfix(F.sum(price * (F.lit(1) - disc)), "revenue", 4),
@@ -1663,7 +1671,7 @@ def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     num = _fixed(
         F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))), 4
     )
@@ -1703,7 +1711,7 @@ def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             dfix(F.sum(rev), "revenue", 4),
@@ -2039,6 +2047,84 @@ def x_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), held AS (
+      -- benchmark stand-in: a 16-token window lifted from every 83rd doc
+      SELECT DISTINCT ng FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(w) - 7, 1)),
+                 i -> array_to_string(w[i:i+7], ' ')))) AS ng
+        FROM (SELECT t[5:20] AS w FROM toks WHERE doc_id % 83 = 0)
+      )
+    ), ng AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 7, 1)),
+               i -> array_to_string(t[i:i+7], ' ')))) AS ng
+      FROM toks
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_ngrams
+    FROM ng
+    WHERE ng IN (SELECT ng FROM held)
+    GROUP BY doc_id
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 8-gram with
+    a heldout set, plus the count of contaminated 8-grams per doc.  The
+    heldout set is a deterministic benchmark stand-in — a 16-token window
+    lifted from every 83rd document — so the detector is exercised against
+    guaranteed true positives (the source docs) at every scale, not just
+    chance vocabulary collisions.  One explode per side + one semi-join on
+    the ngram string (see ``dedup.contamination_hits`` for the 100 TB
+    shape)."""
+    d = load_table(spark, sf, "documents")
+    heldout = d.filter(F.col("doc_id") % 83 == 0).select(
+        F.concat_ws(" ", F.slice(T.tokens(F.lower(F.col("text"))), 5, 16)).alias("text")
+    )
+    return D.contamination_hits(d, heldout, n=8)
+
+
+@register(
+    "x_doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), tg AS (
+      SELECT doc_id, t,
+             list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                            i -> array_to_string(t[i:i+2], ' ')) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(CAST(ROUND((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                           * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS dup_word_ratio,
+           CAST(CAST(ROUND((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g))
+                           * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS dup_trigram_ratio
+    FROM tg
+    """,
+)
+def x_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition (Gopher/C4 quality signals): duplicate-word
+    and duplicate-trigram fractions per doc.  Pure array expressions — one
+    scan, zero shuffles, zero UDFs."""
+    d = load_table(spark, sf, "documents")
+    dup_words, dup_trigrams = T.repetition_ratios(F.col("text"))
+    return d.select(
+        "doc_id",
+        r6(dup_words, "dup_word_ratio"),
+        r6(dup_trigrams, "dup_trigram_ratio"),
+    )
+
+
+@register(
     "x_embedding_normalize",
     """
     SELECT vec_id,
@@ -2150,9 +2236,9 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nk"))
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
         .filter(F.col("c_nk") != F.col("s_nk"))
@@ -2204,9 +2290,9 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),
@@ -2251,8 +2337,8 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dfix(F.sum(price * (F.lit(1) - disc)), "revenue", 4))
@@ -2331,7 +2417,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("avg_qty")
     )
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(part_agg, F.col("agg_partkey") == li["l_partkey"])
         .filter(F.col("l_quantity") < F.col("avg_qty"))
     )
@@ -2369,14 +2455,14 @@ def q20_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").filter(F.col("p_name").like("s%"))
     movers = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 2100)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(movers), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        s.join(movers, s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .select("s_name", "n_name")
         .orderBy("s_name")
@@ -2416,18 +2502,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf, "supplier")
-    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supps"),
+    # Two-level aggregate instead of a double countDistinct: the latter
+    # plans an Expand that triples every lineitem row before the shuffle;
+    # (orderkey, suppkey) partials then a tiny per-order rollup move far
+    # fewer bytes and keep map-side combine effective.  The order-status
+    # semi-join lands BEFORE the aggregates: only finalized orders can be
+    # blamed, so ~half the lineitem rows never enter either shuffle.
+    li_f = li.join(o.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"), "left_semi")
+    per_supp = li_f.groupBy(
+        F.col("l_orderkey").alias("os_orderkey"), "l_suppkey"
+    ).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__is_r")
     )
+    order_stats = per_supp.groupBy("os_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("__is_r").alias("n_r_supps"),
+    )
+    # order_stats carries only finalized orders (semi-join above), so the
+    # equijoin with it IS the o_orderstatus='F' filter — no second orders
+    # join needed.
     blamed = (
         li.filter(F.col("l_returnflag") == "R")
         .join(order_stats, li["l_orderkey"] == F.col("os_orderkey"))
         .filter((F.col("n_supps") > 1) & (F.col("n_r_supps") == 1))
-        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
     )
     return (
         blamed.groupBy("s_name")
@@ -2488,13 +2586,13 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     )
     base = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("__vol"),
@@ -2562,14 +2660,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("unit_cost")
     )
     ranked = (
-        costs.join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
+        costs.join(s, F.col("sk") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .withColumn("best", F.min("unit_cost").over(Window.partitionBy("pk")))
         .filter(F.col("unit_cost") == F.col("best"))
     )
     return (
-        ranked.join(F.broadcast(p), F.col("pk") == p["p_partkey"])
+        ranked.join(p, F.col("pk") == p["p_partkey"])
         .select(
             "s_acctbal",
             "s_name",
@@ -2616,7 +2714,7 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
     vals = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("l_partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__val"))
@@ -2659,7 +2757,7 @@ def q12_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .groupBy("l_returnflag")
         .agg(
@@ -2700,8 +2798,8 @@ def q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")

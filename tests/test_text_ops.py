@@ -1,0 +1,59 @@
+"""Unit tests with hand-computed answers for the text-analysis primitives
+added for training-data curation: contamination detection and intra-document
+repetition (the registry's x_decontaminate / x_doc_repetition queries are
+additionally oracle-checked end-to-end in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.functions import text as T
+from kafka_streaming_spark.functions.dedup import contamination_hits
+
+
+def test_contamination_hits_known(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v"), (3, "c d e a b")],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame([("a b c d e",)], ["text"])
+    out = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in contamination_hits(corpus, heldout, n=3).collect()
+    }
+    # doc 1 shares all three of its trigrams with the heldout text; doc 3
+    # shares exactly one ("c d e"); doc 2 shares none and must be absent.
+    assert out == {1: 3, 3: 1}
+
+
+def test_contamination_ignores_case(spark):
+    corpus = spark.createDataFrame([(1, "A B C")], ["doc_id", "text"])
+    heldout = spark.createDataFrame([("a b c",)], ["text"])
+    out = contamination_hits(corpus, heldout, n=3).collect()
+    assert len(out) == 1 and out[0]["n_hit_ngrams"] == 1
+
+
+def test_repetition_ratios_known(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a b a b a b")],
+        ["doc_id", "text"],
+    )
+    dup_w, dup_t = T.repetition_ratios(F.col("text"))
+    rows = {
+        r["doc_id"]: (r["w"], r["t"])
+        for r in df.select("doc_id", dup_w.alias("w"), dup_t.alias("t")).collect()
+    }
+    # doc 1: 4 words / 1 distinct -> 0.75; trigrams ["a a a","a a a"] -> 0.5
+    assert rows[1] == (0.75, 0.5)
+    # doc 2: all words and trigrams distinct -> no repetition
+    assert rows[2] == (0.0, 0.0)
+    # doc 3: 6 words / 2 distinct -> 2/3; trigrams a b a, b a b, a b a, b a b
+    # -> 4 total / 2 distinct -> 0.5
+    assert abs(rows[3][0] - 2 / 3) < 1e-12 and rows[3][1] == 0.5
+
+
+def test_word_ngrams_shorter_than_n(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    out = df.select(T.word_ngrams(F.col("text"), 5).alias("g")).collect()[0]["g"]
+    # shorter-than-n docs yield one truncated n-gram (the full token join)
+    assert out == ["only two"]
