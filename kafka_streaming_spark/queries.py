@@ -40,6 +40,7 @@ from kafka_streaming_spark.functions import text as T
 from kafka_streaming_spark.functions.multimodal import decode_image_meta
 from kafka_streaming_spark.ops.dedup import latest_per_key, merge_insert_if_absent
 from kafka_streaming_spark.ops.joins import asof_join, band_join
+from kafka_streaming_spark.ops.layout import zorder
 from kafka_streaming_spark.ops.sessionize import session_stats, session_window_agg
 from kafka_streaming_spark.ops.partitioning import salt, spread, unsalt_agg
 from kafka_streaming_spark.ops.windows import paginate, top_k_per_group
@@ -2043,6 +2044,53 @@ def x_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
     return scored.filter(
         (F.col("n_emails") + F.col("n_urls") + F.col("n_phones")) > 0
+    )
+
+
+@register(
+    "x_zorder_scan",
+    """
+    SELECT user_id AS gid, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_score
+    FROM events
+    WHERE user_id IN (3, 77)
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+    """,
+)
+def x_zorder_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 OPTIMIZE/ZORDER on the parquet backend, end-to-end: lay the
+    events out on a (user, time) Z-curve (``ops.layout.zorder`` — one
+    min/max job + one range shuffle), then answer a two-dimensional
+    point+range scan from the clustered copy.  Values must equal the
+    unclustered oracle scan; the file-skipping payoff itself is asserted
+    in tests/test_layout.py."""
+    import os as _os
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms"), "value"
+    )
+    dest = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"zscan_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    zorder(ev, ["user_id", "ts_ms"], n_files=8).write.mode("overwrite").parquet(dest)
+    back = spark.read.parquet(dest)
+    lo, hi = 1704844800000, 1705708800000  # 2024-01-10 / 2024-01-20 UTC
+    return (
+        back.filter(
+            F.col("user_id").isin(3, 77)
+            & (F.col("ts_ms") >= lo)
+            & (F.col("ts_ms") < hi)
+        )
+        .groupBy(F.col("user_id").alias("gid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_score"),
+        )
     )
 
 
