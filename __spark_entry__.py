@@ -19,7 +19,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from kafka_streaming_spark.queries import REGISTRY
+from kafka_streaming_spark.queries import driver_ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,11 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    queries without prior driver CORRECTNESS rows come first (the driver
+    checks a bounded prefix; see queries.DRIVER_PRIORITY)."""
+    return {name: fn for name, (fn, _sql) in driver_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; omitted keys
     (MinHash/SimHash/LSH/streaming) get the driver's rows-only check."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in driver_ordered().items() if sql is not None}

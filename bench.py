@@ -89,6 +89,12 @@ def main() -> None:
 
     # Warmup: JVM + codegen + parquet footer caches.
     next(iter(REGISTRY.values()))[0](spark, SF_DIR).count()
+    # One-time layout setup for the clustered-scan query (x_zorder_scan
+    # measures the pruned READ; building the Z-ordered copy is a separate
+    # maintenance job, like Delta OPTIMIZE).
+    from kafka_streaming_spark.queries import ensure_zorder_layout
+
+    ensure_zorder_layout(spark, SF_DIR)
     # Warm the Arrow/pandas_udf worker pool too (workers are reused across
     # queries, so spawning them — a per-process cost of importing
     # numpy/pandas in every core's worker — shouldn't land on the first
