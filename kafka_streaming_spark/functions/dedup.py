@@ -34,6 +34,19 @@ def content_digest(text: Column) -> Column:
     return F.md5(text)
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash computable bit-identically in Spark AND DuckDB:
+    the first 15 hex chars of md5, read as an integer.
+
+    Spark: ``conv(substring(md5(s),1,15),16,10)``; DuckDB:
+    ``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)``.  The shared hash
+    family is what lets the full MinHash/SimHash pipelines be DuckDB-oracle
+    checked; the xxhash64 family stays the default for production (one JVM
+    intrinsic vs md5's block cipher — prefer it when no cross-engine oracle
+    is needed)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct content, keeping
     the smallest id (deterministic keeper) and the duplicate count."""
@@ -115,10 +128,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
-    """Shingle → bounded integer hash array (the MinHash input)."""
+def shingle_hashes(
+    text: Column, shingle_n: int = 3, hash_family: str = "xxhash64"
+) -> Column:
+    """Shingle → bounded integer hash array (the MinHash input).
+
+    ``hash_family="md5"`` switches to :func:`portable_hash60`, whose values
+    DuckDB reproduces exactly — used by the oracle-checked registry queries;
+    the default xxhash64 is the faster production path."""
+    base = portable_hash60 if hash_family == "md5" else F.xxhash64
     return F.transform(
-        word_shingles(text, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_MOD))
+        word_shingles(text, shingle_n), lambda s: F.pmod(base(s), F.lit(MINHASH_MOD))
     )
 
 
@@ -129,18 +149,19 @@ def signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
 
     Callers should project ``shingle_hashes`` into a column first so the
     shingling work happens once, not once per permutation (Catalyst does
-    not CSE the subtree across the ``num_hashes`` expressions)."""
-    mins = [
-        F.array_min(
-            F.transform(
-                hashes,
-                lambda h, j=j: F.pmod(
-                    h * F.lit(2 * j + 1) + F.lit(j * 12_345 + 7), F.lit(MINHASH_MOD)
-                ),
-            )
-        )
-        for j in range(num_hashes)
-    ]
+    not CSE the subtree across the ``num_hashes`` expressions).
+
+    The permutation constant is bound via a closure FACTORY, never a
+    ``lambda h, j=j`` default argument: PySpark reads a two-parameter
+    lambda (defaults included) as the (element, index) form and silently
+    rebinds ``j`` to the array index — which collapses all ``num_hashes``
+    permutations into one position-mixed hash and guts LSH recall."""
+
+    def perm(j: int):
+        a, b = 2 * j + 1, j * 12_345 + 7
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_MOD))
+
+    mins = [F.array_min(F.transform(hashes, perm(j))) for j in range(num_hashes)]
     return F.array(*mins)
 
 
@@ -160,6 +181,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     max_bucket: int = 50,
     hashed: DataFrame | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates.
 
@@ -174,7 +196,8 @@ def lsh_candidate_pairs(
     # the num_hashes permutation mins over the materialized array.
     if hashed is None:
         hashed = spread(df).select(
-            F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
+            F.col(id_col),
+            shingle_hashes(F.col(text_col), shingle_n, hash_family).alias("hs"),
         )
     sig = hashed.select(
         F.col(id_col), signature_from_hashes(F.col("hs"), num_hashes).alias("sig")
@@ -215,6 +238,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banding, verified
     with exact Jaccard over the shingle-HASH arrays (candidates only — the
@@ -228,7 +252,7 @@ def minhash_near_dup_pairs(
     at cluster scale swap ``persist()`` for a parquet checkpoint of the
     hash column.)"""
     hashed = spread(df).select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n, hash_family).alias("hs")
     ).persist()
     cand = lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, hashed=hashed
@@ -371,30 +395,40 @@ def dedup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document.
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per document (60-bit with ``hash_family="md5"``).
 
-    Explode tokens → xxhash64 → for each bit, conditional ±1 sum per doc →
-    sign vector → packed long.  One shuffle (groupBy id); the 64 sums are a
-    single hash-aggregate with 64 columns, all codegen'd.
-    """
+    Explode tokens → hash → for each bit, conditional ±1 sum per doc →
+    sign vector → packed long.  One shuffle (groupBy id); the bit sums are a
+    single hash-aggregate, all codegen'd.  The md5 family keeps every bit
+    reproducible in DuckDB (:func:`portable_hash60`), which is how the
+    registry query gets a full value-hash oracle."""
+    n_bits = 60 if hash_family == "md5" else 64
+    hash_fn = portable_hash60 if hash_family == "md5" else F.xxhash64
     tok = spread(df).select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    h = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    h = tok.select(id_col, hash_fn(F.col("tok")).alias("h"))
     bit_sums = h.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     packed = bit_sums.select(
         F.col(id_col),
         sum(
             [
-                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)))
-                .otherwise(0)
-                for b in range(64)
+                F.when(
+                    F.col(f"b{b}") > 0,
+                    F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)),
+                ).otherwise(0)
+                for b in range(n_bits)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),

@@ -2,21 +2,35 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas``.
 
-The Spark-side plumbing is real and tested — schema contracts, batch
-iteration shape, partition behavior.  The *decoders* are STUBS: this
-container ships no image/audio libraries, so ``decode_image_meta`` derives
-deterministic fake metadata from the raw bytes, and ``decode_image_pixels``
-raises ``NotImplementedError`` with the integration point documented.  On a
-real cluster you swap ``_fake_decode`` for PIL/ffmpeg calls without touching
-any Spark code — the operator shape (mapInPandas over binary + metadata
-columns) is exactly what runs at 100 TB, where the decode CPU dominates and
-Arrow batching amortizes the Python boundary.
+The Spark-side plumbing — schema contracts, batch iteration shape,
+partition behavior — is real and tested, and so are the codecs for the two
+formats stdlib can express:
+
+- **PNG** (``encode_png`` / ``decode_png``): a real, spec-conformant subset
+  — 8-bit depth, gray/gray-alpha/RGB/RGBA, zlib-compressed IDAT, all five
+  scanline filters (None/Sub/Up/Average/Paeth), CRC-validated chunks.
+  Pure ``zlib`` + ``struct`` + numpy unfiltering; no imaging library.
+- **WAV** (``encode_wav`` / ``decode_wav``): 16-bit PCM through the stdlib
+  ``wave`` module.
+
+Payloads that are not PNG/WAV fall back to a clearly-labeled deterministic
+byte-fold stand-in (``_fold_decode``), so the operators stay total over
+arbitrary binary columns.  On a real cluster you'd swap the fallbacks for
+PIL/ffmpeg without touching any Spark code — the operator shape
+(mapInPandas over binary + metadata columns) is exactly what runs at
+100 TB, where decode CPU dominates and Arrow batching amortizes the Python
+boundary.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -27,6 +41,160 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib zlib/struct + numpy)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (8-bit depth only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (spec §9.4), vectorized."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w)`` or ``(h, w, ch)`` uint8 array as a real PNG.
+
+    The per-row filter cycles through all five PNG filter types (row % 5),
+    so a decode round-trip exercises every unfilter path — deliberate: the
+    registry query's analytic oracle can only pass if *all* filters invert
+    correctly."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    zero = np.zeros((1, ch), np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.int32)
+    for r in range(h):
+        row = pixels[r].astype(np.int32)
+        left = np.vstack([zero, row[:-1]])
+        f = r % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            upleft = np.vstack([zero, prev[:-1]])
+            filt = row - _paeth(left, prev, upleft)
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[ch], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a real (non-interlaced, 8-bit) PNG → (width, height,
+    channels, ``(h, w, ch)`` uint8 array).  Validates chunk CRCs and
+    implements all five scanline unfilters.  Filters Sub/Average/Paeth
+    carry a left-to-right data dependency, so those rows run a per-pixel
+    loop — fine for metadata/thumbnail work; wire a C decoder for bulk
+    pixel workloads (the mapInPandas contract is unchanged)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = ctype = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+        elif typ == b"IDAT":
+            idat.extend(payload)
+        elif typ == b"IEND":
+            break
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = np.zeros((h, w, ch), np.uint8)
+    prev = np.zeros((w, ch), np.int32)
+    o = 0
+    for r in range(h):
+        f = raw[o]
+        o += 1
+        line = (
+            np.frombuffer(raw, np.uint8, stride, o).astype(np.int32).reshape(w, ch)
+        )
+        o += stride
+        if f == 0:
+            row = line
+        elif f == 2:
+            row = (line + prev) % 256
+        else:
+            row = np.zeros((w, ch), np.int32)
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                up = prev[x]
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = prev[x - 1] if x else np.zeros(ch, np.int32)
+                    pred = _paeth(left, up, upleft)
+                row[x] = (line[x] + pred) % 256
+                left = row[x]
+        out[r] = row.astype(np.uint8)
+        prev = row
+    return w, h, ch, out
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (stdlib wave)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an int16 sample array as a real mono 16-bit PCM WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono 16-bit PCM WAV → (sample_rate, int16 array)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("only mono 16-bit PCM WAV supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2")
 
 #: Contract for a multimodal asset row (binary payload + typed metadata).
 ASSET_SCHEMA = StructType(
@@ -49,10 +217,10 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder: deterministic pseudo-metadata from the byte content.
-    Replace with e.g. ``PIL.Image.open(io.BytesIO(payload)).size`` in a
-    real deployment."""
+def _fold_decode(payload: bytes) -> tuple[int, int, int]:
+    """Fallback pseudo-metadata for payloads in no recognized container
+    format: a deterministic byte-fold over the prefix (clearly labeled —
+    real formats take the PNG/WAV paths above)."""
     n = len(payload)
     h = 0
     for b in payload[:16]:
@@ -60,8 +228,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (64 + h % 1024, 64 + (h // 1024) % 1024, 1 + n % 4)
 
 
+def _meta_of(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) — real IHDR parse for PNG payloads (header
+    only, no pixel inflate), byte-fold fallback otherwise."""
+    if payload[:8] == _PNG_SIG:
+        w, h, _depth, ctype, _c, _f, _i = struct.unpack(">IIBBBBB", payload[16:29])
+        return (w, h, _PNG_CHANNELS[ctype])
+    return _fold_decode(payload)
+
+
 def decode_image_meta(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Extract image metadata via Arrow-batched ``mapInPandas``.
+    """Extract image metadata via Arrow-batched ``mapInPandas``: PNG
+    payloads get a real IHDR parse (no pixel decompression — metadata scans
+    shouldn't inflate 100 TB of IDAT), others the byte-fold fallback.
 
     The iterator-of-DataFrames shape means constant memory per task
     regardless of partition size — the decode loop sees pandas batches of
@@ -69,7 +248,7 @@ def decode_image_meta(assets: DataFrame, batch_hint: int | None = None) -> DataF
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
+            meta = [_meta_of(p if p is not None else b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -95,30 +274,34 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing: mapInPandas over (binary, metadata) with the target
-    shape pinned in the output schema.  The transform is a STUB —
-    deterministic byte down/up-sampling standing in for a real resampler
-    (swap the body for PIL ``Image.resize`` on a real cluster; the Spark
-    contract — Arrow batches in, fixed schema out — is unchanged)."""
+    """Resize via mapInPandas with the target shape pinned in the output
+    schema.  PNG payloads are really decoded, nearest-neighbor resampled in
+    numpy, and re-encoded as PNG; non-PNG payloads keep the deterministic
+    byte down/up-sampling fallback so the operator stays total.  (Swap
+    nearest-neighbor for PIL's Lanczos on a real cluster; the Spark
+    contract — Arrow batches in, fixed schema out — is unchanged.)"""
     target = width * height
+
+    def resize_one(p: bytes) -> bytes:
+        if p[:8] == _PNG_SIG:
+            w0, h0, _ch, px = decode_png(p)
+            ys = (np.arange(height) * h0) // height
+            xs = (np.arange(width) * w0) // width
+            return encode_png(px[ys][:, xs])
+        if len(p) >= target:
+            step = len(p) // target
+            return bytes(p[i * step] for i in range(target))
+        reps = target // max(len(p), 1) + 1
+        return (p * reps)[:target]
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payloads = []
-            for p in pdf["payload"]:
-                p = p if p is not None else b""
-                if len(p) >= target:
-                    step = len(p) // target
-                    out_payloads.append(bytes(p[i * step] for i in range(target)))
-                else:
-                    reps = target // max(len(p), 1) + 1
-                    out_payloads.append((p * reps)[:target])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "width": width,
                     "height": height,
-                    "payload": out_payloads,
+                    "payload": [resize_one(p if p is not None else b"") for p in pdf["payload"]],
                 }
             )
 
@@ -170,26 +353,33 @@ AUDIO_FEATURE_SCHEMA = StructType(
 
 
 def extract_audio_features(assets: DataFrame, window_bytes: int = 512) -> DataFrame:
-    """Audio feature-extraction plumbing: per fixed-size window of the raw
-    payload, emit (energy, zero-crossing-count) — the STUB stand-ins for
-    MFCC/spectrogram features (swap the numpy body for librosa on a real
-    cluster).  Same 1→N fan-out shape as ``sample_frames``; features are
-    computed vectorized in numpy per Arrow batch."""
-    import numpy as np
+    """Audio feature extraction: per fixed-size window, emit (energy,
+    zero-crossing-count) — stand-ins for MFCC/spectrogram features (swap
+    the numpy body for librosa on a real cluster).  WAV payloads are
+    really decoded (stdlib ``wave``) and windowed over int16 PCM samples
+    (window = ``window_bytes // 2`` samples); other payloads window the
+    raw bytes centered at 128.  Same 1→N fan-out shape as
+    ``sample_frames``; vectorized in numpy per Arrow batch."""
+
+    def windows_of(p: bytes) -> np.ndarray:
+        if p[:4] == b"RIFF":
+            _rate, pcm = decode_wav(p)
+            return pcm.astype(np.int64), window_bytes // 2
+        buf = np.frombuffer(p, dtype=np.uint8).astype(np.int64) - 128
+        return buf, window_bytes
 
     def do_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, energies, zcs = [], [], [], []
             for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                buf = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
-                n_win = max(len(buf) // window_bytes, 1)
+                samples, wlen = windows_of(p if p is not None else b"")
+                n_win = max(len(samples) // wlen, 1)
                 for w in range(n_win):
-                    win = buf[w * window_bytes : (w + 1) * window_bytes].astype(np.int64)
-                    centered = win - 128
+                    win = samples[w * wlen : (w + 1) * wlen]
                     ids.append(asset_id)
                     idxs.append(w)
-                    energies.append(int((centered * centered).sum()))
-                    zcs.append(int((np.signbit(centered[1:]) != np.signbit(centered[:-1])).sum()))
+                    energies.append(int((win * win).sum()))
+                    zcs.append(int((np.signbit(win[1:]) != np.signbit(win[:-1])).sum()))
             yield pd.DataFrame(
                 {"asset_id": ids, "window_idx": idxs, "energy": energies, "zero_crossings": zcs}
             )
@@ -197,12 +387,44 @@ def extract_audio_features(assets: DataFrame, window_bytes: int = 512) -> DataFr
     return assets.mapInPandas(do_extract, AUDIO_FEATURE_SCHEMA)
 
 
+PIXELS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("pixels", BinaryType(), True),
+    ]
+)
+
+
 def decode_image_pixels(assets: DataFrame) -> DataFrame:
-    """Full pixel decode — NOT IMPLEMENTED in this container (no imaging
-    libraries).  Integration point: identical ``mapInPandas`` shape as
-    ``decode_image_meta`` with an ``array<array<int>>`` (or flattened
-    binary tensor) output column."""
-    raise NotImplementedError(
-        "pixel decode requires an imaging library (PIL/opencv); "
-        "use decode_image_meta for the tested plumbing shape"
-    )
+    """Full PNG pixel decode via Arrow-batched ``mapInPandas``: inflate
+    IDAT, undo all five scanline filters, and emit the pixel tensor as a
+    flat row-major ``(h, w, ch)`` uint8 binary column — the layout a
+    downstream training pipeline feeds straight into a tensor framework.
+    Non-PNG payloads yield a NULL pixel column (schema-stable: filter on
+    ``pixels IS NOT NULL`` downstream)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, pxs = [], [], [], [], []
+            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                ids.append(asset_id)
+                if p[:8] == _PNG_SIG:
+                    w, h, ch, px = decode_png(p)
+                    ws.append(w)
+                    hs.append(h)
+                    chs.append(ch)
+                    pxs.append(px.tobytes())
+                else:
+                    ws.append(0)
+                    hs.append(0)
+                    chs.append(0)
+                    pxs.append(None)
+            yield pd.DataFrame(
+                {"asset_id": ids, "width": ws, "height": hs, "channels": chs, "pixels": pxs}
+            )
+
+    return assets.mapInPandas(decode, PIXELS_SCHEMA)

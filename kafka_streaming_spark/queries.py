@@ -781,33 +781,149 @@ def x_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
-@register("x_dedup_clusters", None)
+@register("x_dedup_clusters", None)  # oracle attached after _dedup_clusters_oracle
 def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs → connected components →
-    (doc_id, cluster_id=min id of component).  Iterative min-label
-    propagation (non-SQL-expressible; cross-checked against a driver-side
-    union-find in pytest)."""
+    (doc_id, cluster_id=min id of component).  Runs on the portable md5
+    hash family so the whole chain (LSH pairs AND the iterative min-label
+    + pointer-jumping CC) is value-hash checked against a DuckDB recursive
+    transitive closure; also cross-checked against a driver-side union-find
+    in pytest."""
     d = load_table(spark, sf, "documents")
-    pairs = D.minhash_near_dup_pairs(d, threshold=0.3)
+    pairs = D.minhash_near_dup_pairs(d, threshold=0.3, hash_family="md5")
     return D.dedup_clusters(pairs)
 
 
-@register("x_minhash_near_dup", None)
+def _minhash_ctes() -> str:
+    """Shared CTE chain: DuckDB replica of the FULL MinHash+LSH pipeline
+    (32 perms, 8 bands × 4 rows, max_bucket 50, exact-Jaccard verify ≥ 0.3)
+    over the portable md5-derived hash family — every stage (shingling,
+    permutation mins, banding, bucket bound, verification) independently
+    recomputed.  Ends with ``verified(id_a, id_b, jaccard_sim)``."""
+    P = 2_147_483_647
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h*{2 * j + 1} + {j * 12_345 + 7}) % {P}))"
+        for j in range(32)
+    )
+    jac = (
+        "len(list_intersect(a.hs, b.hs)) "
+        "/ (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))"
+    )
+    return f"""toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(t[i:i+2], ' '))),
+               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P}
+             ) AS hs
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, hs,
+             [{mins}] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, band,
+             array_to_string(sig[band*4+1 : band*4+4], ',') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)
+    ), buckets AS (
+      SELECT band, key, list(doc_id) AS ids
+      FROM bands GROUP BY band, key
+      HAVING count(*) > 1 AND count(*) <= 50
+    ), half AS (
+      SELECT unnest(ids) AS id_a, ids FROM buckets
+    ), cand_pairs AS (
+      SELECT DISTINCT id_a, id_b
+      FROM (SELECT id_a, unnest(ids) AS id_b FROM half)
+      WHERE id_a < id_b
+    ), verified AS (
+      SELECT p.id_a, p.id_b, {jac} AS jaccard_sim
+      FROM cand_pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b
+      WHERE {jac} >= 0.3
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()}\n    SELECT id_a, id_b, jaccard_sim FROM verified"
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the verified near-dup pairs as a recursive
+    transitive closure: cluster_id = min reachable doc id.  Independent of
+    the Spark side's min-label + pointer-jumping implementation."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    """
+
+
+# x_dedup_clusters registers before its oracle helpers exist; attach now.
+REGISTRY["x_dedup_clusters"] = (x_dedup_clusters, _dedup_clusters_oracle())
+
+
+@register("x_minhash_near_dup", _minhash_oracle())
 def x_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (32 perms) + LSH (8 bands × 4 rows) near-dup discovery with
-    exact-Jaccard verification of candidates.  Non-SQL-expressible (hash
-    family) → rows-only driver check; semantics tested in pytest against
-    the exact all-pairs Jaccard."""
+    exact-Jaccard verification of candidates.  Runs on the portable
+    md5-derived hash family (functions.dedup.portable_hash60) so the WHOLE
+    pipeline — shingles, signatures, banding, bucket bound, verification —
+    is value-hash checked against an independent DuckDB implementation;
+    the xxhash64 production family keeps its pytest exact-Jaccard
+    invariants (tests/test_dedup_clusters.py)."""
     d = load_table(spark, sf, "documents")
-    return D.minhash_near_dup_pairs(d, threshold=0.3)
+    return D.minhash_near_dup_pairs(d, threshold=0.3, hash_family="md5")
 
 
-@register("x_simhash", None)
+def _simhash_oracle() -> str:
+    """DuckDB replica of the 60-bit SimHash sketch over the portable
+    md5-derived token hash family: per-bit ±1 sums, sign vector, packing."""
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    pack = "\n           + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, {bit_sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("x_simhash", _simhash_oracle())
 def x_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash sketch per document (explode → 64 conditional bit
-    sums → packed long)."""
+    """SimHash sketch per document (explode → conditional bit sums → packed
+    long).  Registered on the portable md5 hash family (60 bits) so every
+    bit of every sketch is value-hash checked against DuckDB; the xxhash64
+    64-bit production variant keeps its pytest Hamming invariants."""
     d = load_table(spark, sf, "documents")
-    return D.simhash64(d)
+    return D.simhash64(d, hash_family="md5")
 
 
 @register(
@@ -2871,6 +2987,154 @@ def q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# Real-codec multimodal queries (round-trip through genuine PNG/WAV bytes,
+# verified against ANALYTIC oracles — DuckDB recomputes the expected pixel/
+# sample values from the generation formula, so a pass requires the whole
+# encode → compress → decode → unfilter chain to be correct)
+# ===========================================================================
+
+
+@register(
+    "x_image_pixel_stats",
+    """
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(list_sum(flatten(list_transform(
+             generate_series(0, h*w - 1),
+             p -> list_transform([0, 1, 2],
+                    c -> ((p // w) + 2*(p % w) + 37*c + doc_id) % 256)
+           ))) AS BIGINT) AS pixel_sum
+    FROM px
+    """,
+)
+def x_image_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Real PNG decode, end to end: deterministic gradient images are
+    encoded as genuine PNGs (zlib IDAT, per-row filters cycling through all
+    five types), decoded back through the ``decode_image_pixels`` operator,
+    and reduced to per-image pixel sums.  The oracle knows nothing about
+    PNG — it recomputes the expected sum from the generation formula, so
+    agreement proves the codec chain byte-exact."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import (
+        PIXELS_SCHEMA,
+        decode_image_pixels,
+        encode_png,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                i = np.arange(h).reshape(h, 1, 1)
+                j = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((i + 2 * j + 37 * c + d) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    decoded = decode_image_pixels(ids.mapInPandas(gen, gen_schema))
+
+    byte_sum = F.pandas_udf(
+        lambda b: b.map(lambda v: int(np.frombuffer(v, np.uint8).sum()) if v is not None else 0),
+        "long",
+    )
+
+    return decoded.select(
+        "asset_id", "width", "height", "channels", byte_sum("pixels").alias("pixel_sum")
+    )
+
+
+@register(
+    "x_audio_energy",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 256 + (doc_id % 7) * 64 - 1)) AS t
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT doc_id, t, (doc_id*31 + t*17) % 4001 - 2000 AS v FROM t
+    ), w AS (
+      SELECT doc_id, t // 64 AS window_idx, v,
+             lag(v) OVER (PARTITION BY doc_id, t // 64 ORDER BY t) AS pv
+      FROM s
+    )
+    SELECT doc_id AS asset_id, CAST(window_idx AS INTEGER) AS window_idx,
+           CAST(SUM(v*v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) != (pv < 0)
+                         THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+    FROM w GROUP BY doc_id, window_idx
+    """,
+)
+def x_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Real WAV decode, end to end: deterministic int16 PCM is encoded as
+    genuine RIFF/WAV (stdlib ``wave``), decoded back inside
+    ``extract_audio_features``, and reduced to per-window energy and
+    zero-crossing counts.  The oracle recomputes both from the sample
+    formula — agreement proves the PCM round-trip sample-exact."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import encode_wav, extract_audio_features
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 256 + (d % 7) * 64
+                t = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + t * 17) % 4001 - 2000).astype(np.int16)
+                payloads.append(encode_wav(s))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return extract_audio_features(ids.mapInPandas(gen, gen_schema), window_bytes=128)
+
+
+# ===========================================================================
 # Driver ordering
 # ===========================================================================
 #
@@ -2921,9 +3185,10 @@ DRIVER_PRIORITY: list[str] = [
     "q11_important_stock",
     "q12_late_shipments",
     "q16_supplier_count",
-    # -- oracles added in round 3 (planted near-dup verification) ----------
+    # -- oracles added in round 3 (portable md5 hash family) ---------------
     "x_minhash_near_dup",
     "x_simhash",
+    "x_dedup_clusters",
     # -- long-green flagships (2 rounds of driver history) -----------------
     "q1_pricing_summary",
     "a_group_agg",
@@ -2935,7 +3200,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_exact_dedup",
     "x_cosine_topk",
     "f_filter_routing",
-    "q3_revenue_by_segment",
 ]
 
 
