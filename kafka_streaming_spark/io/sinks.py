@@ -161,7 +161,11 @@ class ParquetUpsertTable:
                 shutil.copy2(path, dst)
 
     def insert_if_absent(
-        self, batch: DataFrame, version: int, prune_col: str | None = None
+        self,
+        batch: DataFrame,
+        version: int,
+        prune_col: str | None = None,
+        batch_unique: bool = False,
     ) -> None:
         """J1: append the batch rows whose key is not present yet.
 
@@ -169,13 +173,19 @@ class ParquetUpsertTable:
         existing-keys probe — at scale the anti-join reads only the target
         buckets the batch touches.  ``prune_col`` must be part of ``keys``
         (it is the reference's ``minute_timestamp``, part of the MERGE key).
+
+        ``batch_unique=True`` skips the within-batch dropDuplicates — one
+        full shuffle of every micro-batch — for callers whose upstream
+        already guarantees key uniqueness (the medallion pipeline's
+        dropDuplicatesWithinWatermark does exactly this; replayed/cross-
+        batch duplicates are still caught by the anti-join).
         """
         current = self.read().select(*self.keys)
         if prune_col is not None:
             current = prune_in_list(current, batch, prune_col)
+        deduped = batch if batch_unique else batch.dropDuplicates(self.keys)
         fresh = (
-            batch.dropDuplicates(self.keys)
-            .join(current, on=self.keys, how="left_anti")
+            deduped.join(current, on=self.keys, how="left_anti")
             .select(*[f.name for f in self.schema.fields])
         )
         # Stage → rename: never write into a directory the plan is reading
@@ -216,22 +226,32 @@ class ParquetUpsertTable:
             # Delta-faithful CDF: changed keys that existed before also emit
             # their PREVIOUS row as an update_preimage — downstream T4
             # routing filters (gold.py:57 / tomongo.py:26 shapes) run
-            # against real preimage rows, not just inserts.
-            prior = self.spark.read.schema(self.schema).parquet(
-                f"{self.root}/data/v_{prior_versions[-1]}"
+            # against real preimage rows, not just inserts.  Both state
+            # reads are first PRUNED to the changed keys (IN-list when the
+            # keyset is tiny, semi-join fallback — F3): at scale a commit
+            # touching k of N keys reads ~k rows of prior state via
+            # row-group skipping, not the whole table.
+            key0 = self.keys[0]
+            prior = prune_in_list(
+                self.spark.read.schema(self.schema).parquet(
+                    f"{self.root}/data/v_{prior_versions[-1]}"
+                ),
+                keyset,
+                key0,
             )
-            pre = prior.join(keyset, self.keys, "left_semi").select(
-                F.lit("update_preimage").alias("__ctype"), *cols
-            )
-            post = committed.join(keyset, self.keys, "left_semi").select(
-                F.lit("update_postimage").alias("__ctype"), *cols
-            )
+            post_src = prune_in_list(committed, keyset, key0)
+            if len(self.keys) > 1:
+                prior = prior.join(keyset, self.keys, "left_semi")
+                post_src = post_src.join(keyset, self.keys, "left_semi")
+            pre = prior.select(F.lit("update_preimage").alias("__ctype"), *cols)
+            post = post_src.select(F.lit("update_postimage").alias("__ctype"), *cols)
             rows = pre.unionByName(post)
             ctypes = ["update_preimage", "update_postimage"]
         else:
-            rows = committed.join(keyset, self.keys, "left_semi").select(
-                F.lit("insert").alias("__ctype"), *cols
-            )
+            # First commit: every committed row is new BY CONSTRUCTION (the
+            # caller's changed_keys covers the whole initial state), so the
+            # semi-join is a no-op — skip its job entirely.
+            rows = committed.select(F.lit("insert").alias("__ctype"), *cols)
             ctypes = ["insert"]
         # ONE Spark job stages every change row, partitioned by change type
         # (pre+postimage previously cost a write job each — per-micro-batch

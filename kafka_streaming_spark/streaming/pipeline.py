@@ -99,8 +99,14 @@ class MedallionPipeline:
     # -- stage 1: bronze → silver ------------------------------------------
 
     def _silver_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """K1 body (silver.py:10-40): insert-if-absent with bucket pruning."""
-        self.silver.insert_if_absent(batch_df, version=batch_id, prune_col="minute_timestamp")
+        """K1 body (silver.py:10-40): insert-if-absent with bucket pruning.
+        ``batch_unique``: the upstream dropDuplicatesWithinWatermark already
+        guarantees one row per id within a micro-batch, so the sink skips
+        its own within-batch dedup shuffle (cross-batch/replay duplicates
+        are still removed by the anti-join)."""
+        self.silver.insert_if_absent(
+            batch_df, version=batch_id, prune_col="minute_timestamp", batch_unique=True
+        )
 
     def start_bronze_to_silver(self, events: DataFrame, available_now: bool = True):
         """``events`` must carry the EVENT_SCHEMA columns (id, group_id,

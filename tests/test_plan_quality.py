@@ -94,3 +94,61 @@ def test_group_agg_partial_before_shuffle(spark):
     plan = plan_of(spark, "a_group_agg")
     assert "partial_sum" in plan or "partial_count" in plan
     assert n_nodes(plan, "Exchange") == 1
+
+
+def node_ids(plan: str, operator: str) -> list[int]:
+    import re
+
+    return [int(m) for m in re.findall(rf"^\((\d+)\) {operator}\b", plan, flags=re.MULTILINE)]
+
+
+def read_schema_with(plan: str, col: str) -> str:
+    """The ReadSchema line of the scan that reads ``col`` — how we address
+    one table's scan in a multi-scan plan."""
+    return next(l for l in plan.splitlines() if "ReadSchema" in l and col in l)
+
+
+def test_q21_no_expand_and_pruned_lineitem(spark):
+    """The two-level (orderkey, suppkey) partial aggregate must keep the
+    double-distinct OUT of the plan: an Expand node means Spark reverted to
+    the countDistinct rewrite that triples every lineitem row before the
+    shuffle.  The lineitem scans must read only the three needed columns."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert n_nodes(plan, "Expand") == 0
+    for line in (l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l):
+        for unused in ("l_extendedprice", "l_quantity", "l_shipdate", "l_discount"):
+            assert unused not in line
+
+
+def test_q2_window_after_region_prune(spark):
+    """The per-part min window must run on region-pruned suppliers: the
+    Window node has to sit ABOVE the nation/region broadcast joins (a plan
+    that windows the raw per-(part,supplier) costs first does 5x the state
+    at 100 TB).  The region predicate must also reach the region scan."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    (window_id,) = node_ids(plan, "Window")
+    joins = node_ids(plan, "BroadcastHashJoin")
+    assert sum(1 for j in joins if j < window_id) >= 2, (window_id, joins)
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_lineitem_scan_pruned(spark):
+    """Q9 touches five tables; the fact scan must read exactly the join
+    keys + measures — one extra lineitem column is ~15 TB of wasted IO at
+    the target scale."""
+    plan = plan_of(spark, "q9_product_profit")
+    schema = read_schema_with(plan, "l_orderkey")
+    for unused in ("l_shipdate", "l_returnflag", "l_linestatus", "l_tax", "l_comment"):
+        assert unused not in schema
+    assert "SortMergeJoin" not in plan
+
+
+def test_q8_star_is_broadcast_with_one_shuffle(spark):
+    """Seven-table star: every dimension joins broadcast, and the only
+    Exchange is the final per-year aggregate shuffle — lineitem itself is
+    never repartitioned for a join."""
+    plan = plan_of(spark, "q8_market_share")
+    assert n_nodes(plan, "BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Exchange") == 1
