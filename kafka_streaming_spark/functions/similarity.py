@@ -79,10 +79,26 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit-ish hyperplanes (no RNG dependency:
-    a splitmix64-style integer mix of (plane, coordinate) mapped to
-    [-1, 1])."""
+def _hyperplanes(dim: int, planes: int, family: str = "mix") -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (no RNG dependency).
+
+    ``family="mix"`` (default): a splitmix64-style integer mix of
+    (plane, coordinate) mapped to [-1, 1].
+    ``family="md5"``: component = md5-hash of ``"p:d"`` read as a 60-bit
+    int, scaled to [-1, 1) — bit-identically reproducible in DuckDB
+    (``CAST(concat('0x', substr(md5(p||':'||d),1,15)) AS BIGINT)
+    / 2^59 - 1.0``), which is what lets the LSH ANN query carry a full
+    value-hash oracle."""
+    if family == "md5":
+        import hashlib
+
+        return [
+            [
+                int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) / 2**59 - 1.0
+                for d in range(dim)
+            ]
+            for p in range(planes)
+        ]
     out = []
     for p in range(planes):
         row = []
@@ -94,6 +110,14 @@ def _hyperplanes(dim: int, planes: int) -> list[list[float]]:
             row.append((x / 2**63) - 1.0)
         out.append(row)
     return out
+
+
+def round6(col: Column) -> Column:
+    """6-digit deterministic rounding (HALF_UP via BIGINT fixed point —
+    identical in Spark and DuckDB).  ANN variants with oracles order and
+    emit rounded cosines so ULP-level accumulation differences can never
+    flip a rank across engines."""
+    return F.round(col * F.lit(1_000_000.0), 0).cast("long").cast("double") / F.lit(1_000_000.0)
 
 
 def lsh_bucket(vec: Column, dim: int, planes: int = 16, plane_offset: int = 0) -> Column:
@@ -126,13 +150,15 @@ def lsh_table_keys(vec: Column, dim: int, planes: int, tables: int) -> Column:
     )
 
 
-def _planes_relation(df: DataFrame, dim: int, planes: int, tables: int) -> DataFrame:
+def _planes_relation(
+    df: DataFrame, dim: int, planes: int, tables: int, family: str = "mix"
+) -> DataFrame:
     """The full plane family as a broadcastable LocalRelation
     (plane_idx, table, bit, plane_vec) — hyperplanes as DATA instead of
     inlined literal expressions, so signature codegen stays constant-size
     no matter how many tables are configured."""
     rows = []
-    for idx, plane in enumerate(_hyperplanes(dim, tables * planes)):
+    for idx, plane in enumerate(_hyperplanes(dim, tables * planes, family)):
         arr = "array(" + ", ".join(f"{v!r}D" for v in plane) + ")"
         rows.append(f"({idx}, {idx // planes}, {idx % planes}, {arr})")
     return df.sparkSession.sql(
@@ -148,6 +174,7 @@ def lsh_keys_df_sql(
     dim: int,
     planes: int,
     tables: int,
+    family: str = "mix",
 ) -> DataFrame:
     """(id, table, key) bucket assignments, computed data-parallel: cross
     the vectors with the broadcast plane relation (|V|·tables·planes tiny
@@ -156,7 +183,7 @@ def lsh_keys_df_sql(
     kept as the cross-check for the Arrow fast path below."""
     crossed = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    ).join(F.broadcast(_planes_relation(vectors, dim, planes, tables)))
+    ).join(F.broadcast(_planes_relation(vectors, dim, planes, tables, family)))
     bits = crossed.select(
         id_col,
         "table",
@@ -177,6 +204,7 @@ def lsh_keys_df(
     dim: int,
     planes: int,
     tables: int,
+    family: str = "mix",
 ) -> DataFrame:
     """(id, table, key) bucket assignments via an Arrow-vectorized BLAS
     matmul: each Arrow batch of vectors is one ``(n × dim) @ (dim × L·p)``
@@ -190,7 +218,7 @@ def lsh_keys_df(
     a test pins that both produce identical keys."""
     from pyspark.sql.functions import pandas_udf
 
-    planes_mat = np.array(_hyperplanes(dim, tables * planes))  # (L·p, dim)
+    planes_mat = np.array(_hyperplanes(dim, tables * planes, family))  # (L·p, dim)
     pow2 = (1 << np.arange(planes)).astype(np.int64)
 
     @pandas_udf("array<bigint>")
@@ -217,6 +245,7 @@ def lsh_keys_with_vec(
     tables: int,
     out_id: str,
     out_vec: str,
+    family: str = "mix",
 ) -> DataFrame:
     """(out_id, out_vec, table, key): bucket keys computed alongside the
     carried vector column in ONE pass — no join-back of keys to vectors
@@ -224,7 +253,7 @@ def lsh_keys_with_vec(
     flight)."""
     from pyspark.sql.functions import pandas_udf
 
-    planes_mat = np.array(_hyperplanes(dim, tables * planes))
+    planes_mat = np.array(_hyperplanes(dim, tables * planes, family))
     pow2 = (1 << np.arange(planes)).astype(np.int64)
 
     @pandas_udf("array<bigint>")
@@ -269,6 +298,8 @@ def lsh_topk(
     planes: int = 6,
     tables: int = 8,
     multiprobe: int = 1,
+    family: str = "mix",
+    rounded: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k with multi-table hyperplane LSH: a pair is
     scored if its signatures collide in ANY of ``tables`` independent
@@ -289,7 +320,8 @@ def lsh_topk(
     (6 planes × 8 tables, radius 1) measure ≥0.6 recall@5 on the
     near-uniform testdata embeddings — the adversarial case for ANN."""
     bq = lsh_keys_with_vec(
-        queries, id_col, vec_col, dim, planes, tables, out_id="query_id", out_vec="qv"
+        queries, id_col, vec_col, dim, planes, tables,
+        out_id="query_id", out_vec="qv", family=family,
     )
     if multiprobe > 0:
         masks = F.array(*[F.lit(m) for m in _probe_masks(planes, multiprobe)])
@@ -305,14 +337,15 @@ def lsh_topk(
         )
     bc = lsh_keys_with_vec(
         spread(corpus), id_col, vec_col, dim, planes, tables,
-        out_id="neighbor_id", out_vec="cv",
+        out_id="neighbor_id", out_vec="cv", family=family,
     )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if rounded:
+        sim = round6(sim)
     scored = (
         bc.join(F.broadcast(bq), ["table", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim")
-        )
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("cosine_sim").alias("cosine_sim"))
     )
@@ -330,16 +363,22 @@ def ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic coarse quantizer for IVF: the ``n_centroids`` corpus
-    vectors with the smallest ``xxhash64(id)`` (a seeding stand-in for
+    vectors with the smallest hash of their id (a seeding stand-in for
     trained k-means centroids — swap in k-means|| output in production; the
-    index structure and probe path below are unchanged)."""
+    index structure and probe path below are unchanged).  ``family="md5"``
+    seeds with the portable 60-bit md5 hash DuckDB reproduces exactly,
+    making the whole IVF query oracle-checkable."""
     from pyspark.sql import Window
 
+    if family == "md5":
+        h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col(id_col).cast("string"))
     ranked = corpus.select(
-        as_double(F.col(vec_col)).alias("centroid_vec"),
-        F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        as_double(F.col(vec_col)).alias("centroid_vec"), h.alias("__h")
     ).orderBy("__h").limit(n_centroids)
     return ranked.select(
         "centroid_vec",
@@ -353,21 +392,24 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     nprobe: int = 1,
+    rounded: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (by cosine):
     broadcast the centroid table, score |V|·|C| pairs map-side, keep the
     top ``nprobe`` per vector.  For corpus indexing ``nprobe=1`` (each
     vector lives in one inverted list); for querying ``nprobe>1`` widens
-    recall."""
+    recall.  ``rounded`` assigns by the 6-digit-rounded cosine (with
+    centroid_id tiebreak) so an oracle in another engine makes identical
+    choices."""
+    sim = cosine(F.col("__v"), F.col("centroid_vec"))
+    if rounded:
+        sim = round6(sim)
     scored = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     ).join(F.broadcast(centroids)).select(
-        id_col,
-        "__v",
-        "centroid_id",
-        cosine(F.col("__v"), F.col("centroid_vec")).alias("__c"),
+        id_col, "__v", "centroid_id", sim.alias("__c")
     )
-    if nprobe == 1:
+    if nprobe == 1 and not rounded:
         # single assignment: max_by aggregation, no window shuffle
         return scored.groupBy(id_col).agg(
             F.max_by("centroid_id", "__c").alias("centroid_id"),
@@ -390,6 +432,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    family: str = "xxhash64",
+    rounded: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_centroids`` inverted lists (one coarse-quantizer pass), probe only
@@ -399,17 +443,24 @@ def ivf_topk(
     (map-side, broadcast) and shuffled once on ``centroid_id`` — afterwards
     each executor owns whole inverted lists and query probes are routed to
     exactly ``nprobe`` of them, touching ``~nprobe/n_centroids`` of the
-    corpus instead of all of it."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus instead of all of it.
+
+    ``family="md5"`` + ``rounded=True`` is the oracle-checkable
+    configuration: portable centroid seeding and rounded-cosine decisions
+    reproduce bit-identically in DuckDB."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, family=family)
     lists = ivf_assign(
-        spread(corpus), cents, id_col, vec_col, nprobe=1
+        spread(corpus), cents, id_col, vec_col, nprobe=1, rounded=rounded
     ).select(F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("__v").alias("cv"))
-    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe, rounded=rounded).select(
         F.col(id_col).alias("query_id"), "centroid_id", F.col("__v").alias("qv")
     )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if rounded:
+        sim = round6(sim)
     scored = lists.join(F.broadcast(probes), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
-    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    ).select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     return top_k_per_group(
         scored,
         ["query_id"],

@@ -1009,26 +1009,130 @@ def x_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return rounded.select("id_a", "id_b", F.col("cos_r").alias("cosine_sim"))
 
 
-@register("x_ivf_ann_topk", None)
+_COS_R = (
+    "CAST(ROUND(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " * 1000000.0) AS BIGINT) / 1000000.0"
+)
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replica of the FULL IVF path: portable md5 centroid seeding,
+    rounded-cosine inverted-list assignment (centroid_id tiebreak), top-4
+    probe per query, exact rounded re-scoring, top-5."""
+    cr = _COS_R.format(a="a.vec", b="c.cvec")
+    cs = _COS_R.format(a="qv", b="cv")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), cents AS (
+      SELECT vec AS cvec, row_number() OVER (ORDER BY hh) - 1 AS centroid_id
+      FROM (
+        SELECT vec, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) AS hh
+        FROM v ORDER BY hh LIMIT 16
+      )
+    ), ascore AS (
+      SELECT a.vec_id, a.vec, c.centroid_id, {cr} AS cr
+      FROM v a CROSS JOIN cents c
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, vec AS cv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, vec AS qv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore WHERE vec_id < 5
+      ) WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, l.neighbor_id, {cs} AS cos_r
+      FROM lists l JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_r AS cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_r DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("x_ivf_ann_topk", _ivf_oracle())
 def x_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate ANN: hash-seeded coarse quantizer, corpus bucketed
     into inverted lists (one shuffle), queries probe their 4 nearest of 16
-    lists.  Recall vs the brute-force baseline is pinned in pytest."""
+    lists.  Registered in the portable configuration (md5 seeding +
+    rounded-cosine decisions) so the whole index-build-and-probe path is
+    value-hash checked against an independent DuckDB implementation;
+    recall vs the brute-force baseline is pinned in pytest."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return S.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4, family="md5", rounded=True
+    )
 
 
-@register("x_lsh_ann_topk", None)
+def _lsh_oracle() -> str:
+    """DuckDB replica of the FULL multi-table hyperplane LSH path: md5-
+    derived plane components, sign-bit bucket keys per table, radius-1
+    multiprobe on the query side, bucket equijoin, rounded-cosine
+    re-scoring, top-5."""
+    cs = _COS_R.format(a="qv", b="cv")
+    masks = [0] + [1 << b for b in range(6)]
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), pl AS (
+      SELECT p, list_transform(generate_series(0, 63), d ->
+               CAST(concat('0x', substr(md5(p || ':' || d), 1, 15)) AS BIGINT)
+                 / 576460752303423488.0 - 1.0) AS pv
+      FROM (SELECT unnest(generate_series(0, 47)) AS p)
+    ), sb AS (
+      SELECT vec_id, p // 6 AS tbl, p % 6 AS bit,
+             CASE WHEN list_dot_product(vec, pv) >= 0 THEN 1 ELSE 0 END AS s
+      FROM v CROSS JOIN pl
+    ), keys AS (
+      SELECT vec_id, tbl, CAST(SUM(s * (1 << bit)) AS BIGINT) AS key
+      FROM sb GROUP BY vec_id, tbl
+    ), qk AS (
+      SELECT vec_id AS query_id, tbl, xor(key, CAST(m AS BIGINT)) AS key
+      FROM keys CROSS JOIN (SELECT unnest({masks}) AS m)
+      WHERE vec_id < 5
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM keys c JOIN qk q ON c.tbl = q.tbl AND c.key = q.key
+      WHERE q.query_id <> c.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cs} AS cos_r
+      FROM cand
+      JOIN (SELECT vec_id, vec AS qv FROM v) a ON a.vec_id = cand.query_id
+      JOIN (SELECT vec_id, vec AS cv FROM v) b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_r AS cosine_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_r DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("x_lsh_ann_topk", _lsh_oracle())
 def x_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN: multi-table random-hyperplane LSH (deterministic
-    integer-mixed hyperplanes, OR-amplified across 8 tables) with radius-1
-    multiprobe on the query side, bucket-equijoin, exact re-scoring inside
-    buckets.  Recall ≥0.5 (measured 0.92) vs the brute-force baseline is
-    pinned in tests."""
+    hyperplanes, OR-amplified across 8 tables) with radius-1 multiprobe on
+    the query side, bucket-equijoin, exact re-scoring inside buckets.
+    Registered in the portable configuration (md5-derived plane components
+    + rounded-cosine ranking) so bucketing, multiprobe, and re-scoring are
+    all value-hash checked against an independent DuckDB implementation;
+    recall ≥0.5 vs the brute-force baseline is pinned in tests."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=5, dim=64)
+    return S.lsh_topk(emb, queries, k=5, dim=64, family="md5", rounded=True)
 
 
 # ===========================================================================
