@@ -83,7 +83,49 @@ def bench_streaming(spark) -> tuple[float, int]:
     return elapsed, n
 
 
+def streaming_main() -> None:
+    """Run ONLY the streaming medallion benchmark and print its JSON.
+
+    Invoked as a subprocess from main(): streaming and batch contaminate
+    each other when they share a JVM — a medallion run leaves state-store
+    / worker-pool / GC residue that made the first later pandas_udf query
+    measure 4-10x slower (and r2 showed the reverse order swings streaming
+    2-3x).  Separate processes give both sides a clean, reproducible JVM.
+    """
+    spark = build_session(
+        app_name="kss-bench-streaming",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        streaming=True,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm scan/codegen so the pipeline measurement starts from the same
+    # baseline the batch process gets.
+    next(iter(REGISTRY.values()))[0](spark, SF_DIR).count()
+    stream_sec, n_events = bench_streaming(spark)
+    print(json.dumps({"streaming_sec": round(stream_sec, 3), "n_events": n_events}))
+    spark.stop()
+
+
 def main() -> None:
+    # Streaming benchmark in an isolated JVM (see streaming_main docstring).
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--streaming-only"],
+        capture_output=True,
+        text=True,
+        env=os.environ.copy(),
+    )
+    stream_line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    try:
+        stream_res = json.loads(stream_line)
+    except json.JSONDecodeError:
+        sys.stderr.write(f"streaming subprocess failed:\n{proc.stderr[-2000:]}\n")
+        raise
+    stream_sec, n_events = stream_res["streaming_sec"], stream_res["n_events"]
+
     spark = build_session(
         app_name="kss-bench",
         master=f"local[{CPUS}]",
@@ -116,15 +158,6 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
-    # Streaming runs FIRST, on a fresh JVM: measured after 90 batch queries
-    # it absorbs their accumulated GC/shuffle-file/worker-pool state and the
-    # number swings 2-3x run to run; first, it is stable and comparable
-    # across rounds.  (Its own cold-start is amortized by the warmup
-    # pipeline inside bench_streaming.)
-    shuffle_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    stream_sec, n_events = bench_streaming(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_conf)
-
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
         t0 = time.perf_counter()
@@ -152,4 +185,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--streaming-only" in sys.argv:
+        sys.exit(streaming_main())
     sys.exit(main())
