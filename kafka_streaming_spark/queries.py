@@ -3293,7 +3293,11 @@ DRIVER_PRIORITY: list[str] = [
     "x_minhash_near_dup",
     "x_simhash",
     "x_dedup_clusters",
-    # -- long-green flagships (2 rounds of driver history) -----------------
+    "x_ivf_ann_topk",
+    "x_lsh_ann_topk",
+    # -- long-green flagships (2 rounds of driver history; x_cosine_topk and
+    # -- f_filter_routing rotated out to fit the two ANN queries above — they
+    # -- keep strict local parity via tests/test_oracle_parity.py ----------
     "q1_pricing_summary",
     "a_group_agg",
     "a_incremental_fold",
@@ -3302,8 +3306,6 @@ DRIVER_PRIORITY: list[str] = [
     "p_parse_project",
     "t_tumbling_window",
     "x_doc_exact_dedup",
-    "x_cosine_topk",
-    "f_filter_routing",
 ]
 
 
