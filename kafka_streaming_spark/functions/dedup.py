@@ -439,3 +439,51 @@ def simhash64(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit sketches via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """The actionable end of near-dup dedup: given ``clusters`` (doc_id →
+    cluster_id, only docs that appear in some near-dup pair) pick ONE
+    representative per cluster — highest ``score_col``, smallest id on
+    ties — and report the cluster size.  Docs in no cluster are their own
+    singleton cluster, so the output is exactly "the corpus after dedup":
+    one row per surviving document.
+
+    100 TB shape: left join on the doc id (clusters side is the small
+    near-dup subset — AQE broadcasts it when it fits), then ONE hash
+    aggregate on cluster_id; the keeper is selected with a lexicographic
+    ``max(struct(score, -id))`` so the whole reduction is a partial-agg-
+    friendly min/max, not a window sort.
+    """
+    labeled = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(
+            clusters.select(F.col("doc_id").alias("__cid"), "cluster_id"),
+            F.col(id_col) == F.col("__cid"),
+            "left",
+        )
+        .select(
+            id_col,
+            score_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+        )
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            (-best.getField("negid")).cast("long").alias("kept_doc_id"),
+            best.getField("s").cast("long").alias("kept_" + score_col),
+        )
+        .select("cluster_id", "kept_doc_id", "kept_" + score_col, "cluster_size")
+    )

@@ -169,3 +169,62 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FINGERPRINT_MULT + F.ascii(c)) % FINGERPRINT_MOD,
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """Split documents into overlapping token-window chunks — the standard
+    context-window preparation step for a training-data pipeline (chunk
+    size = model window, stride < chunk for overlap so no boundary context
+    is lost).
+
+    Emits one row per (doc, chunk): ``(id_col, chunk_id, n_chunk_tokens,
+    chunk_text)``.  Chunk starts are ``0, stride, 2*stride, …`` while the
+    chunk still contributes at least one not-yet-covered token (start ≤
+    n_tokens − overlap − 1, overlap = chunk − stride), so every token
+    belongs to ≥1 chunk, the tail chunk may be short, and no chunk is
+    fully contained in its predecessor.
+
+    100 TB shape: pure map-side — tokenize, generate the start offsets with
+    ``sequence``, ``explode``, ``slice`` — no shuffle, no UDF; output rows
+    stream straight to the sink partition-local.  (At ~64-token chunks the
+    row-count amplification is bounded by ``ceil(n/stride)`` per doc;
+    ``spread`` first so the explode fan-out lands on all cores.)
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        spread(df)
+        .select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col,
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size("__t") - (chunk_tokens - stride) - 1, F.lit(0)
+                    ),
+                    F.lit(stride),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            id_col,
+            (F.col("__s") / stride).cast("long").alias("chunk_id"),
+            F.size(F.slice("__t", F.col("__s") + 1, chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("__t", F.col("__s") + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        )
+    )

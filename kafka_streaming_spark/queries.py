@@ -889,6 +889,84 @@ def x_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_near_dup_pairs(d, threshold=0.3, hash_family="md5")
 
 
+def _keep_best_oracle() -> str:
+    """Clusters oracle (recursive transitive closure) extended to the
+    keeper decision: every doc gets cluster_id = coalesce(component min,
+    itself); keep the longest doc per cluster (tiebreak smallest id)."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, kept_doc_id, kept_n_chars, cluster_size
+    FROM (
+      SELECT cluster_id,
+             doc_id AS kept_doc_id,
+             n_chars AS kept_n_chars,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled
+    ) WHERE rn = 1
+    """
+
+
+@register("x_dedup_keep_best", _keep_best_oracle())
+def x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup with canonical-representative selection: MinHash-LSH
+    near-dup pairs → connected components → every document labeled with its
+    cluster (singletons label themselves) → ONE keeper per cluster (longest
+    text, smallest id on ties) + cluster size.  The output is the corpus
+    after dedup — the operator a training-data pipeline actually runs.
+    Portable md5 family end to end, so pairs, clustering, AND the keeper
+    decision are all value-hash checked against DuckDB."""
+    d = load_table(spark, sf, "documents")
+    pairs = D.minhash_near_dup_pairs(d, threshold=0.3, hash_family="md5")
+    clusters = D.dedup_clusters(pairs)
+    return D.keep_best_per_cluster(d, clusters, score_col="n_chars")
+
+
+@register(
+    "x_doc_chunk",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, greatest(len(t) - 17, 0), 48)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           s // 48 AS chunk_id,
+           CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def x_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48 → 16
+    tokens of overlap) — context-window preparation for training.  Pure
+    map-side plan: tokenize, sequence of start offsets, explode, slice —
+    no shuffle, no UDF, rows stream partition-local to the sink."""
+    d = load_table(spark, sf, "documents")
+    return T.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
 def _simhash_oracle() -> str:
     """DuckDB replica of the 60-bit SimHash sketch over the portable
     md5-derived token hash family: per-bit ±1 sums, sign vector, packing."""

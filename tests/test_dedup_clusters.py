@@ -77,3 +77,33 @@ def test_cluster_50_chain_with_storage_checkpoint(spark, tmp_path_factory):
     import os
 
     assert any(name.startswith("round_") for name in os.listdir(spill))
+
+
+def test_keep_best_per_cluster_invariants(spark):
+    """Cluster sizes partition the corpus; the keeper is the longest doc
+    (smallest id on ties) of its cluster, cross-checked against the
+    cluster assignment itself."""
+    from kafka_streaming_spark.functions.dedup import keep_best_per_cluster
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", (i * 7) % 5 + 10) for i in range(12)],
+        ["doc_id", "text", "n_chars"],
+    )
+    clusters = spark.createDataFrame(
+        # two clusters: {0,1,2} (min label 0), {5,6} (min label 5)
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)],
+        ["doc_id", "cluster_id"],
+    )
+    out = keep_best_per_cluster(docs, clusters).collect()
+    assert sum(r["cluster_size"] for r in out) == 12
+    kept = {r["cluster_id"]: (r["kept_doc_id"], r["kept_n_chars"], r["cluster_size"]) for r in out}
+    # cluster 0 = docs 0,1,2 with n_chars 10,12,14 -> keeper doc 2
+    assert kept[0] == (2, 14, 3)
+    # cluster 5 = docs 5,6 with n_chars 10,12 -> keeper doc 6
+    assert kept[5] == (6, 12, 2)
+    # singletons keep themselves with size 1
+    singles = [r for r in out if r["cluster_size"] == 1]
+    assert all(r["kept_doc_id"] == r["cluster_id"] for r in singles)
+    assert len(singles) == 12 - 5

@@ -152,3 +152,34 @@ def test_q8_star_is_broadcast_with_one_shuffle(spark):
     assert n_nodes(plan, "BroadcastHashJoin") == 7
     assert "SortMergeJoin" not in plan
     assert n_nodes(plan, "Exchange") == 1
+
+
+def test_doc_chunk_is_shuffle_free(spark):
+    """Chunking is pure map-side: tokenize -> explode -> slice with no
+    exchange beyond the input spread() repartition, and the scan reads
+    only (doc_id, text)."""
+    plan = plan_of(spark, "x_doc_chunk")
+    assert n_nodes(plan, "Exchange") <= 1  # spread() round-robin only
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema
+
+
+def test_keep_best_keeper_is_aggregate_not_window(spark):
+    """The keeper per cluster must be a partial-agg-friendly hash
+    aggregate (max of struct), NOT a window sort over the full corpus."""
+    from kafka_streaming_spark.functions.dedup import keep_best_per_cluster
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    clusters = docs.limit(10).selectExpr("doc_id", "doc_id as cluster_id")
+    df = keep_best_per_cluster(docs, clusters)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "Window" not in plan
+    # struct-max aggregates sort-based, but MUST keep the partial
+    # (map-side combine) phase before the one cluster_id shuffle
+    assert "partial_max" in plan
+    assert n_nodes(plan, "SortAggregate") + n_nodes(plan, "HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan  # clusters side broadcast, corpus unshuffled

@@ -57,3 +57,36 @@ def test_word_ngrams_shorter_than_n(spark):
     out = df.select(T.word_ngrams(F.col("text"), 5).alias("g")).collect()[0]["g"]
     # shorter-than-n docs yield one truncated n-gram (the full token join)
     assert out == ["only two"]
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Every token position is covered, chunk sizes are bounded by the
+    window, overlap between consecutive chunks is chunk-stride, and the
+    non-overlapped concatenation reconstructs the token stream."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(150))),  # 3 chunks, short tail
+            (2, " ".join(f"w{i}" for i in range(64))),   # exactly one window
+            (3, "single"),                                # sub-window doc
+            (4, " ".join(f"w{i}" for i in range(49))),   # start lands at 48
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.chunk_documents(docs, chunk_tokens=64, stride=48)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t))
+    assert [c for c, _, _ in by_doc[1]] == [0, 1, 2]
+    assert [n for _, n, _ in by_doc[1]] == [64, 64, 150 - 96]
+    assert by_doc[2] == [(0, 64, " ".join(f"w{i}" for i in range(64)))]
+    assert by_doc[3] == [(0, 1, "single")]
+    # doc 4: 49 tokens fit in chunk 0's window; no redundant tail chunk
+    assert [(c, n) for c, n, _ in by_doc[4]] == [(0, 49)]
+    # reconstruction: chunk k contributes tokens [k*stride, k*stride + n)
+    toks = by_doc[1][0][2].split(" ") + [
+        t for _, _, txt in by_doc[1][1:] for t in txt.split(" ")[64 - 48 :]
+    ]
+    assert toks == [f"w{i}" for i in range(150)]
