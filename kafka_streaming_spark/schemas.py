@@ -81,18 +81,30 @@ BUCKET_SECONDS = 180
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark only
-    reads via the nanosAsLong legacy conf (runtime-settable); the long nanos
-    are converted back to a proper TimestampType at microsecond precision
-    with integer division (``div`` — double arithmetic would lose precision
-    above 2^53), matching DuckDB's nanos→micros truncation.
+    Timestamp normalization (driver sessions are not ours to configure, so
+    this is done per-load with runtime-settable confs only):
+
+    - the session time zone is pinned to UTC so epoch arithmetic
+      (``unix_millis`` etc.) is deterministic and matches DuckDB, whose
+      TIMESTAMP has no zone and whose ``epoch_ms`` treats wall-clock as UTC;
+    - testdata generations have written ``ts``-like columns as either
+      TIMESTAMP(NANOS) (readable only as long nanos via the nanosAsLong
+      legacy conf; converted back with integer division — double arithmetic
+      would lose precision above 2^53) or TIMESTAMP(MICROS) without the
+      UTC-adjusted flag (read as TIMESTAMP_NTZ).  Both are normalized to
+      plain TimestampType here so every downstream expression sees one type.
     """
     from pyspark.sql import functions as F  # local: keep module import light
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            # NTZ wall-clock == UTC wall-clock under the pinned session zone.
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 
