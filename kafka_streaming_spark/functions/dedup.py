@@ -287,12 +287,47 @@ def _materialize(df: DataFrame, backend: str, tag: str, eager: bool) -> DataFram
     return df.sparkSession.read.parquet(path)
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list → (doc_id, cluster_id) with
+    cluster_id = component minimum (path compression + link-larger-to-
+    smaller keeps every root the component min).  Caller guarantees the
+    edge count is bounded; ``a <= b`` keeps one orientation per undirected
+    edge while retaining self-loop-only nodes."""
+    rows = edges.filter(F.col("a") <= F.col("b")).collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema["a"].dataType
+    schema = StructType(
+        [StructField("doc_id", node_type), StructField("cluster_id", node_type)]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     checkpoint: str = "local",
     max_rounds: int = 20,
+    small_graph_limit: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id,
     cluster_id) with cluster_id = the component's minimum doc id.
@@ -312,6 +347,17 @@ def dedup_clusters(
     ``_materialize``): default ``"local"`` for tests; pass ``"reliable"``
     or a storage path on real clusters so a lost executor doesn't force a
     full recompute of every previous round.
+
+    ``small_graph_limit``: the VERIFIED near-dup edge set is orders of
+    magnitude smaller than the corpus (LSH bounds bucket fan-out, the exact-
+    Jaccard verification prunes further), so after the one distributed
+    edge-materialization it is usually a SMALL graph.  When the symmetric
+    edge count is at or below this limit the components are solved by a
+    driver-side union-find in one pass (≤ ~64 MB of id pairs at the 4M
+    default) instead of paying O(log diameter) rounds of distributed joins
+    whose fixed per-job latency dominates at that size.  Larger graphs — or
+    ``small_graph_limit=0`` — take the distributed pointer-jumping loop
+    below, which scales to graphs that never fit one machine.
     """
     # Materialize the edge set once: it is re-joined every propagation
     # round, and its lineage may include the full upstream candidate
@@ -335,6 +381,8 @@ def dedup_clusters(
         "edges",
         eager=True,
     )
+    if small_graph_limit and edges.count() <= small_graph_limit:
+        return _driver_union_find(edges)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

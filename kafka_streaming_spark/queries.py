@@ -3373,16 +3373,17 @@ DRIVER_PRIORITY: list[str] = [
     "x_dedup_clusters",
     "x_ivf_ann_topk",
     "x_lsh_ann_topk",
-    # -- long-green flagships (2 rounds of driver history; x_cosine_topk and
-    # -- f_filter_routing rotated out to fit the two ANN queries above — they
-    # -- keep strict local parity via tests/test_oracle_parity.py ----------
+    # -- new round-3 queries, never driver-checked -------------------------
+    "x_dedup_keep_best",
+    "x_doc_chunk",
+    "x_image_pixel_stats",
+    "x_audio_energy",
+    # -- long-green flagships (2 rounds of driver history; the rest of the
+    # -- previously-green 50 rotated out to fit the rows above — all keep
+    # -- strict local parity via tests/test_oracle_parity.py ---------------
     "q1_pricing_summary",
     "a_group_agg",
-    "a_incremental_fold",
     "j_merge_insert_if_absent",
-    "w_latest_per_key",
-    "p_parse_project",
-    "t_tumbling_window",
     "x_doc_exact_dedup",
 ]
 

@@ -42,6 +42,13 @@ def test_clusters_match_union_find(spark):
     # cluster representative is the component minimum
     for doc, cl in got.items():
         assert cl <= doc
+    # the distributed pointer-jumping path must agree with the driver-side
+    # union-find fast path on the same graph
+    distributed = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs_df, small_graph_limit=0).collect()
+    }
+    assert distributed == got
 
 
 def test_cluster_on_synthetic_chain(spark):
@@ -65,12 +72,12 @@ def test_cluster_50_chain_with_storage_checkpoint(spark, tmp_path_factory):
     )
     durable = {
         r["doc_id"]: r["cluster_id"]
-        for r in D.dedup_clusters(chain, checkpoint=spill).collect()
+        for r in D.dedup_clusters(chain, checkpoint=spill, small_graph_limit=0).collect()
     }
     assert durable == {i: 0 for i in range(50)}
     local = {
         r["doc_id"]: r["cluster_id"]
-        for r in D.dedup_clusters(chain, checkpoint="local").collect()
+        for r in D.dedup_clusters(chain, checkpoint="local", small_graph_limit=0).collect()
     }
     assert local == durable
     # the spill dir actually received round files (the durability evidence)
