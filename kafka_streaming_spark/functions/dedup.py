@@ -13,12 +13,18 @@ Core operators of a large-scale training-data pipeline, built Spark-first:
 - **SimHash**: 64-bit hyperplane sketch via explode + 64 conditional sums —
   one shuffle per corpus, Hamming-distance candidate filter.
 
-No Python UDFs anywhere — xxhash64 / aggregate / transform keep everything
-in whole-stage codegen.
+Hashing/banding/verification are pure Column expressions (xxhash64 /
+aggregate / transform, whole-stage codegen).  The one Arrow kernel is the
+MinHash permutation-min (:func:`signatures_arrow`): Catalyst higher-order
+lambdas are interpreted per element and lose badly on dense per-shingle
+arithmetic; the UDF-free expression form is kept and pinned
+signature-identical as the cross-check and oracle reference.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,6 +171,44 @@ def signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
     return F.array(*mins)
 
 
+def signatures_arrow(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hashes_col: str = "hs",
+    num_hashes: int = 32,
+    out_col: str = "sig",
+) -> DataFrame:
+    """MinHash signatures via an Arrow-vectorized numpy pass — the same
+    ``min((a_j*h + b_j) mod P)`` arithmetic as :func:`signature_from_hashes`,
+    exact in int64 (h < 2^31 and a_j ≤ 2·num_hashes keep every product well
+    under 2^63), so both paths produce IDENTICAL signatures (pinned in
+    ``test_dedup_clusters.py::test_arrow_signatures_match_sql``).
+
+    Catalyst evaluates higher-order-function lambdas interpreted per
+    element: ``num_hashes`` transforms over every shingle is ~32 boxed
+    evals/shingle, while this path is one ``(S × 1) * (1 × 32)`` broadcast
+    multiply + column min per document in numpy — the same trade as the LSH
+    keying fast path (`similarity.lsh_keys_df`), with the UDF-free
+    expression form kept as the cross-check and DuckDB-oracle reference."""
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.array([2 * j + 1 for j in range(num_hashes)], dtype=np.int64)
+    b = np.array([j * 12_345 + 7 for j in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64)
+            if h.size == 0:
+                out.append([None] * num_hashes)
+            else:
+                out.append(((h[:, None] * a + b) % MINHASH_MOD).min(axis=0))
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), sig(F.col(hashes_col)).alias(out_col))
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
     """MinHash signature straight from text (convenience; prefer
     ``shingle_hashes`` + ``signature_from_hashes`` with an intermediate
@@ -182,6 +226,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 50,
     hashed: DataFrame | None = None,
     hash_family: str = "xxhash64",
+    arrow_signatures: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates.
 
@@ -190,6 +235,10 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` (degenerate boilerplate) are dropped
     to bound the join fan-out — at corpus scale this is the difference
     between a linear pass and an accidental cross-join.
+
+    ``arrow_signatures`` selects the numpy signature kernel (default — see
+    :func:`signatures_arrow`); ``False`` keeps the pure Column-expression
+    form, pinned signature-identical to the Arrow path in tests.
     """
     rows = num_hashes // bands
     # Two projection steps: materialize the shingle hashes ONCE, then build
@@ -199,9 +248,12 @@ def lsh_candidate_pairs(
             F.col(id_col),
             shingle_hashes(F.col(text_col), shingle_n, hash_family).alias("hs"),
         )
-    sig = hashed.select(
-        F.col(id_col), signature_from_hashes(F.col("hs"), num_hashes).alias("sig")
-    )
+    if arrow_signatures:
+        sig = signatures_arrow(hashed, id_col, "hs", num_hashes, "sig")
+    else:
+        sig = hashed.select(
+            F.col(id_col), signature_from_hashes(F.col("hs"), num_hashes).alias("sig")
+        )
     band_cols = F.array(
         *[
             F.struct(

@@ -51,6 +51,27 @@ def test_clusters_match_union_find(spark):
     assert distributed == got
 
 
+def test_arrow_signatures_match_sql(spark):
+    """The numpy MinHash kernel must produce bit-identical signatures to the
+    pure Column-expression form, for both hash families."""
+    d = load_table(spark, SF_SMALL, "documents")
+    for family in ("xxhash64", "md5"):
+        hashed = d.select(
+            "doc_id", D.shingle_hashes(F.col("text"), 3, family).alias("hs")
+        )
+        sql_sig = {
+            r["doc_id"]: r["sig"]
+            for r in hashed.select(
+                "doc_id", D.signature_from_hashes(F.col("hs"), 32).alias("sig")
+            ).collect()
+        }
+        arrow_sig = {
+            r["doc_id"]: r["sig"]
+            for r in D.signatures_arrow(hashed, "doc_id", "hs", 32).collect()
+        }
+        assert arrow_sig == sql_sig, f"signature mismatch for family={family}"
+
+
 def test_cluster_on_synthetic_chain(spark):
     """A path graph (worst diameter case for label propagation) still
     collapses to one component labeled by its minimum."""
