@@ -121,6 +121,43 @@ def optimize_parquet(
     return len(new_files)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    keys: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a hash-bucketed, per-bucket-sorted parquet table.
+
+    Bucketing is the PRE-PAID shuffle: rows are hash-partitioned on
+    ``keys`` into ``buckets`` files per write-partition at write time, and
+    the catalog records the layout.  Every later equi-join or aggregation
+    on the bucket keys between tables with the same bucket count then runs
+    with NO Exchange at all — the planner proves co-location from metadata
+    (gated in ``tests/test_layout.py::test_bucketed_join_is_shuffle_free``).
+    At 100 TB this is the difference between re-shuffling the fact table
+    for every join and shuffling it once per ingest: the canonical layout
+    for a dimension repeatedly joined on the same key, and the parquet
+    analog of the reference's clustered silver/gold tables
+    (``stream-processor/processing/utils.py:87-93``) optimized for joins
+    rather than range scans (Z-order, above, optimizes for those).
+
+    ``path`` makes the table external (files live there; the catalog entry
+    is metadata only) — pass it in tests to keep writes inside tmp dirs.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, keys[0], *list(keys[1:]))
+        .sortBy(*(list(sort_cols) if sort_cols else list(keys)))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def file_ranges(df_with_file: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-file min/max of ``cols`` — the statistics a scan planner uses
     for file skipping.  Input must carry ``__file`` (input_file_name)."""

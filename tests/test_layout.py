@@ -13,6 +13,7 @@ from kafka_streaming_spark.ops.layout import (
     morton_code,
     optimize_parquet,
     skipped_fraction,
+    write_bucketed,
     zorder,
 )
 
@@ -98,3 +99,46 @@ def test_optimize_parquet_compacts_and_preserves(spark):
     assert back.count() == 5_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(5_000))
     assert skipped_fraction(spark, src_dir, "k", 3) >= 0.5
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Two tables bucketed on the same key with the same bucket count must
+    join with NO Exchange (and aggregate on the bucket key shuffle-free):
+    the planner proves co-location from catalog metadata.  This is the
+    pre-paid-shuffle contract write_bucketed exists for."""
+    from kafka_streaming_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    e = load_table(spark, SF_SMALL, "events")
+    write_bucketed(
+        e.select("event_id", "user_id", "value"),
+        "bt_events", 8, ["user_id"], path=f"{base}/a",
+    )
+    write_bucketed(
+        e.groupBy("user_id").count(),
+        "bt_counts", 8, ["user_id"], path=f"{base}/b",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_events").join(spark.table("bt_counts"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # rows survive the co-located join
+        assert joined.count() == e.count()
+        # aggregation on the bucket key is also exchange-free
+        agg_plan = (
+            spark.table("bt_events")
+            .groupBy("user_id")
+            .sum("value")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_events")
+        spark.sql("DROP TABLE IF EXISTS bt_counts")
