@@ -183,3 +183,38 @@ def test_keep_best_keeper_is_aggregate_not_window(spark):
     assert "partial_max" in plan
     assert n_nodes(plan, "SortAggregate") + n_nodes(plan, "HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan  # clusters side broadcast, corpus unshuffled
+
+
+# Queries whose plans legitimately contain a Cartesian/nested-loop product:
+# bounded-side constructs documented in their docstrings (constant dimension
+# cross, id-bounded quadratic verifiers, broadcast band tables, literal
+# probe/mask relations).
+_CARTESIAN_ALLOWED = {
+    "j_cross_join",            # region x nation = 125 rows
+    "x_ngram_jaccard_pairs",   # id-bounded exact verifier (doc_id < 40)
+    "x_cosine_near_dup",       # id-bounded exact verifier
+    "j_band_join",             # broadcast nested loop vs literal band table
+    "x_ivf_ann_topk",          # query x centroid assignment (centroids const)
+    "x_lsh_ann_topk",          # query x probe-mask literal relation
+    "x_cosine_topk",           # bounded query set x corpus (broadcast)
+    "q22_idle_rich_customers", # scalar avg threshold as a 1-row broadcast join
+}
+
+
+def test_registry_wide_plan_invariants(spark):
+    """Engine-wide sweep over EVERY registered query's optimized physical
+    plan: no row-at-a-time Python UDF ever appears (Python enters plans
+    only Arrow-batched), and no Cartesian/broadcast-nested-loop product
+    outside the documented bounded-side allow-list.  Catches the two
+    classic 100 TB scale-killers at registration time, not in production."""
+    failures = []
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF in plan")
+        has_product = (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        )
+        if has_product and name not in _CARTESIAN_ALLOWED:
+            failures.append(f"{name}: unexpected cartesian/nested-loop join")
+    assert not failures, "\n".join(failures)
