@@ -14,14 +14,15 @@ on an md5-hex prefix (both Spark and DuckDB emit lowercase hex), so every
 operator here is oracle-checkable with vanilla ANSI SQL.
 
 Scale shape: all operators are narrow (per-row predicates) except packing,
-which is a prefix-sum — one window shuffle over the ordering key, the
-documented cost.
+which is a prefix-sum — run distributed via exact bucket-offset stitching
+(see :func:`pack_sequential`), never a single-partition global window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 #: Hex-prefix width for sampling thresholds: 4 hex chars = 16-bit
 #: granularity (rates resolve to 1/65536).
@@ -91,7 +92,7 @@ def weighted_mix(
 
 
 def pack_sequential(
-    df: DataFrame, order_col: str, token_col: str, budget: int
+    df: DataFrame, order_col: str, token_col: str, budget: int, buckets: int | None = None
 ) -> DataFrame:
     """Context-window packing: assign docs (in ``order_col`` order) to
     consecutive packs of ~``budget`` tokens — ``pack_id = floor(
@@ -99,12 +100,68 @@ def pack_sequential(
     approximation (a doc may straddle a boundary; exact first-fit packing is
     inherently sequential and not worth a distributed pass).
 
-    One window prefix-sum is the whole cost; at 100 TB, range-partition by
-    ``order_col`` first and run the same expression per range with offset
-    stitching (the prefix-sum decomposes exactly)."""
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    running = F.sum(F.col(token_col)).over(w)
-    return df.select(
+    The global prefix sum runs DISTRIBUTED via exact offset stitching —
+    a single-partition ``Window.orderBy`` would funnel the whole corpus
+    through one task at scale:
+
+    1. one min/max aggregate over ``order_col`` (1-row driver fetch);
+    2. rows land in ``buckets`` contiguous ``order_col`` ranges by
+       arithmetic position (bucket index is monotone in ``order_col``,
+       so bucket-local order + bucket offsets = global order);
+    3. per-bucket running sums — a PARTITIONED window, all buckets in
+       parallel;
+    4. per-bucket token totals → cumulative offsets (bounded collect of
+       ``buckets`` rows);
+    5. global running sum = bucket offset (map literal lookup) + local
+       running sum.
+
+    The decomposition is exact for ANY boundary placement — skewed
+    ``order_col`` ranges affect parallelism, never results — so this is
+    value-identical to the naive global window (pinned in
+    ``tests/test_properties.py``) and keeps the DuckDB oracle unchanged.
+    Non-numeric ``order_col`` falls back to one bucket (the naive form)."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = spark.sparkContext.defaultParallelism
+    numeric = isinstance(df.schema[order_col].dataType, NumericType)
+    lo = hi = None
+    if numeric and buckets > 1:
+        stats = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).collect()[0]
+        lo, hi = stats["lo"], stats["hi"]
+    if lo is None or hi is None or lo == hi:
+        bucket = F.lit(0)
+    else:
+        span = float(hi) - float(lo) + 1.0
+        bucket = F.least(
+            F.floor((F.col(order_col) - F.lit(lo)).cast("double") / span * buckets),
+            F.lit(buckets - 1),
+        ).cast("int")
+    staged = df.select(order_col, token_col).withColumn("__b", bucket)
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local_run = F.sum(F.col(token_col)).over(w_local)
+    totals = {
+        r["__b"]: r["t"]
+        for r in staged.groupBy("__b").agg(F.sum(token_col).alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    if len(offsets) > 1:
+        off_map = F.create_map(
+            *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+        )
+        running = F.element_at(off_map, F.col("__b")) + local_run
+    else:
+        running = local_run
+    return staged.select(
         order_col,
         F.col(token_col),
         F.floor((running - F.col(token_col)) / F.lit(budget)).cast("long").alias("pack_id"),

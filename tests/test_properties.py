@@ -119,3 +119,39 @@ def test_merge_insert_if_absent_idempotent(spark, rows):
     assert (
         once.select("bucket", "id").subtract(source.select("bucket", "id")).count() == 0
     )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 400)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 7),
+)
+@SET
+def test_pack_distributed_equals_global_window(spark, rows, buckets):
+    """The bucket-stitched distributed prefix sum must assign every doc the
+    SAME pack as a naive single-partition global window, for arbitrary
+    (sparse, skewed) order keys and any bucket count."""
+    from pyspark.sql import Window
+
+    from kafka_streaming_spark.functions.sampling import pack_sequential
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequential(df, "doc_id", "n_tokens", budget=512, buckets=buckets).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r["doc_id"]: r["pack_id"]
+        for r in df.select(
+            "doc_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+            .cast("long")
+            .alias("pack_id"),
+        ).collect()
+    }
+    assert got == naive
