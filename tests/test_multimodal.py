@@ -151,3 +151,41 @@ def test_audio_features_real_wav(spark):
     for r in rows:
         assert r["energy"] == 64 * 1000 * 1000
         assert r["zero_crossings"] == 63
+
+
+def test_avi_roundtrip():
+    """Raw-frame AVI container: encode (n,h,w,3) frames, decode back to the
+    exact pixels and fps — including a width whose 3-byte rows need DIB
+    4-byte padding (w=5 -> 15-byte rows, 1 pad byte)."""
+    from kafka_streaming_spark.functions.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(6, 4, 5, 3), dtype=np.uint8)
+    data = encode_avi(frames, fps=10)
+    fps, back = decode_avi(data)
+    assert fps == 10
+    assert back.shape == frames.shape
+    assert np.array_equal(back, frames)
+
+
+def test_sample_frames_decodes_real_avi(spark):
+    """sample_frames on a real AVI payload must emit every_n-th DECODED
+    frame as a standalone PNG whose pixels equal the original frame."""
+    from kafka_streaming_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        decode_png,
+        encode_avi,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(9, 6, 6, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, "video/avi", bytearray(encode_avi(frames, fps=25)))], ASSET_SCHEMA
+    )
+    rows = {r["frame_idx"]: bytes(r["frame"]) for r in sample_frames(assets, every_n=4).collect()}
+    assert sorted(rows) == [0, 4, 8]
+    for idx, png in rows.items():
+        w, h, ch, pix = decode_png(png)
+        assert (w, h, ch) == (6, 6, 3)
+        assert np.array_equal(pix, frames[idx])
