@@ -3316,6 +3316,80 @@ def x_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(ids.mapInPandas(gen, gen_schema), window_bytes=128)
 
 
+@register(
+    "x_video_frame_stats",
+    """
+    WITH a AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n, 8 + doc_id % 5 AS h, 8 + doc_id % 6 AS w
+      FROM documents WHERE doc_id < 120
+    ), fr AS (
+      SELECT doc_id, h, w, unnest(generate_series(0, n - 1, 2)) AS f
+      FROM a
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(list_sum(flatten(list_transform(
+             generate_series(0, h*w - 1),
+             p -> list_transform([0, 1, 2],
+                    c -> (doc_id + 11*f + 3*(p // w) + 5*(p % w) + 29*c) % 256)
+           ))) AS BIGINT) AS pixel_sum
+    FROM fr
+    """,
+)
+def x_video_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Real AVI decode, end to end: deterministic gradient frame stacks are
+    encoded as genuine raw-frame AVI containers (RIFF/DIB), every 2nd frame
+    is extracted through ``sample_frames`` (which re-emits each as a real
+    PNG), the PNG is decoded back, and each sampled frame is reduced to its
+    pixel sum.  The oracle knows neither container — it recomputes expected
+    sums from the generation formula, so agreement proves the AVI encode →
+    parse → DIB unflip → PNG encode → decode chain byte-exact."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import (
+        decode_png,
+        encode_avi,
+        sample_frames,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, h, w = 4 + d % 5, 8 + d % 5, 8 + d % 6
+                f = np.arange(n).reshape(n, 1, 1, 1)
+                y = np.arange(h).reshape(1, h, 1, 1)
+                x = np.arange(w).reshape(1, 1, w, 1)
+                c = np.arange(3).reshape(1, 1, 1, 3)
+                px = ((d + 11 * f + 3 * y + 5 * x + 29 * c) % 256).astype(np.uint8)
+                payloads.append(encode_avi(px, fps=25))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "video/avi",
+                    "payload": payloads,
+                }
+            )
+
+    frames = sample_frames(ids.mapInPandas(gen, gen_schema), every_n=2)
+    png_sum = F.pandas_udf(
+        lambda b: b.map(lambda v: int(decode_png(v)[3].sum())), "long"
+    )
+    return frames.select("asset_id", "frame_idx", png_sum("frame").alias("pixel_sum"))
+
+
 # ===========================================================================
 # Driver ordering
 # ===========================================================================
@@ -3327,6 +3401,10 @@ def x_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
 # followed by the near-dup queries whose oracles are new this round, then
 # the long-green flagships.  Names absent from this list keep registration
 # order after it.
+
+# ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, rebuild this list as
+# (queries with no r1-r3 driver row, e.g. x_video_frame_stats) first, then
+# the least-recently-checked of the rest.
 
 DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked (local parity only through r2) ---------------
