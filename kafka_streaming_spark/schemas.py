@@ -102,8 +102,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     for cname, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            # NTZ wall-clock == UTC wall-clock under the pinned session zone.
+        if dtype in ("timestamp_ntz", "date"):
+            # NTZ wall-clock == UTC wall-clock under the pinned session
+            # zone; DATE → midnight-UTC timestamp (what DuckDB's epoch_ms
+            # yields for DATE too).  Either way downstream epoch arithmetic
+            # sees one type across testdata generations.
             df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
