@@ -60,3 +60,45 @@ def test_ivf_widening_nprobe_converges_to_exact(spark):
     bf = _pairs(S.brute_force_topk(emb, queries, k=K))
     full = _pairs(S.ivf_topk(emb, queries, k=K, n_centroids=8, nprobe=8))
     assert full == bf
+
+
+def test_pq_adc_recall_and_compression(spark):
+    """Product quantization: codebooks are deterministic, codes are m small
+    ints (the 64x-compressed representation), and ADC top-k against exact
+    L2 ground truth clears a recall floor on the near-uniform (worst-case)
+    testdata embeddings."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # 16 subspaces x 16 centroids = 64-bit codes (16x compression vs
+    # float32); finer subspaces beat bigger codebooks on near-uniform data
+    # (measured: 8x16 -> 0.08 recall, 8x256 -> 0.48, 16x16 -> 0.52).
+    books = S.pq_train_codebooks(emb, dim=64, m=16, k=16, sample=1024, iters=8)
+    books2 = S.pq_train_codebooks(emb, dim=64, m=16, k=16, sample=1024, iters=8)
+    assert books.shape == (16, 16, 4)
+    assert np.array_equal(books, books2)  # fully deterministic training
+
+    codes = S.pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    # exact L2 ground truth, computed independently in numpy
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    truth = set()
+    for r in rows:
+        if r["vec_id"] >= 5:
+            continue
+        q = np.array(list(r["embedding"]), dtype=np.float64)
+        d = ((X - q) ** 2).sum(1)
+        d[ids == r["vec_id"]] = np.inf
+        for j in np.argsort(d, kind="stable")[:K]:
+            truth.add((r["vec_id"], int(ids[j])))
+
+    got = _pairs(S.pq_topk(emb, queries, books, k=K))
+    assert len(got) == 5 * K
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"PQ recall {recall}"  # measured 0.52 (deterministic)
