@@ -73,6 +73,74 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(ngram)
 
 
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprints for exact-substring duplication detection
+    (the MOSS selection scheme): hash every ``span_tokens``-token span,
+    then keep the MINIMUM hash of each ``window`` of consecutive spans.
+    Winnowing guarantees every duplicated run of at least
+    ``span_tokens + window - 1`` tokens shares at least one selected
+    fingerprint between the two documents — unlike plain every-Nth
+    sampling, which can miss aligned duplicates entirely.
+
+    Pure Column expressions (transform/slice/array_min — one narrow pass,
+    fingerprint count ≈ |tokens| / density); ``hash_family="md5"`` uses
+    :func:`portable_hash60` so the whole selection is DuckDB-reproducible.
+    Returns one (id, fp) row per selected fingerprint."""
+    base = portable_hash60 if hash_family == "md5" else F.xxhash64
+    toks = tokens(F.lower(F.col(text_col)))
+    n_spans = F.greatest(F.size(toks) - (span_tokens - 1), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens)),
+    )
+    hashes = F.transform(spans, lambda s: base(s))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return spread(df).select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def duplicated_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    window: int = 4,
+    max_bucket: int = 50,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing duplicated token spans, with the count of
+    shared winnowing fingerprints — the exact-substring component of a
+    training-data dedup pass (catches copied paragraphs that MinHash's
+    whole-document Jaccard dilutes away).  One explode + one bounded
+    bucket self-join on the fingerprint (``max_bucket`` caps boilerplate
+    spans), same scale shape as the MinHash candidate join."""
+    fp = span_fingerprints(df, id_col, text_col, span_tokens, window, hash_family)
+    buckets = (
+        fp.groupBy("fp")
+        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    return (
+        buckets.select("fp", F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("fp", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     heldout: DataFrame,

@@ -3390,6 +3390,50 @@ def x_video_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     return frames.select("asset_id", "frame_idx", png_sum("frame").alias("pixel_sum"))
 
 
+@register(
+    "x_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                              i -> array_to_string(t[i:i+7], ' ')),
+               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+             ) AS hs
+      FROM toks
+    ), fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - 3, 1)),
+               i -> list_min(hs[i:i+3])))) AS fp
+      FROM h
+    ), buckets AS (
+      SELECT fp, list(doc_id) AS ids FROM fps
+      GROUP BY fp HAVING count(*) > 1 AND count(*) <= 50
+    ), half AS (
+      SELECT fp, unnest(ids) AS id_a, ids FROM buckets
+    ), cand AS (
+      SELECT fp, id_a, unnest(ids) AS id_b FROM half
+    )
+    SELECT id_a, id_b, count(*) AS shared_fps
+    FROM cand WHERE id_a < id_b
+    GROUP BY id_a, id_b
+    """,
+)
+def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication via winnowing fingerprints (8-token
+    spans, window 4): document pairs sharing at least one selected span
+    hash, with the shared-fingerprint count — the copied-paragraph detector
+    whole-document MinHash dilutes away.  Portable md5 hash family, so span
+    hashing, winnowing min-selection, bucket bound, and the pair counts are
+    all value-hash checked against the independent DuckDB pipeline."""
+    d = load_table(spark, sf, "documents")
+    return D.duplicated_span_pairs(d, hash_family="md5")
+
+
 # ===========================================================================
 # Driver ordering
 # ===========================================================================

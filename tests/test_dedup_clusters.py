@@ -135,3 +135,21 @@ def test_keep_best_per_cluster_invariants(spark):
     singles = [r for r in out if r["cluster_size"] == 1]
     assert all(r["kept_doc_id"] == r["cluster_id"] for r in singles)
     assert len(singles) == 12 - 5
+
+
+def test_span_dedup_winnowing_guarantee(spark):
+    """A duplicated run of span_tokens + window - 1 (= 11) tokens must
+    produce at least one shared winnowing fingerprint between the two
+    documents — the MOSS coverage guarantee — and unrelated docs none."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    docs = spark.createDataFrame(
+        [
+            (1, "unrelated prefix words here " + shared + " one tail"),
+            (2, "totally different start tokens " + shared + " another ending"),
+            (3, "no overlap with anything at all just some other filler text"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = D.duplicated_span_pairs(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["shared_fps"] >= 1 for r in pairs)
