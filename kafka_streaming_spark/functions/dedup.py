@@ -89,26 +89,52 @@ def span_fingerprints(
     fingerprint between the two documents — unlike plain every-Nth
     sampling, which can miss aligned duplicates entirely.
 
-    Pure Column expressions (transform/slice/array_min — one narrow pass,
-    fingerprint count ≈ |tokens| / density); ``hash_family="md5"`` uses
-    :func:`portable_hash60` so the whole selection is DuckDB-reproducible.
-    Returns one (id, fp) row per selected fingerprint."""
+    Pure Column expressions, built per stage as zip_with over SHIFTED
+    SLICES with a projection between stages: the naive
+    ``transform(sequence(i), f(slice(arr, i, k)))`` form re-evaluates the
+    upstream array expression per index (Catalyst does not CSE across HOF
+    lambda bodies — measured ~10× slower on the sf0.1 corpus, the same
+    lesson as ``text.bigrams``), while a k-way zip of shifted slices is k
+    linear passes.  ``hash_family="md5"`` uses :func:`portable_hash60` so
+    the whole selection is DuckDB-reproducible.  Returns one (id, fp) row
+    per selected fingerprint."""
     base = portable_hash60 if hash_family == "md5" else F.xxhash64
+
+    def join_ws(a: Column, b: Column) -> Column:
+        return F.concat_ws(" ", a, b)
+
+    def zip_tree(arrs: list[Column], combine) -> Column:
+        """Balanced binary zip_with fold; zip_with pads the shorter side
+        with null, which concat_ws/least both ignore — exactly the
+        truncated-slice semantics of the naive form for short documents."""
+        while len(arrs) > 1:
+            nxt = [
+                F.zip_with(arrs[i], arrs[i + 1], combine)
+                if i + 1 < len(arrs)
+                else arrs[i]
+                for i in range(0, len(arrs), 2)
+            ]
+            arrs = nxt
+        return arrs[0]
+
     toks = tokens(F.lower(F.col(text_col)))
-    n_spans = F.greatest(F.size(toks) - (span_tokens - 1), F.lit(1))
-    spans = F.transform(
-        F.sequence(F.lit(1), n_spans),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens)),
+    staged = spread(df).select(F.col(id_col), toks.alias("__t"))
+    n_spans = F.greatest(F.size(F.col("__t")) - (span_tokens - 1), F.lit(1))
+    spans = zip_tree(
+        [F.slice(F.col("__t"), j + 1, n_spans) for j in range(span_tokens)], join_ws
     )
-    hashes = F.transform(spans, lambda s: base(s))
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        )
+    staged = staged.select(F.col(id_col), spans.alias("__spans"))
+    staged = staged.select(
+        F.col(id_col), F.transform(F.col("__spans"), lambda s: base(s)).alias("__h")
     )
-    return spread(df).select(F.col(id_col), F.explode(fps).alias("fp"))
+    n_windows = F.greatest(F.size(F.col("__h")) - (window - 1), F.lit(1))
+    mins = zip_tree(
+        [F.slice(F.col("__h"), j + 1, n_windows) for j in range(window)],
+        lambda a, b: F.least(a, b),
+    )
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
 
 
 def duplicated_span_pairs(
