@@ -228,3 +228,50 @@ def chunk_documents(
             ),
         )
     )
+
+
+def hashed_feature_score(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+):
+    """Feature-hashed linear text scorer — the fasttext-style *hashing
+    trick* shape that any trained linear quality/toxicity/lang model runs
+    at corpus scale: token → hash bucket, per-bucket weight lookup, one
+    aggregated dot product per document.  No vocabulary table, no join,
+    constant memory regardless of token diversity; one explode + one
+    groupBy shuffle total.
+
+    The weight vector here is a deterministic md5-derived stand-in
+    (integer weights in [-1000, 1000], bucket ``b`` → hash of ``"w:b"``);
+    swap in trained weights as a literal map/broadcast without touching
+    the plan shape.  Accumulation is EXACT integer arithmetic with one
+    final IEEE division, so the score is bit-identical across engines and
+    row orders (the DuckDB oracle recomputes it independently).
+
+    Output: (id, n_tokens, model_score) with score = sum(w)/1000/n.
+    """
+    from kafka_streaming_spark.functions.dedup import portable_hash60
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    tok = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    bucket = F.pmod(portable_hash60(F.col("__tok")), F.lit(buckets))
+    w_int = F.pmod(
+        portable_hash60(F.concat(F.lit("w:"), bucket.cast("string"))), F.lit(2001)
+    ) - F.lit(1000)
+    return (
+        tok.select(F.col(id_col), w_int.alias("__w"))
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("__sw"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("__sw").cast("double")
+                / (F.lit(1000.0) * F.col("n_tokens").cast("double"))
+            ).alias("model_score"),
+        )
+    )

@@ -3391,6 +3391,36 @@ def x_video_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_quality_model_score",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('w:',
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 256
+                    AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000 AS wi
+      FROM tok
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(wi) AS DOUBLE) / (1000.0 * COUNT(*)) AS model_score
+    FROM w GROUP BY doc_id
+    """,
+)
+def x_quality_model_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality scoring via the feature-hashing trick (fasttext
+    shape): token → md5 bucket → deterministic integer weight → exact
+    integer dot product per doc, one IEEE division at the end.  The oracle
+    recomputes bucket assignment, weights, and accumulation independently;
+    at scale the md5 stand-in weights become a trained model's literal
+    weight map with the identical plan."""
+    d = load_table(spark, sf, "documents")
+    return T.hashed_feature_score(d)
+
+
+@register(
     "x_span_dedup",
     """
     WITH toks AS (
