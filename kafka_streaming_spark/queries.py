@@ -3477,8 +3477,9 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # order after it.
 
 # ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, rebuild this list as
-# (queries with no r1-r3 driver row, e.g. x_video_frame_stats) first, then
-# the least-recently-checked of the rest.
+# (queries with no r1-r3 driver row: x_video_frame_stats, x_span_dedup,
+# x_quality_model_score, plus whatever r3 left unchecked) first, then the
+# least-recently-checked of the rest.
 
 DRIVER_PRIORITY: list[str] = [
     # -- never driver-checked (local parity only through r2) ---------------
