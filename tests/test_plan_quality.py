@@ -218,3 +218,27 @@ def test_registry_wide_plan_invariants(spark):
         if has_product and name not in _CARTESIAN_ALLOWED:
             failures.append(f"{name}: unexpected cartesian/nested-loop join")
     assert not failures, "\n".join(failures)
+
+
+def test_span_dedup_partial_agg_and_no_products(spark):
+    """Span dedup: the fingerprint bucket aggregation must keep its partial
+    (map-side combine) phase before the one fingerprint exchange, and the
+    pair-count aggregation likewise — no nested-loop/cartesian anywhere."""
+    plan = plan_of(spark, "x_span_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_" in plan
+    # fingerprint bucket agg + pair-count agg: exactly two aggregation
+    # exchanges plus the spread() round-robin, nothing more
+    assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_quality_model_score_is_one_aggregation(spark):
+    """The hashing-trick scorer is one explode + one groupBy: a single
+    aggregation exchange (plus the input spread), partial sums map-side,
+    and a scan that reads only (doc_id, text)."""
+    plan = plan_of(spark, "x_quality_model_score")
+    assert n_nodes(plan, "Exchange") <= 2
+    assert "partial_sum" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema

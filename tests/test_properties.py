@@ -155,3 +155,21 @@ def test_pack_distributed_equals_global_window(spark, rows, buckets):
         ).collect()
     }
     assert got == naive
+
+
+def test_pack_non_numeric_order_falls_back_to_single_bucket(spark):
+    """String order keys can't be arithmetically bucketed; pack_sequential
+    must fall back to the one-bucket (naive) path and still assign correct
+    consecutive packs in lexicographic order."""
+    from kafka_streaming_spark.functions.sampling import pack_sequential
+
+    df = spark.createDataFrame(
+        [("a", 300), ("b", 300), ("c", 300), ("d", 300)],
+        "doc_key string, n_tokens long",
+    )
+    got = {
+        r["doc_key"]: r["pack_id"]
+        for r in pack_sequential(df, "doc_key", "n_tokens", budget=512).collect()
+    }
+    # running sums 300,600,900,1200 -> (run - tokens)/512 floors: 0,0,1,1
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1}
