@@ -1826,7 +1826,8 @@ def a_approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("price_p50_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("price_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -2023,7 +2024,7 @@ def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
     "a_array_agg",
     """
     SELECT user_id,
-           list_sort(list(event_id)) AS event_ids,
+           array_to_string(list_sort(list(event_id)), ',') AS event_ids,
            CAST(len(list(event_id)) AS BIGINT) AS n
     FROM events
     WHERE event_type = 'signup'
@@ -2032,10 +2033,15 @@ def q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
 )
 def a_array_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Array aggregation (collect_list) with a deterministic sort — arrays
-    as first-class output values, hash-compared element-wise."""
+    as first-class values, serialized with ``array_join`` to a canonical
+    string so the element-wise comparison survives the driver's pandas
+    canonicalizer (list cells are unhashable there)."""
     e = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("event_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("event_ids"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2201,7 +2207,7 @@ def x_doc_split(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "x_dataset_mix",
     """
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
           CASE source WHEN 'src0' THEN '4000' WHEN 'src1' THEN 'ffff'
@@ -2234,7 +2240,7 @@ def x_dataset_mix(spark: SparkSession, sf: str) -> DataFrame:
                          - n_tokens) / 512.0) AS BIGINT) AS pack_id
       FROM toks
     )
-    SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY pack_id
     """,
 )
@@ -2532,8 +2538,8 @@ def x_embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(CAST(ROUND(scale * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS scale_r,
-           list_aggregate(codes, 'sum') AS code_sum,
-           list_aggregate(list_transform(codes, c -> abs(c)), 'max') AS code_max
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           CAST(list_aggregate(list_transform(codes, c -> abs(c)), 'max') AS BIGINT) AS code_max
     FROM q
     """,
 )
@@ -3093,10 +3099,10 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     "q12_late_shipments",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY

@@ -94,3 +94,30 @@ def test_no_decimal_or_timestamp_outputs(spark, name):
         if isinstance(f.dataType, (DecimalType, TimestampType, TimestampNTZType))
     ]
     assert not bad, f"{name}: DECIMAL/TIMESTAMP output columns {bad}"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_container_outputs(spark, name):
+    """Canonicalization gate (round-3 lesson): the driver canonicalizes
+    results through a pandas sort, which raises ``unhashable type: 'list'``
+    on any array/map cell — the query loses even its rows/schema check.
+    Serialize arrays with ``array_join`` (a_array_agg shows the pattern)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    fn, _sql = REGISTRY[name]
+    schema = fn(spark, SF_SMALL).schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, (ArrayType, MapType))]
+    assert not bad, f"{name}: array/map output columns {bad} crash the driver canonicalizer"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_no_hugeint_or_list(duck, name):
+    """Canonicalization gate (round-3 lesson): DuckDB SUM(BIGINT) returns
+    HUGEINT, which pandas converts to float64 (2057.0) before the driver
+    hashes — mismatching Spark's 2057 even when values are identical.
+    Every integer aggregate in an oracle must be CAST(... AS BIGINT); list
+    outputs must be serialized to strings."""
+    _fn, sql = REGISTRY[name]
+    types = [str(t).upper() for t in duck.sql(sql).types]
+    bad = [t for t in types if "HUGEINT" in t or "[]" in t or t.startswith(("LIST", "MAP", "STRUCT"))]
+    assert not bad, f"{name}: oracle produces driver-hostile types {bad}; CAST/serialize them"
