@@ -570,11 +570,17 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rounded: bool = False,
 ) -> DataFrame:
     """Encode every vector as ``m`` small centroid indices — with the
     default 8×16 layout that is 8 codes (4 bits each) replacing 64 float32:
     a 64× memory reduction, the representation a billion-vector index
-    actually stores.  Arrow-batched argmin per subspace; one narrow pass."""
+    actually stores.  Arrow-batched argmin per subspace; one narrow pass.
+
+    ``rounded=True`` is the portable configuration: subspace distances are
+    rounded to 1e-6 (as scaled int64) before the argmin, ties break to the
+    lowest centroid id — every assignment decision is then reproducible
+    bit-for-bit by an independent engine (the DuckDB oracle)."""
     from pyspark.sql.functions import pandas_udf
 
     mm, kk, sub = codebooks.shape
@@ -586,7 +592,18 @@ def pq_encode(
         codes = np.zeros((len(X), mm), np.int32)
         for s in range(mm):
             Xs = X[:, s * sub : (s + 1) * sub]
-            codes[:, s] = ((Xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1).argmin(1)
+            # Sequential accumulation over the sub-dimension (not np.sum's
+            # pairwise order) — matches the oracle's left-to-right list_sum
+            # exactly, so the rounded argmin decisions are portable.
+            d2 = np.zeros((len(X), cb[s].shape[0]))
+            for i in range(sub):
+                diff = Xs[:, None, i] - cb[s][None, :, i]
+                d2 += diff * diff
+            if rounded:
+                d2 = np.round(d2 * 1e6).astype(np.int64)
+            # np.argmin ties -> first (lowest centroid id), matching the
+            # oracle's ORDER BY (dist, centroid_id) row_number pick.
+            codes[:, s] = d2.argmin(1)
         return pd.Series(list(codes))
 
     return corpus.select(F.col(id_col), enc(as_double(F.col(vec_col))).alias("codes"))
@@ -599,6 +616,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rounded: bool = False,
 ) -> DataFrame:
     """Approximate L2 top-k by asymmetric distance computation (ADC): each
     (bounded) query precomputes an ``(m, k_codebook)`` lookup table of
@@ -607,31 +625,39 @@ def pq_topk(
     table lookups and a sum, never a float-vector op.  Scale shape: the
     corpus-side scan touches 8 bytes/vector instead of 256, LUTs ride the
     closure (|Q|·m·k doubles), and the only shuffle is the final top-k per
-    query.  Output: (query_id, neighbor_id, l2_sq, rank)."""
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    query.  Output: (query_id, neighbor_id, l2_sq, rank).
+
+    ``rounded=True`` (the portable configuration): LUT entries become
+    ``round(dist * 1e6)`` int64, the ADC sum is EXACT integer arithmetic
+    (immune to float summation order across engines), and ``l2_sq`` is the
+    integer sum divided by 1e6 — so an independent engine reproduces every
+    distance and every rank decision bit-for-bit."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     mm, kc, sub = codebooks.shape
+    id_type = corpus.schema[id_col].dataType  # honor non-bigint id columns
     q_rows = queries.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
     ).collect()  # bounded query set — same contract as brute_force_topk
-    qids = np.array([r[id_col] for r in q_rows], np.int64)
+    qids = np.array([r[id_col] for r in q_rows])
     luts = np.zeros((len(q_rows), mm, kc))
     for qi, r in enumerate(q_rows):
         qv = np.array(r["v"])
         for s in range(mm):
-            luts[qi, s] = ((codebooks[s] - qv[s * sub : (s + 1) * sub]) ** 2).sum(-1)
+            # Same sequential order as pq_encode / the oracle's list_sum.
+            acc = np.zeros(kc)
+            for i in range(sub):
+                diff = codebooks[s][:, i] - qv[s * sub + i]
+                acc += diff * diff
+            luts[qi, s] = acc
+    if rounded:
+        luts = np.round(luts * 1e6).astype(np.int64)
 
-    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, rounded=rounded)
     out_schema = StructType(
         [
-            StructField("query_id", LongType(), False),
-            StructField("neighbor_id", LongType(), False),
+            StructField("query_id", id_type, False),
+            StructField("neighbor_id", id_type, False),
             StructField("l2_sq", DoubleType(), False),
         ]
     )
@@ -641,10 +667,13 @@ def pq_topk(
             codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
             ids = pdf[id_col].to_numpy()
             n = len(ids)
-            # (Q, n): sum over subspaces of LUT[q, s, codes[:, s]]
-            d = np.zeros((len(qids), n))
+            # (Q, n): sum over subspaces of LUT[q, s, codes[:, s]] —
+            # exact int64 accumulation in the rounded configuration.
+            d = np.zeros((len(qids), n), dtype=luts.dtype)
             for s in range(mm):
                 d += luts[:, s, codes[:, s]]
+            if rounded:
+                d = d / 1e6
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, n),

@@ -1154,6 +1154,72 @@ def x_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    """DuckDB replica of the FULL product-quantization ADC path in the
+    portable configuration: md5 hash-ordered codebook seeding (the iters=0
+    analog of the IVF portable config), scaled-int64 subspace distances
+    (round(d*1e6)) for both the corpus encoding argmin and the query LUTs,
+    EXACT integer ADC sums, top-5 by (distance, neighbor_id)."""
+    sq = (
+        "(a.vec[ss.s * 8 + i] - c.cvec[ss.s * 8 + i])"
+        " * (a.vec[ss.s * 8 + i] - c.cvec[ss.s * 8 + i])"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), cb AS (
+      SELECT vec AS cvec, row_number() OVER (ORDER BY hh) - 1 AS centroid_id
+      FROM (
+        SELECT vec, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) AS hh
+        FROM v ORDER BY hh LIMIT 16
+      )
+    ), subs AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ), sd AS (
+      SELECT a.vec_id, ss.s, c.centroid_id,
+             CAST(ROUND(list_sum(list_transform(generate_series(1, 8), i -> {sq}))
+                        * 1000000.0) AS BIGINT) AS dr
+      FROM v a CROSS JOIN cb c CROSS JOIN subs ss
+    ), enc AS (
+      SELECT vec_id, s, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dr, centroid_id) AS rn
+        FROM sd
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(q.dr) AS BIGINT) AS dscaled
+      FROM enc e JOIN sd q ON q.s = e.s AND q.centroid_id = e.centroid_id
+      WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(dscaled AS DOUBLE) / 1000000.0 AS l2_sq,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dscaled, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("x_pq_ann_topk", _pq_oracle())
+def x_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation — the
+    MEMORY scale path (8 codes/vector instead of 64 floats; a 100 TB corpus
+    scans ~3 TB in the compressed domain).  Registered in the portable
+    configuration (hash-seeded codebooks, scaled-integer distance rounding)
+    so codebook build + encoding + LUT scoring + ranking are all value-hash
+    checked against an independent DuckDB implementation; the Lloyd-trained
+    configuration's recall floor is pinned in tests/test_ann.py."""
+    emb = load_table(spark, sf, "embeddings")
+    books = S.pq_train_codebooks(emb, dim=64, m=8, k=16, sample=1024, iters=0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_topk(emb, queries, books, k=5, rounded=True)
+
+
 def _lsh_oracle() -> str:
     """DuckDB replica of the FULL multi-table hyperplane LSH path: md5-
     derived plane components, sign-bit bucket keys per table, radius-1
