@@ -1345,6 +1345,99 @@ def j_band_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", F.col("label").alias("price_band"))
 
 
+@register(
+    "j_interval_join",
+    """
+    SELECT p.event_id AS p_id, c.event_id AS c_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def j_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py), pinned
+    here in its batch shape — the SAME ``interval_join`` call, watermarks
+    no-ops on bounded input: every purchase matched to the user's clicks in
+    the preceding 30 minutes.  The time bound is what makes the streaming
+    form's state finite; the batch oracle proves the join semantics."""
+    from kafka_streaming_spark.streaming.joins import interval_join
+
+    e = load_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = interval_join(
+        purchases, clicks,
+        left_key="p_user", right_key="c_user",
+        left_ts="p_ts", right_ts="c_ts",
+        watermark="30 seconds", lookback="30 minutes", how="inner",
+    )
+    return joined.select(
+        "p_id",
+        "c_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
+    )
+
+
+@register(
+    "t_stateful_running",
+    """
+    SELECT CAST(user_id % 20 AS VARCHAR) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             AS cumulative_score
+    FROM events
+    GROUP BY user_id % 20
+    """,
+)
+def t_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``applyInPandasWithState`` custom stateful operator under the
+    driver's eye: a REAL availableNow streaming run over the events parquet
+    (the API refuses batch DataFrames), memory-sinked, update mode — the
+    final per-key state must equal the plain batch aggregate the oracle
+    computes.  Scores are integer cents so the Arrow-side accumulation is
+    exact (no float-order dependence)."""
+    import uuid
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from kafka_streaming_spark.streaming.stateful import running_counter
+
+    src_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf)
+        .select(
+            (F.col("user_id") % 20).cast("string").alias("group_id"),
+            F.round(F.col("value") * 100).cast("long").cast("double").alias("score"),
+        )
+    )
+    sink = f"t_stateful_running_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_counter(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("group_id", "event_count", "cumulative_score")
+
+
 _SESSION_GAP = "4 hours"
 
 _SESSIONIZE_CTE = """
@@ -2418,6 +2511,68 @@ def x_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _ZORDER_READY: set[str] = set()
+_BUCKETED_READY: set[str] = set()
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Once-per-session setup for :func:`j_bucketed_join`: write orders and
+    customer as 16-bucket hash-bucketed catalog tables on the customer key
+    (``ops.layout.write_bucketed``) under ``.tmp``.  Bucketing is the
+    pre-paid shuffle — at 100 TB you pay it once per ingest, and every
+    later equi-join on the key plans with no Exchange; here the write is
+    the once-per-session analog, so the registered query measures the
+    co-located JOIN, not its own setup."""
+    import os as _os
+
+    tag = _os.path.basename(sf.rstrip("/")).replace(".", "_")
+    to, tc = f"bj_orders_{tag}", f"bj_customer_{tag}"
+    if tag in _BUCKETED_READY:
+        return to, tc
+    from kafka_streaming_spark.ops.layout import write_bucketed
+
+    base = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"bucketed_{tag}",
+    )
+    write_bucketed(
+        load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        to, 16, ["o_custkey"], path=f"{base}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        tc, 16, ["c_custkey"], path=f"{base}/customer",
+    )
+    _BUCKETED_READY.add(tag)
+    return to, tc
+
+
+@register(
+    "j_bucketed_join",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-free co-located join on pre-bucketed tables: both sides are
+    hash-bucketed 16 ways on the customer key, so the sort-merge join reads
+    bucket i against bucket i with NO Exchange below the join — the plan is
+    gated in tests/test_plan_quality.py.  The ``merge`` hint only rules out
+    a broadcast plan (which would mask whether co-location was proven);
+    values must equal the plain-join oracle."""
+    to, tc = ensure_bucketed_tables(spark, sf)
+    joined = spark.table(to).join(
+        spark.table(tc).hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
 
 
 def ensure_zorder_layout(spark: SparkSession, sf: str) -> str:

@@ -242,3 +242,19 @@ def test_quality_model_score_is_one_aggregation(spark):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     for unused in ("lang", "source", "n_chars"):
         assert unused not in read_schema
+
+
+def test_bucketed_join_query_no_exchange_below_join(spark):
+    """j_bucketed_join's contract: both scans are bucketed, the sort-merge
+    join has NO Exchange below it (co-location proven from catalog
+    metadata), and the only shuffle in the whole plan is the final
+    per-segment aggregate's."""
+    plan = plan_of(spark, "j_bucketed_join")
+    assert "Bucketed: true" in plan
+    assert n_nodes(plan, "SortMergeJoin") == 1
+    assert n_nodes(plan, "Exchange") == 1  # the groupBy(c_mktsegment) agg only
+    (smj,) = node_ids(plan, "SortMergeJoin")
+    (ex,) = node_ids(plan, "Exchange")
+    # Formatted-plan ids number children before parents, so "above the
+    # join" means a LARGER node id than the SMJ's.
+    assert ex > smj, f"Exchange (node {ex}) must sit above the join (node {smj})"
