@@ -293,6 +293,9 @@ def signatures_arrow(
     def sig(hs: pd.Series) -> pd.Series:
         out = []
         for arr in hs:
+            if arr is None:  # null text -> null hashes array, like the
+                out.append([None] * num_hashes)  # pure-Column form yields
+                continue
             h = np.asarray(arr, dtype=np.int64)
             if h.size == 0:
                 out.append([None] * num_hashes)
@@ -439,7 +442,13 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     smaller keeps every root the component min).  Caller guarantees the
     edge count is bounded; ``a <= b`` keeps one orientation per undirected
     edge while retaining self-loop-only nodes."""
-    rows = edges.filter(F.col("a") <= F.col("b")).collect()
+    # Arrow transfer into two flat columns (16 bytes/edge in the Arrow
+    # buffer) instead of collect()'s Row objects (100+ bytes/edge, which
+    # made the old 4M default a near-GB driver allocation, not the ~64 MB
+    # its docstring claimed).
+    tbl = edges.filter(F.col("a") <= F.col("b")).toArrow()
+    col_a = tbl.column("a").to_pylist()
+    col_b = tbl.column("b").to_pylist()
     parent: dict = {}
 
     def find(x):
@@ -451,8 +460,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        ra, rb = find(r["a"]), find(r["b"])
+    for ea, eb in zip(col_a, col_b):
+        ra, rb = find(ea), find(eb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
@@ -499,8 +508,11 @@ def dedup_clusters(
     Jaccard verification prunes further), so after the one distributed
     edge-materialization it is usually a SMALL graph.  When the symmetric
     edge count is at or below this limit the components are solved by a
-    driver-side union-find in one pass (≤ ~64 MB of id pairs at the 4M
-    default) instead of paying O(log diameter) rounds of distributed joins
+    driver-side union-find in one pass (the Arrow-collected edge columns
+    are 16 bytes/edge — 64 MB at the 4M default — plus transient Python
+    int/dict overhead of a few hundred MB worst-case; size the limit to
+    your driver heap) instead of paying O(log diameter) rounds of
+    distributed joins
     whose fixed per-job latency dominates at that size.  Larger graphs — or
     ``small_graph_limit=0`` — take the distributed pointer-jumping loop
     below, which scales to graphs that never fit one machine.

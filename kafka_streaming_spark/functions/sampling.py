@@ -119,7 +119,15 @@ def pack_sequential(
     ``order_col`` ranges affect parallelism, never results — so this is
     value-identical to the naive global window (pinned in
     ``tests/test_properties.py``) and keeps the DuckDB oracle unchanged.
-    Non-numeric ``order_col`` falls back to one bucket (the naive form)."""
+    Non-numeric ``order_col`` falls back to one bucket (the naive form).
+
+    DETERMINISM REQUIREMENT: steps 1 and 4 are separate eager jobs over
+    ``df``, and their literal results are baked into the final pass — the
+    input must therefore return the same rows on re-execution.  Parquet /
+    Delta sources qualify; a ``.sample()`` without a seed, a shuffled
+    ``LIMIT``, or files mutating under re-read do NOT — ``.cache()`` or
+    checkpoint such inputs first, or the baked offsets can disagree with
+    the rows the final pass sees and pack_ids come out silently wrong."""
     spark = df.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism

@@ -153,3 +153,32 @@ def test_span_dedup_winnowing_guarantee(spark):
     pairs = D.duplicated_span_pairs(docs).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     assert all(r["shared_fps"] >= 1 for r in pairs)
+
+
+def test_arrow_signatures_null_and_empty_text(spark):
+    """A null hashes array (e.g. from a joined source with missing docs)
+    must yield a [null]*num_hashes signature from the Arrow kernel — same
+    as the pure-Column form — instead of crashing the whole job on
+    np.asarray(None) (round-3 advice)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull() & (F.length("text") > 0),
+               D.shingle_hashes(F.col("text"), 3, "md5")).alias("hs"),
+    )
+    sql_sig = {
+        r["doc_id"]: r["sig"]
+        for r in hashed.select(
+            "doc_id", D.signature_from_hashes(F.col("hs"), 8).alias("sig")
+        ).collect()
+    }
+    arrow_sig = {
+        r["doc_id"]: r["sig"]
+        for r in D.signatures_arrow(hashed, "doc_id", "hs", 8).collect()
+    }
+    assert arrow_sig[2] == [None] * 8
+    assert arrow_sig[3] == [None] * 8
+    assert arrow_sig == sql_sig
