@@ -3703,68 +3703,74 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # the long-green flagships.  Names absent from this list keep registration
 # order after it.
 
-# ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, rebuild this list as
-# (queries with no r1-r3 driver row: x_video_frame_stats, x_span_dedup,
-# x_quality_model_score, plus whatever r3 left unchecked) first, then the
-# least-recently-checked of the rest.
+# ROUND-4 ROTATION (CORRECTNESS_r03 digested): r3 checked 50 keys — 44
+# green, 6 non-green (all six root-caused as oracle-typing/canonicalizer
+# defects and FIXED this round).  This window = those 6 (to convert their
+# rows to green) + the 3 post-r3-freeze queries + the 4 new round-4
+# registrations (none has ever had a driver row) + 37 of the 41 queries
+# last checked in round 2.  The four r2-green names left out to fit
+# (q4_priority_count, s_set_union, a_distinct_count, t_session_window)
+# are all long-green, keep strict local parity via
+# tests/test_oracle_parity.py, and rotate back in next round.
+# ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
+# registrations, then the four names above, then the r3-green set
+# (least-recently-checked first).
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked (local parity only through r2) ---------------
-    "a_grouping_sets",
-    "a_salted_agg",
-    "a_approx_sketch",
-    "p_explode_pack",
-    "j_cross_join",
-    "w_first_last_value",
-    "q6_revenue_change",
-    "q14_promo_share",
-    "q19_disjunctive_join",
-    "a_array_agg",
-    "f_json_struct",
-    "f_regex_pack",
-    "q_supplier_top_per_nation",
-    "x_doc_sample_uniform",
-    "x_doc_sample_stratified",
-    "x_doc_split",
+    # -- r3 non-green, fixed this round (oracle typing / array outputs) ----
+    "q12_late_shipments",
     "x_dataset_mix",
     "x_token_pack",
-    "x_topk_bigrams",
-    "x_pii_scan",
-    "x_zorder_scan",
-    "x_decontaminate",
-    "x_doc_repetition",
-    "x_embedding_normalize",
     "x_embedding_quantize",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q20_part_suppliers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q16_supplier_count",
-    # -- oracles added in round 3 (portable md5 hash family) ---------------
-    "x_minhash_near_dup",
-    "x_simhash",
-    "x_dedup_clusters",
-    "x_ivf_ann_topk",
-    "x_lsh_ann_topk",
-    # -- new round-3 queries, never driver-checked -------------------------
-    "x_dedup_keep_best",
-    "x_doc_chunk",
-    "x_image_pixel_stats",
-    "x_audio_energy",
-    # -- long-green flagships (2 rounds of driver history; the rest of the
-    # -- previously-green 50 rotated out to fit the rows above — all keep
-    # -- strict local parity via tests/test_oracle_parity.py ---------------
-    "q1_pricing_summary",
-    "a_group_agg",
-    "j_merge_insert_if_absent",
-    "x_doc_exact_dedup",
+    "a_array_agg",
+    "a_approx_sketch",
+    # -- registered after the r3 freeze: zero driver rows ever -------------
+    "x_video_frame_stats",
+    "x_quality_model_score",
+    "x_span_dedup",
+    # -- new in round 4: zero driver rows ever -----------------------------
+    "x_pq_ann_topk",
+    "j_interval_join",
+    "t_stateful_running",
+    "j_bucketed_join",
+    # -- last checked in round 2 (least-recently-checked remainder) --------
+    "p_parse_project",
+    "f_filter_routing",
+    "f_scalar_pack",
+    "d_datetime_pack",
+    "w_latest_per_key",
+    "w_topk_per_group",
+    "l_pagination",
+    "q3_revenue_by_segment",
+    "j_semi_join",
+    "j_anti_join",
+    "s_set_intersect",
+    "s_set_except",
+    "x_doc_fingerprint",
+    "x_doc_lang_id",
+    "x_doc_bpe_tokens",
+    "j_band_join",
+    "t_sessionize",
+    "x_image_meta",
+    "q13_cust_distribution",
+    "q22_idle_rich_customers",
+    "a_incremental_fold",
+    "t_tumbling_window",
+    "g_rollup",
+    "q5_region_rollup",
+    "x_doc_token_stats",
+    "x_doc_quality",
+    "x_ngram_jaccard_pairs",
+    "x_cosine_topk",
+    "x_cosine_near_dup",
+    "j_asof_join",
+    "w_analytic_pack",
+    "w_moving_avg",
+    "a_percentiles",
+    "a_pivot",
+    "a_cube",
+    "q18_large_orders",
+    "t_sliding_window",
 ]
 
 
