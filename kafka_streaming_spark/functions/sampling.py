@@ -91,6 +91,46 @@ def weighted_mix(
     )
 
 
+def epoch_shuffle(df: DataFrame, key_col: str, seed: str = "0") -> DataFrame:
+    """Deterministic training-order shuffle: every row gets ``epoch_pos`` =
+    its 1-based rank under ``ORDER BY md5(seed || ':' || key)`` — a
+    reproducible random permutation per epoch seed (change the seed, get an
+    independent order; rerun a failed stage, get the SAME order — the
+    property ``rand()``-based shuffles lose under retry).
+
+    The global rank is computed DISTRIBUTED, never through a
+    single-partition window: the first two hex chars of the sort key split
+    rows into 256 ranges that are PREFIXES of the global order, so
+    per-range ``row_number`` + exact range offsets (one 256-row collect)
+    stitch into the exact global rank — the same decomposition as
+    :func:`pack_sequential`, with the same input-determinism requirement
+    (the offset job and the final pass must see the same rows)."""
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    staged = df.withColumn("__hk", hk).withColumn(
+        "__b", F.conv(F.substring("__hk", 1, 2), 16, 10).cast("int")
+    )
+    counts = {
+        r["__b"]: r["n"]
+        for r in staged.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    local_rn = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__hk", key_col)
+    )
+    if len(offsets) > 1:
+        off_map = F.create_map(
+            *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+        )
+        pos = F.element_at(off_map, F.col("__b")) + local_rn
+    else:
+        pos = local_rn.cast("long")
+    return staged.select(*df.columns, pos.cast("long").alias("epoch_pos"))
+
+
 def pack_sequential(
     df: DataFrame, order_col: str, token_col: str, budget: int, buckets: int | None = None
 ) -> DataFrame:

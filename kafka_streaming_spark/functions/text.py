@@ -76,6 +76,27 @@ def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) 
     return F.regexp_count(F.lower(text), F.lit(pattern)) / token_count(text)
 
 
+def funnel_flags(text: Column, n_chars: Column) -> tuple[Column, Column, Column]:
+    """Cumulative pass/fail flags for the standard corpus-filter funnel —
+    length floor, then alphabetic density ≥ 0.55, then stopword density
+    ≥ 0.02 — each stage ANDed with the previous (a doc counted at stage k
+    passed stages 1..k, which is what a filtering report reads).
+
+    Thresholds compare in EXACT integer arithmetic (``alpha*10000 >=
+    len*5500`` instead of ``alpha/len >= 0.55``) so the decisions are
+    bit-identical across engines — no float-division boundary risk."""
+    alpha_len = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    char_len = F.length(text)
+    stop_hits = F.regexp_count(
+        F.lower(text), F.lit(r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b")
+    )
+    tok = token_count(text)
+    c1 = n_chars >= F.lit(180)
+    c2 = c1 & (alpha_len * 10000 >= char_len * 5500)
+    c3 = c2 & (stop_hits * 100 >= tok * 2)
+    return c1, c2, c3
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1]-ish quality score: alphabetic density weighted with
     stopword plausibility — a deterministic stand-in for trained quality

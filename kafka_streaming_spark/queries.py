@@ -2417,6 +2417,63 @@ def x_token_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_epoch_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS epoch_pos
+    FROM documents
+    """,
+)
+def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle: reproducible random training order as
+    rank under md5(seed || doc_id) — rerun-stable where rand() is not, and
+    a new independent permutation per seed.  The exact global rank is
+    computed via 256 hash-prefix ranges + offset stitching (one 256-row
+    collect), NEVER a single-partition window — plan-gated in
+    tests/test_plan_quality.py."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return SP.epoch_shuffle(d, "doc_id", seed="ep0").select("doc_id", "epoch_pos")
+
+
+@register(
+    "x_quality_funnel",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN n_chars >= 180 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len_ok,
+           CAST(SUM(CASE WHEN n_chars >= 180
+                      AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+                          >= length(text) * 5500
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+           CAST(SUM(CASE WHEN n_chars >= 180
+                      AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+                          >= length(text) * 5500
+                      AND len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) * 100
+                          >= len(regexp_split_to_array(trim(text), '\\s+')) * 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok
+    FROM documents
+    GROUP BY source
+    """,
+)
+def x_quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-filter funnel report: per source, how many docs survive each
+    successive filter stage (length floor → alpha density → stopword
+    density) — the per-stage drop accounting every production filtering
+    pipeline publishes.  One pass, conditional aggregation, exact integer
+    threshold arithmetic (functions.text.funnel_flags)."""
+    d = load_table(spark, sf, "documents")
+    c1, c2, c3 = T.funnel_flags(F.col("text"), F.col("n_chars"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(c1.cast("long")).alias("n_len_ok"),
+        F.sum(c2.cast("long")).alias("n_alpha_ok"),
+        F.sum(c3.cast("long")).alias("n_stopword_ok"),
+    )
+
+
+@register(
     "x_topk_bigrams",
     """
     WITH toks AS (
@@ -3709,7 +3766,8 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # rows to green) + the 3 post-r3-freeze queries + the 4 new round-4
 # registrations (none has ever had a driver row) + 37 of the 41 queries
 # last checked in round 2.  The four r2-green names left out to fit
-# (q4_priority_count, s_set_union, a_distinct_count, t_session_window)
+# (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
+# q18_large_orders, t_sliding_window)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
@@ -3733,6 +3791,8 @@ DRIVER_PRIORITY: list[str] = [
     "j_interval_join",
     "t_stateful_running",
     "j_bucketed_join",
+    "x_epoch_shuffle",
+    "x_quality_funnel",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -3769,8 +3829,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_percentiles",
     "a_pivot",
     "a_cube",
-    "q18_large_orders",
-    "t_sliding_window",
 ]
 
 

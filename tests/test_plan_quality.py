@@ -258,3 +258,12 @@ def test_bucketed_join_query_no_exchange_below_join(spark):
     # Formatted-plan ids number children before parents, so "above the
     # join" means a LARGER node id than the SMJ's.
     assert ex > smj, f"Exchange (node {ex}) must sit above the join (node {smj})"
+
+
+def test_epoch_shuffle_no_single_partition_window(spark):
+    """The global rank must come from 256 hash-prefix ranges + offset
+    stitching — a plan with Exchange SinglePartition means the whole corpus
+    funneled through one task for the window sort."""
+    plan = plan_of(spark, "x_epoch_shuffle")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-range row_number
