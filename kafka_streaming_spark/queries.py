@@ -1220,6 +1220,96 @@ def x_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.pq_topk(emb, queries, books, k=5, rounded=True)
 
 
+def _ivfpq_oracle() -> str:
+    """DuckDB replica of the FULL IVF-PQ path: the same md5 hash-ordered 16
+    vectors serve as IVF coarse centroids AND PQ codebook rows (identical
+    seeding on the Spark side), corpus routed by rounded-cosine argmax,
+    PQ-encoded by scaled-int argmin, queries probe their top-4 lists, ADC
+    distances are exact integer sums over the probed candidates only."""
+    cr = _COS_R.format(a="a.vec", b="c.cvec")
+    sq = (
+        "(a.vec[ss.s * 8 + i] - c.cvec[ss.s * 8 + i])"
+        " * (a.vec[ss.s * 8 + i] - c.cvec[ss.s * 8 + i])"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), cb AS (
+      SELECT vec AS cvec, row_number() OVER (ORDER BY hh) - 1 AS centroid_id
+      FROM (
+        SELECT vec, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) AS hh
+        FROM v ORDER BY hh LIMIT 16
+      )
+    ), ascore AS (
+      SELECT a.vec_id, c.centroid_id, {cr} AS cr
+      FROM v a CROSS JOIN cb c
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore WHERE vec_id < 5
+      ) WHERE rn <= 4
+    ), subs AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ), sd AS (
+      SELECT a.vec_id, ss.s, c.centroid_id,
+             CAST(ROUND(list_sum(list_transform(generate_series(1, 8), i -> {sq}))
+                        * 1000000.0) AS BIGINT) AS dr
+      FROM v a CROSS JOIN cb c CROSS JOIN subs ss
+    ), enc AS (
+      SELECT vec_id, s, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dr, centroid_id) AS rn
+        FROM sd
+      ) WHERE rn = 1
+    ), cand AS (
+      SELECT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l USING (centroid_id)
+      WHERE p.query_id <> l.neighbor_id
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(q.dr) AS BIGINT) AS dscaled
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.neighbor_id
+      JOIN sd q ON q.vec_id = c.query_id AND q.s = e.s
+               AND q.centroid_id = e.centroid_id
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(dscaled AS DOUBLE) / 1000000.0 AS l2_sq,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dscaled, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("x_ivfpq_ann_topk", _ivfpq_oracle())
+def x_ivfpq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composite ANN (FAISS ``IVF16,PQ8`` analog): coarse quantizer
+    routes the corpus into inverted lists, vectors stored as 8 PQ codes,
+    queries probe 4 of 16 lists and score candidates in the compressed
+    domain via exact-integer ADC — combining the scan-fraction win of IVF
+    with the bytes-per-vector win of PQ.  The ADC sum is a Catalyst
+    ``aggregate`` over a broadcast LUT literal (no Python in the scoring
+    path); the full route-encode-probe-score pipeline is value-hash checked
+    against an independent DuckDB implementation."""
+    emb = load_table(spark, sf, "embeddings")
+    books = S.pq_train_codebooks(emb, dim=64, m=8, k=16, sample=1024, iters=0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivfpq_topk(
+        emb, queries, books, k=5, n_centroids=16, nprobe=4, family="md5", rounded=True
+    )
+
+
 def _lsh_oracle() -> str:
     """DuckDB replica of the FULL multi-table hyperplane LSH path: md5-
     derived plane components, sign-bit bucket keys per table, radius-1
@@ -3767,7 +3857,7 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # registrations (none has ever had a driver row) + 37 of the 41 queries
 # last checked in round 2.  The four r2-green names left out to fit
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
-# q18_large_orders, t_sliding_window)
+# q18_large_orders, t_sliding_window, a_cube)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
@@ -3793,6 +3883,7 @@ DRIVER_PRIORITY: list[str] = [
     "j_bucketed_join",
     "x_epoch_shuffle",
     "x_quality_funnel",
+    "x_ivfpq_ann_topk",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -3828,7 +3919,6 @@ DRIVER_PRIORITY: list[str] = [
     "w_moving_avg",
     "a_percentiles",
     "a_pivot",
-    "a_cube",
 ]
 
 

@@ -102,3 +102,25 @@ def test_pq_adc_recall_and_compression(spark):
     assert len(got) == 5 * K
     recall = len(truth & got) / len(truth)
     assert recall >= 0.4, f"PQ recall {recall}"  # measured 0.52 (deterministic)
+
+
+def test_ivfpq_composition_properties(spark):
+    """IVF-PQ sanity: (a) returns k rows per query; (b) probing ALL lists
+    makes IVF-PQ equal plain PQ top-k on the same codebooks (the routing
+    only ever prunes candidates, never rescores them); (c) the registry's
+    rounded config is deterministic across runs."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = S.pq_train_codebooks(emb, dim=64, m=8, k=16, sample=1024, iters=0)
+
+    got = _pairs(S.ivfpq_topk(emb, queries, books, k=K, n_centroids=16, nprobe=4))
+    assert len(got) == 5 * K
+
+    all_lists = _pairs(
+        S.ivfpq_topk(emb, queries, books, k=K, n_centroids=16, nprobe=16)
+    )
+    pq_full = _pairs(S.pq_topk(emb, queries, books, k=K, rounded=True))
+    assert all_lists == pq_full
+
+    again = _pairs(S.ivfpq_topk(emb, queries, books, k=K, n_centroids=16, nprobe=4))
+    assert got == again

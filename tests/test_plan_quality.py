@@ -195,6 +195,7 @@ _CARTESIAN_ALLOWED = {
     "x_cosine_near_dup",       # id-bounded exact verifier
     "j_band_join",             # broadcast nested loop vs literal band table
     "x_ivf_ann_topk",          # query x centroid assignment (centroids const)
+    "x_ivfpq_ann_topk",        # same bounded centroid assignment as IVF
     "x_lsh_ann_topk",          # query x probe-mask literal relation
     "x_cosine_topk",           # bounded query set x corpus (broadcast)
     "q22_idle_rich_customers", # scalar avg threshold as a 1-row broadcast join
