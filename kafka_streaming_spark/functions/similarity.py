@@ -472,6 +472,70 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.2,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    family: str = "md5",
+) -> DataFrame:
+    """SemDedup (Abbas et al., 2023): semantic deduplication by clustering
+    embeddings, then dropping within-cluster near-duplicates above a cosine
+    threshold, keeping the lowest-id representative of each duplicate
+    group (greedy-by-id, so the kept set is deterministic).
+
+    Scale shape — the whole point of the algorithm: pairwise comparison
+    happens ONLY inside a cluster, never across the corpus.  Cluster count
+    is chosen ∝ N/target_cluster_size (FAISS k-means at ~100k vectors per
+    cluster in the paper), so the per-cluster self-join is bounded work;
+    the corpus shuffles once on ``cluster_id`` and both join sides are
+    co-partitioned by it.  Centroids here are the deterministic md5-seeded
+    stand-in shared with the IVF index (swap in trained k-means centroids
+    without touching the plan); assignment + pair decisions use 6-digit
+    rounded cosine so an independent DuckDB oracle reproduces the kept set
+    bit-identically.
+
+    Output: one row per vector — ``(id, cluster_id, max_sim_lower,
+    kept)`` where ``max_sim_lower`` is the max rounded cosine to any
+    lower-id cluster-mate (sentinel -2.0 when none) and ``kept = 1`` iff
+    that max is below ``threshold``.
+    """
+    cents = ivf_centroids(corpus, n_clusters, id_col, vec_col, family=family)
+    assigned = ivf_assign(
+        spread(corpus), cents, id_col, vec_col, nprobe=1, rounded=True
+    ).select(F.col(id_col), F.col("centroid_id").alias("cluster_id"), F.col("__v"))
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("cluster_id"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col("cluster_id"), F.col("__v").alias("__vb")
+    )
+    lowmax = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__ida") > F.col("__idb"))
+        .select(
+            F.col("__ida"),
+            round6(cosine(F.col("__va"), F.col("__vb"))).alias("__sim"),
+        )
+        .groupBy("__ida")
+        .agg(F.max("__sim").alias("max_sim_lower"))
+    )
+    return (
+        assigned.join(lowmax, assigned[id_col] == lowmax["__ida"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.coalesce(F.col("max_sim_lower"), F.lit(-2.0)).alias("max_sim_lower"),
+            (
+                F.coalesce(F.col("max_sim_lower"), F.lit(-2.0)) < F.lit(threshold)
+            )
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an embedding (array<double>); zero vectors pass
     through unchanged (guard against division by zero).  Normalized

@@ -251,6 +251,71 @@ def chunk_documents(
     )
 
 
+def bigram_lm_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Add-one-smoothed bigram language-model scoring — the KenLM-style
+    corpus-quality signal every large filtering pipeline runs: fit bigram /
+    unigram counts over the corpus itself, then score each document by its
+    mean smoothed bigram probability ``p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)``.
+
+    Probabilities are held in EXACT integer micro-units — ``p_micro =
+    (1_000_000 * (cb+1)) DIV (cw+V)`` — and the per-document mean is an
+    integer division of integer sums, so the result is bit-identical across
+    engines, partitionings, and row orders (no float log/exp in either
+    engine's path).
+
+    100 TB shape: two explode+count shuffles build the model (bigram and
+    unigram count tables, partial-aggregated map-side); scoring joins the
+    doc-bigram stream to the bigram counts on the bigram key (the count
+    table is co-partitioned by the same key it was just aggregated on) and
+    to the unigram counts on the leading word; the single-row vocabulary
+    size is broadcast.  Head-bigram skew in the scoring join is AQE's
+    skew-join case.  Output: one row per document with ≥1 bigram —
+    ``(id, n_bigrams, lm_score_micro)``.
+    """
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    toks = spread(df).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    uni = toks.select(F.explode("__t").alias("__w"))
+    ucnt = uni.groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("__v"))
+    n_pairs = F.greatest(F.size("__t") - 1, F.lit(0))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, n_pairs),
+                F.slice("__t", 2, n_pairs),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("__bigram"),
+    )
+    bcnt = bg.groupBy("__bigram").agg(F.count(F.lit(1)).alias("__cb"))
+    scored = (
+        bg.join(bcnt, "__bigram")
+        .join(ucnt, F.split(F.col("__bigram"), " ").getItem(0) == F.col("__w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.expr("(1000000 * (__cb + 1)) DIV (__cw + __v)").alias("__p_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("__p_micro").alias("__sp"))
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.expr("__sp DIV n_bigrams").alias("lm_score_micro"),
+        )
+    )
+
+
 def hashed_feature_score(
     df,
     id_col: str = "doc_id",

@@ -1154,6 +1154,57 @@ def x_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle(threshold: float = 0.2) -> str:
+    """DuckDB replica of the FULL SemDedup path: md5-seeded centroids,
+    rounded-cosine single assignment (centroid_id tiebreak), within-cluster
+    pairwise rounded cosine against lower-id mates, keep-below-threshold."""
+    cr = _COS_R.format(a="a.vec", b="c.cvec")
+    ps = _COS_R.format(a="x.vec", b="y.vec")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), cents AS (
+      SELECT vec AS cvec, row_number() OVER (ORDER BY hh) - 1 AS centroid_id
+      FROM (
+        SELECT vec, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) AS hh
+        FROM v ORDER BY hh LIMIT 16
+      )
+    ), ascore AS (
+      SELECT a.vec_id, a.vec, c.centroid_id, {cr} AS cr
+      FROM v a CROSS JOIN cents c
+    ), asgn AS (
+      SELECT vec_id, vec, centroid_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ), lowmax AS (
+      SELECT x.vec_id, MAX({ps}) AS max_sim_lower
+      FROM asgn x JOIN asgn y
+        ON x.cluster_id = y.cluster_id AND x.vec_id > y.vec_id
+      GROUP BY x.vec_id
+    )
+    SELECT asgn.vec_id, asgn.cluster_id,
+           coalesce(lowmax.max_sim_lower, -2.0) AS max_sim_lower,
+           CAST(coalesce(lowmax.max_sim_lower, -2.0) < {threshold} AS BIGINT) AS kept
+    FROM asgn LEFT JOIN lowmax ON asgn.vec_id = lowmax.vec_id
+    """
+
+
+@register("x_semdedup", _semdedup_oracle())
+def x_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDedup: embedding-cluster semantic dedup — cluster via the shared
+    md5-seeded quantizer, drop within-cluster near-duplicates above the
+    cosine threshold, keep the lowest-id representative.  Pairwise work is
+    confined inside clusters (the algorithm's scale contract; see
+    :func:`kafka_streaming_spark.functions.similarity.semdedup`); the
+    whole pipeline — seeding, assignment, pair scoring, keep decision — is
+    value-hash checked against an independent DuckDB implementation."""
+    return S.semdedup(load_table(spark, sf, "embeddings"), threshold=0.2)
+
+
 def _pq_oracle() -> str:
     """DuckDB replica of the FULL product-quantization ADC path in the
     portable configuration: md5 hash-ordered codebook seeding (the iters=0
@@ -3792,6 +3843,48 @@ def x_quality_model_score(spark: SparkSession, sf: str) -> DataFrame:
     weight map with the identical plan."""
     d = load_table(spark, sf, "documents")
     return T.hashed_feature_score(d)
+
+
+@register(
+    "x_ngram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), vocab AS (
+      SELECT COUNT(*) AS v FROM ucnt
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), bcnt AS (
+      SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram
+    ), scored AS (
+      SELECT bg.doc_id,
+             (1000000 * (bcnt.cb + 1)) // (ucnt.cw + vocab.v) AS p_micro
+      FROM bg
+      JOIN bcnt USING (bigram)
+      JOIN ucnt ON ucnt.w = split_part(bg.bigram, ' ', 1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x_ngram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model quality scoring (the KenLM-perplexity shape):
+    fit add-one-smoothed bigram/unigram counts over the corpus, score each
+    doc by mean smoothed bigram probability in exact integer micro-units —
+    no float log in either engine, so bit-identical.  See
+    :func:`kafka_streaming_spark.functions.text.bigram_lm_scores` for the
+    100 TB shuffle analysis (two count shuffles + co-partitioned scoring
+    joins + broadcast vocab scalar)."""
+    return T.bigram_lm_scores(load_table(spark, sf, "documents"))
 
 
 @register(

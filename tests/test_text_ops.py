@@ -90,3 +90,17 @@ def test_chunk_documents_covers_all_tokens(spark):
         t for _, _, txt in by_doc[1][1:] for t in txt.split(" ")[64 - 48 :]
     ]
     assert toks == [f"w{i}" for i in range(150)]
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one bigram LM against hand-computed counts: corpus a/b/c with
+    V=3; p(a b)=(2+1)/(3+3), p(b a)=(1+1)/(2+3); integer micro-units;
+    bigram-less docs emit no row."""
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_micro"])
+        for r in T.bigram_lm_scores(docs).collect()
+    }
+    assert out == {1: (2, (500000 + 400000) // 2), 2: (1, 500000)}
