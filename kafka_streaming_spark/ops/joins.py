@@ -86,6 +86,36 @@ def band_join(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    buckets: int = 8,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side into ``buckets``
+    sub-keys and replicate the dim side across every bucket, so a hot join
+    key's rows land on ``buckets`` reducers instead of one.  Result is
+    row-identical to ``big.join(dim, on)``.
+
+    Use when BOTH sides are large enough that AQE's skew-join splitting
+    can't fix it alone (AQE splits the skewed side's partitions but still
+    reads the matching dim partition once per split) or when the skew is
+    known up front.  Cost: the dim side is written ``buckets``× into the
+    shuffle — keep ``buckets`` ≲ 16 and the dim side the smaller one.
+
+    The salt is a deterministic hash of the big side's full row (see
+    :func:`kafka_streaming_spark.ops.partitioning.salt` for why
+    non-deterministic salts are a stage-retry correctness hazard)."""
+    from kafka_streaming_spark.ops.partitioning import salt
+
+    big_s = salt(big, list(on), buckets, salt_col=salt_col)
+    dim_r = dim.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return big_s.join(dim_r, [*on, salt_col]).drop(salt_col)
+
+
 def semi_join(left: DataFrame, right: DataFrame, cond: Column | Sequence[str]) -> DataFrame:
     return left.join(right, cond, "left_semi")
 

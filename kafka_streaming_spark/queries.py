@@ -39,7 +39,7 @@ from kafka_streaming_spark.functions import similarity as S
 from kafka_streaming_spark.functions import text as T
 from kafka_streaming_spark.functions.multimodal import decode_image_meta
 from kafka_streaming_spark.ops.dedup import latest_per_key, merge_insert_if_absent
-from kafka_streaming_spark.ops.joins import asof_join, band_join
+from kafka_streaming_spark.ops.joins import asof_join, band_join, salted_join
 from kafka_streaming_spark.ops.layout import zorder
 from kafka_streaming_spark.ops.sessionize import session_stats, session_window_agg
 from kafka_streaming_spark.ops.partitioning import salt, spread, unsalt_agg
@@ -2381,6 +2381,58 @@ def f_json_struct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "f_variant_pack",
+    """
+    WITH js AS (
+      SELECT event_id,
+             '{"p": ' || props || ', "meta": {"type": "' || event_type
+             || '", "ids": [' || CAST(event_id AS VARCHAR) || ','
+             || CAST(user_id AS VARCHAR) || ']}}' AS j
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract(j, '$.p.k') AS BIGINT) AS prop_k,
+           json_extract_string(j, '$.meta.type') AS meta_type,
+           CAST(json_extract(j, '$.meta.ids[1]') AS BIGINT) AS second_id,
+           CAST(NULL AS BIGINT) AS missing_val
+    FROM js
+    """,
+)
+def f_variant_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT surface (the open-ended semi-structured path the
+    typed ``from_json`` of `f_json_struct` can't cover): build a nested
+    JSON document, ``parse_json`` it into a VARIANT, then typed
+    ``variant_get`` extraction — nested object path, string leaf, array
+    index, and ``try_variant_get`` on a missing path (NULL, not error).
+    VARIANT keeps the binary-encoded document columnar-shreddable at
+    scale; the oracle replays the same paths through DuckDB's JSON
+    reader."""
+    e = load_table(spark, sf, "events")
+    js = e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"p": '),
+            F.col("props"),
+            F.lit(', "meta": {"type": "'),
+            F.col("event_type"),
+            F.lit('", "ids": ['),
+            F.col("event_id").cast("string"),
+            F.lit(","),
+            F.col("user_id").cast("string"),
+            F.lit("]}}"),
+        ).alias("j"),
+    )
+    v = js.select("event_id", F.parse_json("j").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.p.k", "bigint").alias("prop_k"),
+        F.variant_get("v", "$.meta.type", "string").alias("meta_type"),
+        F.variant_get("v", "$.meta.ids[1]", "bigint").alias("second_id"),
+        F.try_variant_get("v", "$.meta.nope", "bigint").alias("missing_val"),
+    )
+
+
+@register(
     "f_regex_pack",
     """
     SELECT p_partkey,
@@ -2770,6 +2822,46 @@ def j_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "j_skew_salted_join",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 5 < 3 THEN 1 ELSE l_suppkey END AS hot_key,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM skewed JOIN supplier ON hot_key = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant salted join: 60% of lineitem rows are planted onto
+    one hot supplier key (the deliberately adversarial case a plain
+    shuffle join serializes onto one reducer), then joined via
+    :func:`~kafka_streaming_spark.ops.joins.salted_join` — big side
+    salted into 8 sub-keys, dim side replicated across them — so the hot
+    key spreads over 8 reducers.  The ``shuffle_hash`` hint rules out a
+    broadcast plan at test scale (which would mask the rewrite); values
+    must equal the plain-join oracle."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("hot_key"),
+        "l_extendedprice",
+    )
+    su = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("hot_key"), "s_nationkey"
+    )
+    joined = salted_join(li, su.hint("shuffle_hash"), ["hot_key"], buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice"), "revenue"),
     )
 
 
@@ -3845,6 +3937,65 @@ def x_quality_model_score(spark: SparkSession, sf: str) -> DataFrame:
     return T.hashed_feature_score(d)
 
 
+_PROFILE_COLS = ("text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN(length(CAST({c} AS VARCHAR))) AS BIGINT) AS min_len,
+           CAST(MAX(length(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("x_column_profile", _profile_oracle())
+def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiler (the data-quality / schema-drift staple): one row
+    per column with row/null/distinct counts and value-length bounds,
+    computed in a SINGLE corpus pass — all per-column aggregates in one
+    ``agg``, unpivoted to rows with an explode of a struct array (no
+    re-scan per column).  The multi-COUNT(DISTINCT) compiles to one
+    Expand+aggregate (rows × n_profiled_columns through one shuffle) —
+    the standard profiler trade; swap ``approx_count_distinct`` in at
+    100 TB when exactness isn't required."""
+    d = load_table(spark, sf, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.length(s)).cast("long").alias(f"__mn_{c}"),
+            F.max(F.length(s)).cast("long").alias(f"__mx_{c}"),
+        ]
+    one = d.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows"),
+                        F.col(f"__nn_{c}").alias("n_nulls"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__mn_{c}").alias("min_len"),
+                        F.col(f"__mx_{c}").alias("max_len"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return rows.select("p.*")
+
+
 @register(
     "x_ngram_lm_score",
     """
@@ -3946,15 +4097,16 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # ROUND-4 ROTATION (CORRECTNESS_r03 digested): r3 checked 50 keys — 44
 # green, 6 non-green (all six root-caused as oracle-typing/canonicalizer
 # defects and FIXED this round).  This window = those 6 (to convert their
-# rows to green) + the 3 post-r3-freeze queries + the 4 new round-4
-# registrations (none has ever had a driver row) + 37 of the 41 queries
-# last checked in round 2.  The four r2-green names left out to fit
+# rows to green) + the 3 post-r3-freeze queries + the 12 new round-4
+# registrations (none has ever had a driver row) + 29 of the 41 queries
+# last checked in round 2.  The r2-green names left out to fit
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
-# q18_large_orders, t_sliding_window, a_cube)
+# q18_large_orders, t_sliding_window, a_cube, j_asof_join,
+# w_analytic_pack, w_moving_avg, a_percentiles, a_pivot)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
-# registrations, then the four names above, then the r3-green set
+# registrations, then the twelve names above, then the r3-green set
 # (least-recently-checked first).
 
 DRIVER_PRIORITY: list[str] = [
@@ -3977,6 +4129,11 @@ DRIVER_PRIORITY: list[str] = [
     "x_epoch_shuffle",
     "x_quality_funnel",
     "x_ivfpq_ann_topk",
+    "x_ngram_lm_score",
+    "x_semdedup",
+    "f_variant_pack",
+    "j_skew_salted_join",
+    "x_column_profile",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4007,11 +4164,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_ngram_jaccard_pairs",
     "x_cosine_topk",
     "x_cosine_near_dup",
-    "j_asof_join",
-    "w_analytic_pack",
-    "w_moving_avg",
-    "a_percentiles",
-    "a_pivot",
 ]
 
 

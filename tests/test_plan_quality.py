@@ -199,6 +199,8 @@ _CARTESIAN_ALLOWED = {
     "x_lsh_ann_topk",          # query x probe-mask literal relation
     "x_cosine_topk",           # bounded query set x corpus (broadcast)
     "q22_idle_rich_customers", # scalar avg threshold as a 1-row broadcast join
+    "x_semdedup",              # same bounded centroid assignment as IVF
+    "x_ngram_lm_score",        # vocabulary size: 1-row broadcast scalar join
 }
 
 
