@@ -472,6 +472,87 @@ def ivf_topk(
     )
 
 
+def kmeans_fit_predict(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    family: str = "md5",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column: md5-seeded
+    init (shared with the IVF quantizer), ``iters`` assign/update rounds,
+    one final assignment.  Returns ``(id, cluster_id)`` for every vector.
+
+    Portability contract (what makes the full iterative algorithm
+    value-hash checkable in DuckDB): assignment uses 6-digit-rounded
+    squared L2 with centroid-id tiebreak, and the centroid update
+    accumulates per-dimension in EXACT integer micro-units —
+    ``(SUM(round(x*1e6)) DIV n) / 1e6`` — so updated centroids are
+    bit-identical across engines, partitionings, and row orders (a plain
+    float mean would drift by summation order).
+
+    Scale shape: per iteration, one broadcast of the k-row centroid table
+    (assignment is map-side, min-of-struct partial aggregate — no window),
+    then one dimension-exploded shuffle (rows × dim) for the update —
+    Lloyd's standard distributed form.  The input projection is cached
+    across iterations; at 100 TB use a sampled fit (fit on a deterministic
+    hash-sample, predict over the full corpus) or k-means|| init instead
+    of more Lloyd rounds."""
+    v = (
+        spread(corpus)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .cache()
+    )
+    cents = ivf_centroids(corpus, k, id_col, vec_col, family=family).select(
+        F.col("centroid_vec").alias("__c"), F.col("centroid_id")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = round6(
+            dot(F.col("__v"), F.col("__v"))
+            - 2 * dot(F.col("__v"), F.col("__c"))
+            + dot(F.col("__c"), F.col("__c"))
+        )
+        scored = v.join(F.broadcast(cents)).select(
+            F.col(id_col), F.col("__v"), F.col("centroid_id"), d2.alias("__d2")
+        )
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct(F.col("__d2"), F.col("centroid_id").alias("cid"))).alias("__b"),
+            F.first("__v").alias("__v"),
+        )
+        return best.select(
+            F.col(id_col), F.col("__b.cid").alias("cluster_id"), F.col("__v")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        dims = a.select(
+            "cluster_id",
+            F.transform("__v", lambda x: F.round(x * 1_000_000.0, 0).cast("long")).alias(
+                "__m"
+            ),
+        ).selectExpr("cluster_id", "posexplode(__m) AS (pos, micro)")
+        vals = (
+            dims.groupBy("cluster_id", "pos")
+            .agg(F.sum("micro").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "cluster_id",
+                "pos",
+                (F.expr("__s DIV __n").cast("double") / F.lit(1_000_000.0)).alias("val"),
+            )
+        )
+        cents = vals.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("__c")
+        ).select(F.col("__c"), F.col("cluster_id").alias("centroid_id"))
+
+    out = assign(cents).select(F.col(id_col), F.col("cluster_id"))
+    return out
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.2,

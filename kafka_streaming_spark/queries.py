@@ -1154,6 +1154,79 @@ def x_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replica of the FULL iterative Lloyd's k-means: md5-seeded
+    init, per-iteration rounded-L2 assignment (centroid_id tiebreak) and
+    exact integer-micro centroid update, final assignment — every round
+    unrolled into CTEs."""
+
+    def assign(cent_cte: str, out: str) -> str:
+        return f"""
+    {out}_sc AS (
+      SELECT v.vec_id, v.vec, c.centroid_id,
+             CAST(ROUND((list_dot_product(v.vec, v.vec)
+                   - 2 * list_dot_product(v.vec, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec)) * 1000000.0) AS BIGINT)
+               / 1000000.0 AS d2
+      FROM v CROSS JOIN {cent_cte} c
+    ), {out} AS (
+      SELECT vec_id, vec, centroid_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, centroid_id) AS rn
+        FROM {out}_sc) WHERE rn = 1
+    )"""
+
+    def update(a_cte: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+      SELECT a.cluster_id, u.pos,
+             CAST(ROUND(a.vec[u.pos] * 1000000.0) AS BIGINT) AS micro
+      FROM {a_cte} a, unnest(generate_series(1, {dim})) AS u(pos)
+    ), {out}_v AS (
+      SELECT cluster_id, pos,
+             CAST(SUM(micro) // COUNT(*) AS BIGINT) / 1000000.0 AS val
+      FROM {out}_d GROUP BY cluster_id, pos
+    ), {out} AS (
+      SELECT cluster_id AS centroid_id, list(val ORDER BY pos) AS cvec
+      FROM {out}_v GROUP BY cluster_id
+    )"""
+
+    parts = [
+        f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec AS cvec, row_number() OVER (ORDER BY hh) - 1 AS centroid_id
+      FROM (
+        SELECT vec, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) AS hh
+        FROM v ORDER BY hh LIMIT {k}
+      )
+    )"""
+    ]
+    for i in range(iters):
+        parts.append("," + assign(f"c{i}", f"a{i + 1}"))
+        parts.append("," + update(f"a{i + 1}", f"c{i + 1}"))
+    parts.append("," + assign(f"c{iters}", "afinal"))
+    parts.append("\n    SELECT vec_id, cluster_id FROM afinal")
+    return "".join(parts)
+
+
+@register("x_kmeans_embeddings", _kmeans_oracle())
+def x_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (the trained
+    quantizer the IVF / SemDedup md5 stand-ins are seeded for): 2
+    assign/update rounds + final assignment, every decision and every
+    centroid update bit-identical to an independent DuckDB replica with
+    both iterations unrolled into CTEs.  See
+    :func:`kafka_streaming_spark.functions.similarity.kmeans_fit_predict`
+    for the per-iteration shuffle budget."""
+    return S.kmeans_fit_predict(
+        load_table(spark, sf, "embeddings"), k=8, iters=2, family="md5"
+    )
+
+
 def _semdedup_oracle(threshold: float = 0.2) -> str:
     """DuckDB replica of the FULL SemDedup path: md5-seeded centroids,
     rounded-cosine single assignment (centroid_id tiebreak), within-cluster
@@ -4102,7 +4175,8 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # last checked in round 2.  The r2-green names left out to fit
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
-# w_analytic_pack, w_moving_avg, a_percentiles, a_pivot)
+# w_analytic_pack, w_moving_avg, a_percentiles, a_pivot,
+# x_cosine_near_dup)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
@@ -4130,6 +4204,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_quality_funnel",
     "x_ivfpq_ann_topk",
     "x_ngram_lm_score",
+    "x_kmeans_embeddings",
     "x_semdedup",
     "f_variant_pack",
     "j_skew_salted_join",
@@ -4163,7 +4238,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_quality",
     "x_ngram_jaccard_pairs",
     "x_cosine_topk",
-    "x_cosine_near_dup",
 ]
 
 

@@ -124,3 +124,36 @@ def test_ivfpq_composition_properties(spark):
 
     again = _pairs(S.ivfpq_topk(emb, queries, books, k=K, n_centroids=16, nprobe=4))
     assert got == again
+
+
+def test_kmeans_partitions_and_improves(spark):
+    """Lloyd's k-means invariants: every vector assigned exactly once to
+    ≤k clusters; assignments are deterministic across runs; and total
+    within-cluster squared distance does not increase when iterating
+    (Lloyd's monotonicity, measured under full precision)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def inertia(iters):
+        a = S.kmeans_fit_predict(emb, k=8, iters=iters, family="md5")
+        v = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+        joined = a.join(v, "vec_id")
+        # recompute centroids (plain mean is fine here: measurement only)
+        cent = (
+            joined.selectExpr("cluster_id", "posexplode(v) AS (pos, x)")
+            .groupBy("cluster_id", "pos").agg(F.avg("x").alias("c"))
+            .groupBy("cluster_id")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                             lambda s: s["c"]).alias("cv"))
+        )
+        d2 = S.dot(F.col("v"), F.col("v")) - 2 * S.dot(F.col("v"), F.col("cv")) \
+            + S.dot(F.col("cv"), F.col("cv"))
+        row = joined.join(cent, "cluster_id").agg(F.sum(d2)).collect()[0][0]
+        return row, a
+
+    i1, a1 = inertia(1)
+    i2, a2 = inertia(2)
+    assert a1.count() == emb.count()
+    assert a2.select("cluster_id").distinct().count() <= 8
+    assert i2 <= i1 * 1.0001, (i1, i2)
+    again = sorted(map(tuple, a2.collect()))
+    assert again == sorted(map(tuple, S.kmeans_fit_predict(emb, k=8, iters=2, family="md5").collect()))

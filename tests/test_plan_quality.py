@@ -201,6 +201,7 @@ _CARTESIAN_ALLOWED = {
     "q22_idle_rich_customers", # scalar avg threshold as a 1-row broadcast join
     "x_semdedup",              # same bounded centroid assignment as IVF
     "x_ngram_lm_score",        # vocabulary size: 1-row broadcast scalar join
+    "x_kmeans_embeddings",     # k-row centroid broadcast per Lloyd round
 }
 
 
