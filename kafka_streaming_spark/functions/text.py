@@ -316,6 +316,89 @@ def bigram_lm_scores(
     )
 
 
+def bm25_topk(
+    df,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 full-text ranking (k1=1.2, b=0.75) in EXACT integer
+    arithmetic — the inverted-index search workload at corpus scale.
+
+    Deviation from textbook BM25, on purpose: the idf is the log-free
+    rational surrogate ``idf_micro = (2N - 2df + 1)*1e6 DIV (2df + 1)``
+    (the argument of Robertson's log; log is monotone, so per-term
+    orderings are preserved and no libm call whose last ulp differs
+    between engines enters the score).  The tf saturation keeps the real
+    k1/b constants through exact fractions::
+
+        tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*L/avgL))
+                = 44*TT*tf / (20*TT*tf + 6*TT + 18*L*ND)   [×20·TT]
+
+    with TT = total corpus tokens, ND = docs, L = doc length — all
+    BIGINT.  Per-term score = ``(idf_micro * tf_part_micro) DIV 1e6``;
+    per-(query, doc) score = the exact integer sum.  Overflow headroom:
+    ``44·TT·tf·1e6`` must stay below 2^63 — fine to ~10^9-token corpora;
+    shard the constant (or move to DECIMAL accumulation) beyond that.
+
+    Scale shape: ONE tokenize pass feeds both the doc-length table and
+    the query-term-filtered tf table (the ``isin`` prune reaches the
+    explode, so only query-term postings shuffle); corpus stats are a
+    1-row broadcast; df and the query relation are literal-bounded
+    broadcasts; final top-k per query is a partial TakeOrdered.
+    Output: ``(query_id, doc_id, score_micro, rank)``.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_spark.ops.partitioning import spread
+    from kafka_streaming_spark.ops.windows import top_k_per_group
+
+    spark = df.sparkSession
+    terms = sorted({t for _, q in queries for t in q.split()})
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, q in queries for t in sorted(set(q.split()))],
+        ["query_id", "term"],
+    )
+    tok = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    doc_len = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("L"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("TT"),
+        F.countDistinct(F.col(id_col)).alias("ND"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qrel), "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.expr(
+                "(((2*ND - 2*df + 1) * 1000000) DIV (2*df + 1)"
+                " * ((44 * TT * tf * 1000000)"
+                "    DIV (20 * TT * tf + 6 * TT + 18 * L * ND))) DIV 1000000"
+            ).alias("__s"),
+        )
+    )
+    agg = sc.groupBy("query_id", id_col).agg(F.sum("__s").alias("score_micro"))
+    return top_k_per_group(
+        agg,
+        ["query_id"],
+        [F.col("score_micro").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+
+
 def hashed_feature_score(
     df,
     id_col: str = "doc_id",

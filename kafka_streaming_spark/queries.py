@@ -4069,6 +4069,65 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("p.*")
 
 
+_BM25_QUERIES = [(0, "hash join"), (1, "scan filter column"), (2, "stream window agg")]
+
+
+def _bm25_oracle() -> str:
+    terms = sorted({t for _, q in _BM25_QUERIES for t in q.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in _BM25_QUERIES for t in sorted(set(q.split()))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS L FROM tok GROUP BY doc_id
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS TT,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ND
+      FROM tok
+    ), q(query_id, term) AS (VALUES {qvals}),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({in_list}) GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+             (((2*st.ND - 2*dfreq.df + 1) * 1000000) // (2*dfreq.df + 1)
+              * ((44 * st.TT * tf.tf * 1000000)
+                 // (20 * st.TT * tf.tf + 6 * st.TT + 18 * dl.L * st.ND))
+             ) // 1000000 AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN q USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN st
+    ), agg AS (
+      SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
+      FROM sc GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_micro, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_micro DESC, doc_id) AS rn
+          FROM agg)
+    WHERE rn <= 10
+    """
+
+
+@register("x_bm25_search", _bm25_oracle())
+def x_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 full-text search: three literal keyword queries ranked over
+    the corpus, k1=1.2 / b=0.75 through exact fractions and a log-free
+    rational idf so every score is an exact BIGINT in both engines (see
+    :func:`kafka_streaming_spark.functions.text.bm25_topk` for the
+    derivation and the single-tokenize-pass / pruned-postings plan)."""
+    return T.bm25_topk(load_table(spark, sf, "documents"), _BM25_QUERIES, k=10)
+
+
 @register(
     "x_ngram_lm_score",
     """
@@ -4176,7 +4235,7 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
 # w_analytic_pack, w_moving_avg, a_percentiles, a_pivot,
-# x_cosine_near_dup)
+# x_cosine_near_dup, x_cosine_topk)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
@@ -4205,6 +4264,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_ivfpq_ann_topk",
     "x_ngram_lm_score",
     "x_kmeans_embeddings",
+    "x_bm25_search",
     "x_semdedup",
     "f_variant_pack",
     "j_skew_salted_join",
@@ -4237,7 +4297,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_token_stats",
     "x_doc_quality",
     "x_ngram_jaccard_pairs",
-    "x_cosine_topk",
 ]
 
 

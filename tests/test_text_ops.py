@@ -104,3 +104,25 @@ def test_bigram_lm_scores_hand_computed(spark):
         for r in T.bigram_lm_scores(docs).collect()
     }
     assert out == {1: (2, (500000 + 400000) // 2), 2: (1, 500000)}
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 orderings on a crafted corpus: a doc matching both query terms
+    outranks single-term docs; among single-term docs the rarer term wins
+    (idf); higher tf wins within the same term; non-matching docs absent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join extra words here"),
+            (2, "hash hash hash hash filler filler filler"),
+            (3, "join filler filler filler filler filler filler"),
+            (4, "hash filler filler filler filler filler filler"),
+            (5, "nothing relevant at all in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.bm25_topk(docs, [(0, "hash join")], k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 5 not in ranked
+    assert ranked[0] == 1          # both terms
+    assert ranked.index(3) < ranked.index(4)  # 'join' rarer than 'hash'
+    assert ranked.index(2) < ranked.index(4)  # higher tf for same term
