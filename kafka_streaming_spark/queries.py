@@ -1710,6 +1710,96 @@ def t_session_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_event_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+    """,
+)
+def x_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each stage
+    STRICTLY after the previous — the product-analytics sequence-match
+    operator): stage k's anchor is the user's earliest qualifying event
+    after their stage-(k-1) anchor, built as filter → min-aggregate →
+    join per stage.  Each stage shrinks the key set, so successive joins
+    get cheaper; all three stages shuffle on user_id and AQE folds the
+    shrinking sides to broadcasts.  No window over full history — state
+    per user is one timestamp per stage, the same invariant that makes
+    the streaming form incremental."""
+    e = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis(F.col("ts")).alias("ms")
+    )
+
+    def stage(prev: DataFrame | None, etype: str, out: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[1]
+            s = s.join(prev, "user_id").filter(F.col("ms") > F.col(pcol))
+        return s.groupBy("user_id").agg(F.min("ms").alias(out))
+
+    t1 = stage(None, "view", "t1")
+    t2 = stage(t1, "click", "t2")
+    t3 = stage(t2, "purchase", "t3")
+    u = (
+        t1.select(F.lit("1_view").alias("stage"))
+        .unionAll(t2.select(F.lit("2_click")))
+        .unionAll(t3.select(F.lit("3_purchase")))
+    )
+    return u.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "x_cohort_retention",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS week
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT first.cohort_week,
+           wk.week - first.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM wk JOIN first ON wk.user_id = first.user_id
+    GROUP BY first.cohort_week, week_offset
+    """,
+)
+def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in every subsequent week they were active — the classic
+    retention matrix.  One distinct pass (user, week), a min-aggregate
+    for cohort assignment, and a self-join co-partitioned on user_id;
+    the result is |cohorts| x |offsets| rows regardless of corpus size."""
+    e = load_table(spark, sf, "events")
+    wk = e.select(
+        "user_id",
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(604800000.0)).cast("long").alias("week"),
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
     "x_image_meta",
     """
     WITH h AS (
@@ -4235,7 +4325,7 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
 # w_analytic_pack, w_moving_avg, a_percentiles, a_pivot,
-# x_cosine_near_dup, x_cosine_topk)
+# x_cosine_near_dup, x_cosine_topk, x_doc_quality, x_ngram_jaccard_pairs)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
@@ -4265,6 +4355,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_ngram_lm_score",
     "x_kmeans_embeddings",
     "x_bm25_search",
+    "x_event_funnel",
+    "x_cohort_retention",
     "x_semdedup",
     "f_variant_pack",
     "j_skew_salted_join",
@@ -4295,8 +4387,6 @@ DRIVER_PRIORITY: list[str] = [
     "g_rollup",
     "q5_region_rollup",
     "x_doc_token_stats",
-    "x_doc_quality",
-    "x_ngram_jaccard_pairs",
 ]
 
 
