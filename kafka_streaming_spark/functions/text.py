@@ -316,6 +316,83 @@ def bigram_lm_scores(
     )
 
 
+def dsir_importance_weights(
+    df,
+    target_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+):
+    """DSIR-style importance weights (Xie et al., 2023): score every
+    document by how much its hashed-unigram distribution looks like a
+    TARGET subcorpus relative to the raw corpus — the data-selection
+    signal used to resample pretraining data toward a quality domain.
+
+    Per hashed bucket ``b`` the weight is the smoothed probability ratio
+    ``p_target(b)/p_raw(b)`` held in exact integer micro-units::
+
+        w_micro(b) = ((t_b+1) * (TT_raw+B) * 1e6)
+                     DIV ((r_b+1) * (TT_target+B))
+
+    and a document's weight is the integer mean over its tokens (DSIR
+    proper sums log ratios; the arithmetic mean of ratios is the log-free
+    surrogate that keeps every value a BIGINT reproduced bit-identically
+    by the oracle — document-level orderings agree except where ratios
+    straddle 1 asymmetrically).
+
+    Scale shape: ONE tokenize pass; two bounded count tables (≤``buckets``
+    rows each) + a 1-row totals broadcast; per-doc scoring joins tokens to
+    the ≤256-row weight table map-side (broadcast).  The hashing trick
+    means no vocabulary join at any scale.
+    Output: ``(id, n_tokens, dsir_weight_micro)``.
+    """
+    from kafka_streaming_spark.functions.dedup import portable_hash60
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    B = buckets
+    tokb = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            target_cond.cast("long").alias("__is_t"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .select(
+            id_col,
+            "__is_t",
+            F.pmod(portable_hash60(F.col("__tok")), F.lit(B)).alias("__b"),
+        )
+    )
+    raw = tokb.groupBy("__b").agg(F.count(F.lit(1)).alias("__rb"))
+    tgt = tokb.filter(F.col("__is_t") == 1).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__tb")
+    )
+    totals = tokb.agg(
+        F.count(F.lit(1)).alias("__ttr"), F.sum("__is_t").alias("__ttt")
+    )
+    w = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.expr(
+                f"((coalesce(__tb, 0) + 1) * (__ttr + {B}) * 1000000)"
+                f" DIV ((__rb + 1) * (__ttt + {B}))"
+            ).alias("__wm"),
+        )
+    )
+    return (
+        tokb.join(F.broadcast(w), "__b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("__wm").alias("__sw"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.expr("__sw DIV n_tokens").alias("dsir_weight_micro"),
+        )
+    )
+
+
 def bm25_topk(
     df,
     queries: list[tuple[int, str]],
@@ -342,11 +419,14 @@ def bm25_topk(
     ``44·TT·tf·1e6`` must stay below 2^63 — fine to ~10^9-token corpora;
     shard the constant (or move to DECIMAL accumulation) beyond that.
 
-    Scale shape: ONE tokenize pass feeds both the doc-length table and
-    the query-term-filtered tf table (the ``isin`` prune reaches the
-    explode, so only query-term postings shuffle); corpus stats are a
-    1-row broadcast; df and the query relation are literal-bounded
-    broadcasts; final top-k per query is a partial TakeOrdered.
+    Scale shape: ONE tokenize projection computes the doc length
+    (``size``) and the query-term matches (array ``filter``) map-side, so
+    the ONLY rows that ever explode or shuffle are query-term postings —
+    a document without a query term contributes one row to the corpus
+    stats and nothing else.  Doc length rides the posting rows (no
+    doc-length join); corpus stats are a 1-row broadcast; df and the
+    query relation are literal-bounded broadcasts; final top-k per query
+    is a partial TakeOrdered.
     Output: ``(query_id, doc_id, score_micro, rank)``.
     """
     from pyspark.sql import functions as F
@@ -360,24 +440,25 @@ def bm25_topk(
         [(qid, t) for qid, q in queries for t in sorted(set(q.split()))],
         ["query_id", "term"],
     )
-    tok = spread(df).select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    base = (
+        spread(df)
+        .select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
+        .select(
+            id_col,
+            F.size("__t").cast("long").alias("L"),
+            F.filter("__t", lambda x: x.isin(terms)).alias("__m"),
+        )
     )
-    doc_len = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("L"))
-    stats = tok.agg(
-        F.count(F.lit(1)).alias("TT"),
-        F.countDistinct(F.col(id_col)).alias("ND"),
-    )
+    stats = base.agg(F.sum("L").alias("TT"), F.count(F.lit(1)).alias("ND"))
     tf = (
-        tok.filter(F.col("term").isin(terms))
+        base.select(id_col, "L", F.explode("__m").alias("term"))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("L").alias("L"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     sc = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qrel), "term")
-        .join(doc_len, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

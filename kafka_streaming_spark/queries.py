@@ -4159,6 +4159,45 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("p.*")
 
 
+@register(
+    "x_dsir_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+    ), raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS rb FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS tb FROM tok WHERE is_t = 1 GROUP BY b
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ttr, CAST(SUM(is_t) AS BIGINT) AS ttt
+      FROM tok
+    ), w AS (
+      SELECT raw.b,
+             ((coalesce(tgt.tb, 0) + 1) * (tot.ttr + 256) * 1000000)
+               // ((raw.rb + 1) * (tot.ttt + 256)) AS wm
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.wm) // COUNT(*) AS BIGINT) AS dsir_weight_micro
+    FROM tok JOIN w ON tok.b = w.b GROUP BY doc_id
+    """,
+)
+def x_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data-selection importance weights: rate every document by the
+    smoothed hashed-unigram probability ratio of the English subcorpus
+    (target) vs the raw corpus, in exact integer micro-units — the
+    pretraining-data resampling signal.  See
+    :func:`kafka_streaming_spark.functions.text.dsir_importance_weights`
+    for the log-free surrogate and the bounded-broadcast plan shape."""
+    return T.dsir_importance_weights(
+        load_table(spark, sf, "documents"), F.col("lang") == "en"
+    )
+
+
 _BM25_QUERIES = [(0, "hash join"), (1, "scan filter column"), (2, "stream window agg")]
 
 
@@ -4325,7 +4364,8 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
 # w_analytic_pack, w_moving_avg, a_percentiles, a_pivot,
-# x_cosine_near_dup, x_cosine_topk, x_doc_quality, x_ngram_jaccard_pairs)
+# x_cosine_near_dup, x_cosine_topk, x_doc_quality, x_ngram_jaccard_pairs,
+# x_doc_token_stats)
 # are all long-green, keep strict local parity via
 # tests/test_oracle_parity.py, and rotate back in next round.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
@@ -4357,6 +4397,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_bm25_search",
     "x_event_funnel",
     "x_cohort_retention",
+    "x_dsir_weights",
     "x_semdedup",
     "f_variant_pack",
     "j_skew_salted_join",
@@ -4386,7 +4427,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_tumbling_window",
     "g_rollup",
     "q5_region_rollup",
-    "x_doc_token_stats",
 ]
 
 

@@ -203,6 +203,7 @@ _CARTESIAN_ALLOWED = {
     "x_ngram_lm_score",        # vocabulary size: 1-row broadcast scalar join
     "x_kmeans_embeddings",     # k-row centroid broadcast per Lloyd round
     "x_bm25_search",           # corpus stats: 1-row broadcast scalar join
+    "x_dsir_weights",          # corpus totals: 1-row broadcast scalar join
 }
 
 

@@ -126,3 +126,24 @@ def test_bm25_ranking_semantics(spark):
     assert ranked[0] == 1          # both terms
     assert ranked.index(3) < ranked.index(4)  # 'join' rarer than 'hash'
     assert ranked.index(2) < ranked.index(4)  # higher tf for same term
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs drawn from the target (en) vocabulary must outweigh docs from
+    a disjoint vocabulary, and the weight table must cover every doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", "en"),
+            (2, "alpha beta beta gamma alpha", "en"),
+            (3, "alpha gamma beta alpha", "xx"),      # target-like tokens
+            (4, "zeta eta theta iota kappa", "xx"),   # disjoint tokens
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["doc_id"]: r["dsir_weight_micro"]
+        for r in T.dsir_importance_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] > out[4]
+    assert min(out[1], out[2]) > out[4]
