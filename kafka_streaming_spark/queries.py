@@ -4160,6 +4160,85 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_countmin_heavyhitters",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), keys AS (
+      SELECT tok, j,
+             CAST(concat('0x', substr(md5('cms' || j || ':' || tok), 1, 15))
+                  AS BIGINT) % 512 AS bucket
+      FROM tok, unnest(generate_series(0, 3)) AS u(j)
+    ), cms AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM keys GROUP BY j, bucket
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM tok GROUP BY tok
+    ), vkeys AS (
+      SELECT v.tok, v.true_count, u.j,
+             CAST(concat('0x', substr(md5('cms' || u.j || ':' || v.tok), 1, 15))
+                  AS BIGINT) % 512 AS bucket
+      FROM vocab v, unnest(generate_series(0, 3)) AS u(j)
+    ), est AS (
+      SELECT k.tok AS token, k.true_count, MIN(c.cnt) AS est_count
+      FROM vkeys k JOIN cms c ON k.j = c.j AND k.bucket = c.bucket
+      GROUP BY k.tok, k.true_count
+    )
+    SELECT token, est_count, true_count
+    FROM est ORDER BY est_count DESC, token LIMIT 20
+    """,
+)
+def x_countmin_heavyhitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a 4x512 CMS built over the token
+    stream (each occurrence increments one cell per hash row), then top-20
+    tokens by their CMS estimate (min over rows), reported next to the
+    exact count — the mergeable-sketch workload with its one-sided error
+    (estimate >= truth) visible in the output.  The sketch is bounded
+    state: 2,048 cells regardless of corpus size, partial-aggregated
+    map-side, and the estimate join broadcasts the sketch — at 100 TB
+    only candidate tokens (per-partition top-k in practice; full vocab
+    here) ever consult it.  Portable md5 bucket hashing makes the ENTIRE
+    sketch — every cell count and every estimate — value-hash identical
+    in DuckDB (the sketch family's first full oracle; the HLL/t-digest
+    query stays rows-only by nature)."""
+    d = load_table(spark, sf, "documents")
+    tok = spread(d).select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+
+    def cms_keys(tok_col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    F.pmod(
+                        D.portable_hash60(F.concat(F.lit(f"cms{j}:"), tok_col)),
+                        F.lit(512),
+                    ).alias("bucket"),
+                )
+                for j in range(4)
+            ]
+        )
+
+    keys = tok.select(F.explode(cms_keys(F.col("tok"))).alias("k"))
+    cms = keys.groupBy("k.row", "k.bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    vkeys = vocab.select(
+        "tok", "true_count", F.explode(cms_keys(F.col("tok"))).alias("k")
+    )
+    est = (
+        vkeys.select("tok", "true_count", F.col("k.row").alias("row"), F.col("k.bucket").alias("bucket"))
+        .join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select(F.col("tok").alias("token"), "est_count", "true_count")
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
     "x_dsir_weights",
     """
     WITH tok AS (
@@ -4398,6 +4477,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_event_funnel",
     "x_cohort_retention",
     "x_dsir_weights",
+    "x_countmin_heavyhitters",
     "x_semdedup",
     "f_variant_pack",
     "j_skew_salted_join",
@@ -4426,7 +4506,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_incremental_fold",
     "t_tumbling_window",
     "g_rollup",
-    "q5_region_rollup",
 ]
 
 
