@@ -4159,6 +4159,91 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("p.*")
 
 
+def _pagerank_oracle(iters: int = 2) -> str:
+    """DuckDB replica of integer PageRank on the undirected supplier ↔
+    customer trade graph: per-iteration contribution = ``r DIV degree``,
+    new rank = ``150000 + (85 * inbound_sum) DIV 100`` (d=0.85 in exact
+    integer micro-units), every iteration unrolled."""
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(f""", r{i + 1} AS (
+      SELECT e.dst AS node,
+             150000 + (85 * CAST(SUM(r.r // d.degree) AS BIGINT)) // 100 AS r
+      FROM edges e
+      JOIN r{i} r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    )""")
+    parts.append(f"""
+    SELECT r.node, r.r AS rank_micro, d.degree
+    FROM r{iters} r JOIN deg d ON r.node = d.node
+    ORDER BY rank_micro DESC, r.node LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@register("x_pagerank_trade", _pagerank_oracle())
+def x_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (d=0.85, 2 iterations) over the undirected supplier ↔
+    customer trade graph derived from lineitem⋈orders — the iterative
+    graph-analytics workload beyond connected components.  Ranks live in
+    exact integer micro-units (contribution = ``r DIV degree``), so every
+    iteration is bit-identical in DuckDB with the rounds unrolled into
+    CTEs.  Scale shape: the edge list materializes once and each round is
+    one join + one groupBy shuffle, both partitioned on the node key —
+    O(iters) passes over edges, no driver state; at 100 TB add lineage
+    cuts every few rounds exactly as the connected-components solver
+    does.  Top-20 by (rank, node) total order."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("a"),
+            (F.col("o_custkey") + 100000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    r = deg.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(2):
+        contrib = r.join(deg, "node").select(
+            F.col("node").alias("src"), F.expr("r DIV degree").alias("__c")
+        )
+        r = (
+            edges.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__c").alias("__s"))
+            .select("node", F.expr("150000 + (85 * __s) DIV 100").alias("r"))
+        )
+    return (
+        r.join(deg, "node")
+        .select("node", F.col("r").alias("rank_micro"), "degree")
+        .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 @register(
     "x_countmin_heavyhitters",
     """
@@ -4478,6 +4563,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_cohort_retention",
     "x_dsir_weights",
     "x_countmin_heavyhitters",
+    "x_pagerank_trade",
     "x_semdedup",
     "f_variant_pack",
     "j_skew_salted_join",
@@ -4505,7 +4591,6 @@ DRIVER_PRIORITY: list[str] = [
     "q22_idle_rich_customers",
     "a_incremental_fold",
     "t_tumbling_window",
-    "g_rollup",
 ]
 
 
