@@ -2596,6 +2596,111 @@ def f_variant_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "f_hof_pack",
+    """
+    WITH arr AS (
+      SELECT event_id, generate_series(1, 1 + event_id % 5) AS a
+      FROM events
+    )
+    SELECT event_id,
+           CAST(len(a) AS INTEGER) AS n,
+           CAST(list_aggregate(list_transform(a, x -> x * x), 'sum') AS BIGINT)
+             AS sum_sq,
+           CAST(len(list_filter(a, x -> x % 2 = 0)) AS INTEGER) AS n_even,
+           CAST(list_aggregate(list_zip_wait, 'sum') AS BIGINT) AS rev_dot
+    FROM (
+      SELECT event_id, a,
+             list_transform(generate_series(1, len(a)),
+                            i -> a[i] * a[len(a) - i + 1]) AS list_zip_wait
+      FROM arr
+    )
+    """,
+)
+def f_hof_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order-function surface in one query: ``sequence`` array
+    construction, ``transform`` (map), ``filter``, ``aggregate`` (fold),
+    ``zip_with`` against ``reverse`` — all JVM-side Catalyst lambda
+    expressions, zero shuffles, integer-exact outputs."""
+    e = load_table(spark, sf, "events")
+    a = F.sequence(F.lit(1).cast("long"), 1 + F.col("event_id") % 5)
+    arr = e.select("event_id", a.alias("a"))
+    return arr.select(
+        "event_id",
+        F.size("a").alias("n"),
+        F.aggregate(
+            F.transform("a", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_sq"),
+        F.size(F.filter("a", lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.zip_with("a", F.reverse("a"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("rev_dot"),
+    )
+
+
+@register(
+    "a_stats_pack",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  AS DECIMAL(38,12)) AS sxx,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,0)) * CAST(user_id AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,0)))
+                  AS DECIMAL(38,6)) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND((CAST(n * sxx - sx * sx AS DOUBLE) / (n * n)) * 1000000.0)
+                AS BIGINT) / 1000000.0 AS var_pop_value,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+                AS BIGINT) / 1000000.0 AS corr_value_user
+    FROM s
+    """,
+)
+def a_stats_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates done order-independently: population variance
+    and Pearson correlation derived from EXACT decimal power sums (sum,
+    sum of squares, cross sum) — never from Spark's streaming float
+    ``var_pop``/``corr``, whose single-pass float accumulation differs by
+    partitioning.  The only floats are two final IEEE divisions + one
+    sqrt (correctly rounded per IEEE 754), then 6-digit fixed-point — so
+    both engines emit identical doubles at any parallelism."""
+    e = load_table(spark, sf, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    du = F.col("user_id").cast("decimal(18,0)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dv).alias("sx"),
+        F.sum((dv * dv).cast("decimal(38,12)")).alias("sxx"),
+        F.sum(du).alias("sy"),
+        F.sum((du * du).cast("decimal(38,0)")).alias("syy"),
+        F.sum((dv * du).cast("decimal(38,6)")).alias("sxy"),
+    )
+    n = F.col("n")
+    var_pop = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (n * n)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        _round_fixed(var_pop, 6).alias("var_pop_value"),
+        _round_fixed(corr, 6).alias("corr_value_user"),
+    )
+
+
+@register(
     "f_regex_pack",
     """
     SELECT p_partkey,
@@ -4568,6 +4673,8 @@ DRIVER_PRIORITY: list[str] = [
     "f_variant_pack",
     "j_skew_salted_join",
     "x_column_profile",
+    "f_hof_pack",
+    "a_stats_pack",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4589,8 +4696,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_image_meta",
     "q13_cust_distribution",
     "q22_idle_rich_customers",
-    "a_incremental_fold",
-    "t_tumbling_window",
 ]
 
 
