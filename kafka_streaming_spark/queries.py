@@ -4264,6 +4264,87 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("p.*")
 
 
+@register(
+    "x_scd2_history",
+    """
+    SELECT user_id,
+           epoch_ms(ts) AS valid_from_ms,
+           coalesce(epoch_ms(lead(ts) OVER w), 253402300800000) AS valid_to_ms,
+           value AS score,
+           CAST(lead(ts) OVER w IS NULL AS BIGINT) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def x_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: each key's update
+    stream becomes versioned rows with ``[valid_from, valid_to)`` ranges
+    (``lead`` over the per-key timeline; open version capped at the
+    9999-12-31 sentinel) and a current-row flag — the warehouse-standard
+    dimension-versioning operator.  One window shuffle on the key;
+    deterministic (ts, event_id) tiebreak so equal timestamps version
+    identically in both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_millis(F.col("ts"))).over(w)
+    return e.select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("valid_from_ms"),
+        F.coalesce(nxt, F.lit(253402300800000)).alias("valid_to_ms"),
+        F.col("value").alias("score"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "x_pit_join",
+    """
+    WITH d AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS dim_score
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ), f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT f.event_id, f.user_id, f.ts, d.ts AS dts, d.dim_score,
+             row_number() OVER (PARTITION BY f.event_id ORDER BY d.ts DESC) AS rn
+      FROM f LEFT JOIN d ON f.user_id = d.user_id AND d.ts <= f.ts
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, dim_score,
+           epoch_ms(dts) AS valid_from_ms
+    FROM j WHERE rn = 1
+    """,
+)
+def x_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase event picks up the
+    dimension version valid AT its timestamp — the latest signup at or
+    before it (facts before any version keep NULLs, left semantics).
+    Runs on the union-sort as-of join (ONE window shuffle over
+    facts+versions together — no per-fact range probe, no inequality
+    join explosion); the dimension is deduped to unique (key, ts) with a
+    deterministic max_by keeper first, as the as-of contract requires."""
+    e = load_table(spark, sf, "events")
+    f = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    d = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("dim_score"))
+        .withColumn("vf_ms", F.unix_millis(F.col("ts")))
+    )
+    out = asof_join(f, d, ["user_id"], "ts", "ts", ["dim_score", "vf_ms"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.col("dim_score_asof").alias("dim_score"),
+        F.col("vf_ms_asof").alias("valid_from_ms"),
+    )
+
+
 def _pagerank_oracle(iters: int = 2) -> str:
     """DuckDB replica of integer PageRank on the undirected supplier ↔
     customer trade graph: per-iteration contribution = ``r DIV degree``,
@@ -4627,19 +4708,20 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # ROUND-4 ROTATION (CORRECTNESS_r03 digested): r3 checked 50 keys — 44
 # green, 6 non-green (all six root-caused as oracle-typing/canonicalizer
 # defects and FIXED this round).  This window = those 6 (to convert their
-# rows to green) + the 3 post-r3-freeze queries + the 12 new round-4
-# registrations (none has ever had a driver row) + 29 of the 41 queries
-# last checked in round 2.  The r2-green names left out to fit
+# rows to green) + the 3 post-r3-freeze queries + the 25 new round-4
+# registrations (none has ever had a driver row) + 16 of the queries last
+# checked in round 2.  The long-green names left out to fit
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
 # w_analytic_pack, w_moving_avg, a_percentiles, a_pivot,
 # x_cosine_near_dup, x_cosine_topk, x_doc_quality, x_ngram_jaccard_pairs,
-# x_doc_token_stats)
-# are all long-green, keep strict local parity via
-# tests/test_oracle_parity.py, and rotate back in next round.
-# ROUND-5 ROTATION NOTE: first include any r4 non-green or post-freeze
-# registrations, then the twelve names above, then the r3-green set
-# (least-recently-checked first).
+# x_doc_token_stats, q5_region_rollup, g_rollup, a_incremental_fold,
+# t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers)
+# all keep strict local parity via tests/test_oracle_parity.py and rotate
+# back next round.
+# ROUND-5 ROTATION NOTE: first include any r4 non-green plus any
+# registration that never got a driver row, then the 23 names above
+# (least-recently-checked first), then the r3-green set.
 
 DRIVER_PRIORITY: list[str] = [
     # -- r3 non-green, fixed this round (oracle typing / array outputs) ----
@@ -4675,6 +4757,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_column_profile",
     "f_hof_pack",
     "a_stats_pack",
+    "x_scd2_history",
+    "x_pit_join",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4694,8 +4778,6 @@ DRIVER_PRIORITY: list[str] = [
     "j_band_join",
     "t_sessionize",
     "x_image_meta",
-    "q13_cust_distribution",
-    "q22_idle_rich_customers",
 ]
 
 
