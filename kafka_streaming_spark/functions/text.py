@@ -316,6 +316,167 @@ def bigram_lm_scores(
     )
 
 
+def bpe_train(
+    df,
+    text_col: str = "text",
+    vocab_words: int = 2000,
+    num_merges: int = 50,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge list on the corpus (the
+    sentencepiece/GPT-2 training algorithm at toy scale): words become
+    char sequences + ``</w>``, and ``num_merges`` times the most frequent
+    adjacent symbol pair merges into one symbol.
+
+    The frequency table is a BOUNDED driver collect — the top
+    ``vocab_words`` words by (count desc, word asc), the standard
+    "train on the head of the Zipf curve" shortcut (the tail barely moves
+    pair counts).  Ties in pair frequency break lexicographically, so
+    training is deterministic for a given corpus.  At 100 TB the same
+    collect stays bounded (it's a top-k, not a full vocabulary pull);
+    only ``vocab_words`` rows ever reach the driver.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_words)
+        .collect()
+    )
+    freqs: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + ("</w>",): r["c"] for r in rows if r["w"]
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seq, c in freqs.items():
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # deterministic: max count, ties to the lexicographically SMALLEST pair
+        best_pair, best_count = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_count < 2:
+            break
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_freqs: dict[tuple[str, ...], int] = {}
+        for seq, c in freqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_freqs[tuple(out)] = new_freqs.get(tuple(out), 0) + c
+        freqs = new_freqs
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference BPE encoder for ONE word: repeatedly merge the
+    lowest-rank adjacent pair (exact GPT-2 ``get_pairs``/merge loop
+    semantics).  Driver/test-side helper; the distributed path batches
+    this in Arrow with per-batch word caching."""
+    seq: list[str] = list(word) + ["</w>"]
+    while len(seq) > 1:
+        pairs = {(seq[i], seq[i + 1]): i for i in range(len(seq) - 1)}
+        ranked = [(ranks[p], p) for p in pairs if p in ranks]
+        if not ranked:
+            break
+        _, best = min(ranked)
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                out.append(seq[i] + seq[i + 1])
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def bpe_encode_counts(
+    df,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Distributed BPE encoding with a TRAINED merge list: per document,
+    the real BPE token count and the distinct-piece count.
+
+    Scale shape: the merge list travels by closure (a few KB — the same
+    mechanism a production tokenizer's vocab would use, or a broadcast
+    variable beyond ~MBs); encoding runs in ``mapInPandas`` over Arrow
+    record batches with a per-batch word→pieces memo, so each DISTINCT
+    word in a batch is encoded once regardless of its frequency (Zipf
+    makes this ≈free for natural text).  Python is unavoidable here —
+    BPE's merge loop is iterative per word — which is exactly the
+    Arrow-batched boundary the engine reserves for such cases; there is
+    deliberately no row-at-a-time UDF.
+
+    Output: ``(id, n_words, n_bpe_tokens, n_distinct_pieces)``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("n_words", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+            StructField("n_distinct_pieces", LongType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            ids, nw, nt, nd = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).lower().split() if w]
+                pieces: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = bpe_encode_word(w, ranks)
+                        memo[w] = enc
+                    pieces.extend(enc)
+                ids.append(i)
+                nw.append(len(words))
+                nt.append(len(pieces))
+                nd.append(len(set(pieces)))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": nw,
+                    "n_bpe_tokens": nt,
+                    "n_distinct_pieces": nd,
+                }
+            )
+
+    return (
+        spread(df)
+        .select(id_col, text_col)
+        .mapInPandas(encode_batches, schema=out_schema)
+    )
+
+
 def dsir_importance_weights(
     df,
     target_cond,

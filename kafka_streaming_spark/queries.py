@@ -4264,6 +4264,23 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("p.*")
 
 
+@register("x_bpe_tokenize", None)
+def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL byte-pair encoding (not the regex proxy of
+    `x_doc_bpe_tokens`): train 50 merges on the corpus word-frequency
+    head (bounded driver top-k, deterministic tiebreaks), then encode
+    every document with the GPT-2 merge loop in Arrow batches with
+    per-batch word memoization.  Rows-only by nature — BPE's per-word
+    iterative merge loop is not expressible in one SQL pass — so the
+    correctness contract lives in pytest instead: the distributed
+    encoding is pinned piece-for-piece to a driver-side reference
+    encoder, and training determinism + compression invariants are
+    asserted (`tests/test_text_ops.py`)."""
+    d = load_table(spark, sf, "documents")
+    merges = T.bpe_train(d, vocab_words=2000, num_merges=50)
+    return T.bpe_encode_counts(d, merges)
+
+
 @register(
     "x_scd2_history",
     """
@@ -4759,6 +4776,7 @@ DRIVER_PRIORITY: list[str] = [
     "a_stats_pack",
     "x_scd2_history",
     "x_pit_join",
+    "x_bpe_tokenize",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4777,7 +4795,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_bpe_tokens",
     "j_band_join",
     "t_sessionize",
-    "x_image_meta",
 ]
 
 

@@ -147,3 +147,46 @@ def test_dsir_weights_favor_target_distribution(spark):
     assert set(out) == {1, 2, 3, 4}
     assert out[3] > out[4]
     assert min(out[1], out[2]) > out[4]
+
+
+def test_bpe_reference_encoder_hand_example():
+    """GPT-2 merge-loop semantics on a hand-traced example."""
+    ranks = {("a", "b"): 0, ("ab", "</w>"): 1, ("c", "ab"): 2}
+    assert T.bpe_encode_word("ab", ranks) == ["ab</w>"]
+    assert T.bpe_encode_word("cab", ranks) == ["c", "ab</w>"]  # rank 0+1 before 2
+    assert T.bpe_encode_word("abab", ranks) == ["ab", "ab</w>"]
+    assert T.bpe_encode_word("xyz", ranks) == ["x", "y", "z", "</w>"]
+
+
+def test_bpe_training_learns_frequent_pairs(spark):
+    """On a corpus dominated by 'abab', the first learned merge must be
+    (a, b), and training twice gives identical merges."""
+    docs = spark.createDataFrame(
+        [(i, "abab abab cd") for i in range(20)], ["doc_id", "text"]
+    )
+    merges = T.bpe_train(docs, vocab_words=100, num_merges=5)
+    assert merges[0] == ("a", "b")
+    assert merges == T.bpe_train(docs, vocab_words=100, num_merges=5)
+
+
+def test_bpe_distributed_encode_matches_reference(spark):
+    """The Arrow-batched distributed encoding must agree word-for-word
+    with the driver-side reference encoder, and merges must compress."""
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    merges = T.bpe_train(docs, vocab_words=500, num_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_distinct_pieces"])
+        for r in T.bpe_encode_counts(docs, merges).collect()
+    }
+    sample = docs.orderBy("doc_id").limit(20).collect()
+    for row in sample:
+        words = [w for w in row["text"].lower().split() if w]
+        pieces = [p for w in words for p in T.bpe_encode_word(w, ranks)]
+        assert got[row["doc_id"]] == (len(words), len(pieces), len(set(pieces)))
+    # real merges must beat char-level segmentation on this corpus
+    char_level = sum(len(w) + 1 for r in sample for w in r["text"].lower().split())
+    bpe_level = sum(got[r["doc_id"]][1] for r in sample)
+    assert bpe_level < char_level
