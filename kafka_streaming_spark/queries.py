@@ -4264,6 +4264,102 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("p.*")
 
 
+@register(
+    "x_bloom_filter_probe",
+    """
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ), mk AS (
+      SELECT c_custkey, j,
+             CAST(concat('0x', substr(md5('bf' || j || ':' || c_custkey), 1, 15))
+                  AS BIGINT) % 3840 AS h
+      FROM members, unnest(generate_series(0, 2)) AS u(j)
+    ), bloom AS (
+      SELECT h // 60 AS word, bit_or(1::BIGINT << CAST(h % 60 AS INTEGER)) AS bits
+      FROM mk GROUP BY h // 60
+    ), cand AS (
+      SELECT DISTINCT o_custkey FROM orders
+    ), ck AS (
+      SELECT o_custkey, j,
+             CAST(concat('0x', substr(md5('bf' || j || ':' || o_custkey), 1, 15))
+                  AS BIGINT) % 3840 AS h
+      FROM cand, unnest(generate_series(0, 2)) AS u(j)
+    ), probe AS (
+      SELECT ck.o_custkey,
+             MIN(CASE WHEN (bloom.bits & (1::BIGINT << CAST(ck.h % 60 AS INTEGER))) <> 0
+                      THEN 1 ELSE 0 END) AS maybe_member
+      FROM ck LEFT JOIN bloom ON ck.h // 60 = bloom.word
+      GROUP BY ck.o_custkey
+    )
+    SELECT p.o_custkey AS cand_key, p.maybe_member,
+           CAST(m.c_custkey IS NOT NULL AS BIGINT) AS actual_member
+    FROM probe p LEFT JOIN members m ON p.o_custkey = m.c_custkey
+    """,
+)
+def x_bloom_filter_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter build + probe — the runtime-filter / semi-join-prune
+    primitive: rich customers (c_acctbal > 9000) hash k=3 ways into a
+    3,840-bit filter stored as 64 sixty-bit words via a ``bit_or``
+    aggregate, then every distinct order customer probes it.  The filter
+    is CONSTANT size at any member count and broadcasts everywhere; the
+    output keeps (maybe, actual) side by side so the one-sided error
+    contract — no false negatives, measurable false positives — is
+    visible and oracle-checked.  Portable md5 hashing makes every bit of
+    the filter identical in DuckDB (60-bit words keep the sign bit out
+    of the shifts)."""
+    c = load_table(spark, sf, "customer")
+    members = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+
+    def keyed(df: DataFrame, key: str) -> DataFrame:
+        ks = df.select(
+            F.col(key),
+            F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
+        )
+        h = (
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("bf"), F.col("j"), F.lit(":"), F.col(key))
+                ),
+                F.lit(3840),
+            )
+        )
+        return ks.select(F.col(key), h.alias("h"))
+
+    mk = keyed(members, "c_custkey")
+    bloom = mk.groupBy(F.expr("h DIV 60").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 60 AS INT))")
+        ).alias("bits")
+    )
+    cand = load_table(spark, sf, "orders").select("o_custkey").distinct()
+    ck = keyed(cand, "o_custkey")
+    probe = (
+        ck.join(F.broadcast(bloom), F.expr("h DIV 60") == F.col("word"), "left")
+        .select(
+            "o_custkey",
+            F.when(
+                F.expr("bits & shiftleft(CAST(1 AS BIGINT), CAST(h % 60 AS INT))") != 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("__hit"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("__hit").alias("maybe_member"))
+    )
+    return probe.join(
+        members.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "__m", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).select(
+        F.col("o_custkey").alias("cand_key"),
+        "maybe_member",
+        F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("actual_member"),
+    )
+
+
 @register("x_bpe_tokenize", None)
 def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """REAL byte-pair encoding (not the regex proxy of
@@ -4777,6 +4873,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_scd2_history",
     "x_pit_join",
     "x_bpe_tokenize",
+    "x_bloom_filter_probe",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4794,7 +4891,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_lang_id",
     "x_doc_bpe_tokens",
     "j_band_join",
-    "t_sessionize",
 ]
 
 

@@ -173,3 +173,18 @@ def test_pack_non_numeric_order_falls_back_to_single_bucket(spark):
     }
     # running sums 300,600,900,1200 -> (run - tokens)/512 floors: 0,0,1,1
     assert got == {"a": 0, "b": 0, "c": 1, "d": 1}
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """The Bloom probe's one-sided error contract: every actual member is
+    flagged maybe_member, and the false-positive rate stays small for
+    3,840 bits / k=3 at this member count."""
+    from kafka_streaming_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["x_bloom_filter_probe"][0](spark, SF_SMALL).collect()
+    fn = [r for r in rows if r["actual_member"] == 1 and r["maybe_member"] == 0]
+    assert fn == []
+    non_members = [r for r in rows if r["actual_member"] == 0]
+    fp = sum(r["maybe_member"] for r in non_members)
+    assert fp / max(len(non_members), 1) < 0.2
