@@ -499,6 +499,9 @@ def kmeans_fit_predict(
     across iterations; at 100 TB use a sampled fit (fit on a deterministic
     hash-sample, predict over the full corpus) or k-means|| init instead
     of more Lloyd rounds."""
+    # null vectors can't participate in distance math; excluding them here
+    # (not silently mis-assigning) keeps both engines' decisions identical
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     v = (
         spread(corpus)
         .select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
@@ -582,6 +585,10 @@ def semdedup(
     lower-id cluster-mate (sentinel -2.0 when none) and ``kept = 1`` iff
     that max is below ``threshold``.
     """
+    # null vectors would get an engine-dependent arbitrary cluster (NULL
+    # ordering differs between Spark desc_nulls_last and DuckDB windows)
+    # and pass the keep filter vacuously — exclude them up front
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     cents = ivf_centroids(corpus, n_clusters, id_col, vec_col, family=family)
     assigned = ivf_assign(
         spread(corpus), cents, id_col, vec_col, nprobe=1, rounded=True

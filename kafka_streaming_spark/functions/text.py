@@ -449,7 +449,10 @@ def bpe_encode_counts(
             memo: dict[str, list[str]] = {}
             ids, nw, nt, nd = [], [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text).lower().split() if w]
+                # null text ≡ empty doc (str(None) would tokenize as 'none')
+                words = [] if not isinstance(text, str) else [
+                    w for w in text.lower().split() if w
+                ]
                 pieces: list[str] = []
                 for w in words:
                     enc = memo.get(w)

@@ -157,3 +157,15 @@ def test_kmeans_partitions_and_improves(spark):
     assert i2 <= i1 * 1.0001, (i1, i2)
     again = sorted(map(tuple, a2.collect()))
     assert again == sorted(map(tuple, S.kmeans_fit_predict(emb, k=8, iters=2, family="md5").collect()))
+
+
+def test_null_vectors_excluded_from_clustering(spark):
+    """Null embeddings must be excluded, not arbitrarily assigned (NULL
+    ordering differs between engines); null text must encode as empty."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    km = {r["vec_id"] for r in S.kmeans_fit_predict(emb, k=2, iters=1).collect()}
+    assert km == {1, 3}
+    sd = {r["vec_id"] for r in S.semdedup(emb, n_clusters=2).collect()}
+    assert sd == {1, 3}

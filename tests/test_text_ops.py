@@ -190,3 +190,11 @@ def test_bpe_distributed_encode_matches_reference(spark):
     char_level = sum(len(w) + 1 for r in sample for w in r["text"].lower().split())
     bpe_level = sum(got[r["doc_id"]][1] for r in sample)
     assert bpe_level < char_level
+
+
+def test_bpe_null_text_is_empty_doc(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, None)], ["doc_id", "text"])
+    merges = T.bpe_train(docs, vocab_words=10, num_merges=2)
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in T.bpe_encode_counts(docs, merges).collect()}
+    assert got[2] == (0, 0)
