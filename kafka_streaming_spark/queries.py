@@ -4360,6 +4360,68 @@ def x_bloom_filter_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_fuzzy_match",
+    """
+    WITH names AS (
+      SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS name_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    ), q AS (
+      SELECT name_key AS query_key,
+             concat(substr(p_name, 1, 1 + name_key % (length(p_name) - 2)),
+                    substr(p_name, 3 + name_key % (length(p_name) - 2)))
+               AS qname
+      FROM names
+    )
+    SELECT q.query_key, q.qname, c.p_name AS matched_name, c.n_rows,
+           CAST(levenshtein(q.qname, c.p_name) AS BIGINT) AS dist
+    FROM q JOIN names c
+      ON substr(q.qname, 1, 1) = substr(c.p_name, 1, 1)
+     AND length(q.qname) + 1 = length(c.p_name)
+    WHERE levenshtein(q.qname, c.p_name) <= 1
+    """,
+)
+def x_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution by dedupe-then-blocked-fuzzy-join: names are
+    first collapsed to distinct strings with a deterministic
+    min-key + row count (real ER matches entity STRINGS — matching raw
+    rows would square the duplicate groups: 64 distinct part names x
+    300 copies each at sf0.1 means 6M pair rows done naively), then each
+    name is deterministically corrupted (one char deleted at a
+    key-dependent position past the first) and matched back with
+    ``levenshtein <= 1`` ONLY within blocks sharing (first char,
+    expected length).  Block-key equijoin → ordinary shuffle join at any
+    scale; recall is exact for single-deletion errors because deletion
+    preserves both block keys by construction.  Corruption and every
+    distance are replayed verbatim by the oracle."""
+    p = load_table(spark, sf, "part")
+    names = p.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("name_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    q = names.select(
+        F.col("name_key").alias("query_key"),
+        F.concat(
+            F.expr("substr(p_name, 1, 1 + name_key % (length(p_name) - 2))"),
+            F.expr("substr(p_name, 3 + name_key % (length(p_name) - 2))"),
+        ).alias("qname"),
+    )
+    c = names.select(F.col("p_name"), "n_rows")
+    joined = q.join(
+        c,
+        (F.substring("qname", 1, 1) == F.substring("p_name", 1, 1))
+        & (F.length("qname") + 1 == F.length("p_name")),
+    )
+    return joined.filter(F.levenshtein("qname", "p_name") <= 1).select(
+        "query_key",
+        "qname",
+        F.col("p_name").alias("matched_name"),
+        "n_rows",
+        F.levenshtein("qname", "p_name").cast("long").alias("dist"),
+    )
+
+
 @register("x_bpe_tokenize", None)
 def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """REAL byte-pair encoding (not the regex proxy of
@@ -4874,6 +4936,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_pit_join",
     "x_bpe_tokenize",
     "x_bloom_filter_probe",
+    "x_fuzzy_match",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4890,7 +4953,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_fingerprint",
     "x_doc_lang_id",
     "x_doc_bpe_tokens",
-    "j_band_join",
 ]
 
 
