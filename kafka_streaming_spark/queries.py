@@ -1800,6 +1800,101 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL
+    ), cnt AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY event_type, next_type
+    ), tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY event_type
+    )
+    SELECT cnt.event_type AS from_type, cnt.next_type AS to_type, cnt.n,
+           (cnt.n * 1000000) // tot.t AS p_micro
+    FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+    """,
+)
+def x_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    consecutive (event, next-event) pairs via ``lead`` on the per-user
+    timeline (deterministic (ts, event_id) tiebreak), counted globally,
+    with the empirical transition probability in exact integer
+    micro-units.  One window shuffle on user_id + one count shuffle on
+    the 25-cell pair space; output is |event_types|² regardless of
+    volume — the behavioral-analytics complement of the strict-order
+    funnel."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        "n",
+        F.expr("(n * 1000000) DIV t").alias("p_micro"),
+    )
+
+
+@register(
+    "x_time_resample",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(19723, 19752)) AS day_num
+    ), daily AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+               / 100.0 AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT spine.day_num,
+           coalesce(daily.n_events, 0) AS n_events,
+           coalesce(daily.sum_value, 0.0) AS sum_value
+    FROM spine LEFT JOIN daily ON spine.day_num = daily.day_num
+    """,
+)
+def x_time_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling with gap fill: a generated calendar spine
+    (Jan 2024 as epoch-day numbers, ``sequence``+``explode``) left-joined
+    to daily aggregates so empty days appear as explicit zeros — the
+    resample/asfreq operator every monitoring pipeline needs (missing
+    periods are silent lies otherwise).  The spine is generated, never
+    scanned; the aggregate is one shuffle; the spine join broadcasts."""
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(19723), F.lit(19752))).alias("day_num")
+    )
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("day_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day_num", "left")
+        .select(
+            "day_num",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "x_image_meta",
     """
     WITH h AS (
@@ -4937,6 +5032,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_bpe_tokenize",
     "x_bloom_filter_probe",
     "x_fuzzy_match",
+    "x_event_transitions",
+    "x_time_resample",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -4951,8 +5048,6 @@ DRIVER_PRIORITY: list[str] = [
     "s_set_intersect",
     "s_set_except",
     "x_doc_fingerprint",
-    "x_doc_lang_id",
-    "x_doc_bpe_tokens",
 ]
 
 
