@@ -1800,6 +1800,61 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - med.med) AS d, med.med
+      FROM events e JOIN med ON e.event_type = med.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad, MAX(med) AS med
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(ROUND(mad.med * 1000000.0) AS BIGINT) / 1000000.0 AS med,
+           CAST(ROUND(mad.mad * 1000000.0) AS BIGINT) / 1000000.0 AS mad
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type, mad.med, mad.mad
+    """,
+)
+def x_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust anomaly detection per group: median/MAD (the
+    outlier-resistant z-score) with outliers counted at the classic
+    ``|x - med| > 3·MAD`` threshold.  Exact interpolating percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — the proven
+    equivalence from `a_percentiles`) and a scalar per-row deviation
+    formula mean both engines make identical threshold decisions with no
+    rounding in the comparison path.  Two grouped percentile passes +
+    two joins on the 5-row group key; at 100 TB swap the exact
+    percentile for ``approx_percentile`` exactly as `a_percentiles`
+    documents."""
+    e = load_table(spark, sf, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad"), F.max("med").alias("med")
+    )
+    joined = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return joined.groupBy("event_type", "med", "mad").agg(
+        F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).select(
+        "event_type",
+        "n_outliers",
+        "n_total",
+        _round_fixed(F.col("med"), 6).alias("med"),
+        _round_fixed(F.col("mad"), 6).alias("mad"),
+    )
+
+
+@register(
     "x_event_transitions",
     """
     WITH seq AS (
@@ -5034,6 +5089,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_fuzzy_match",
     "x_event_transitions",
     "x_time_resample",
+    "x_robust_outliers",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -5047,7 +5103,6 @@ DRIVER_PRIORITY: list[str] = [
     "j_anti_join",
     "s_set_intersect",
     "s_set_except",
-    "x_doc_fingerprint",
 ]
 
 
