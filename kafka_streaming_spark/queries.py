@@ -1800,6 +1800,90 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_doc_sample_weighted",
+    """
+    WITH mx AS (
+      SELECT CAST(MAX(n_chars) AS BIGINT) AS m FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM documents CROSS JOIN mx
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000
+          < (n_chars * 1000000) // mx.m
+    """,
+)
+def x_doc_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample: doc kept with
+    probability ``n_chars / max(n_chars)`` decided by a pure hash of its
+    id against an integer threshold — the size-proportional sampling
+    step (duplicate-weighted corpus thinning, importance-proportional
+    eval pools) with full retry/engine reproducibility, no rand().
+    Map-side except the 1-row max broadcast."""
+    d = load_table(spark, sf, "documents")
+    from kafka_streaming_spark.functions.dedup import portable_hash60
+
+    mx = d.agg(F.max("n_chars").cast("long").alias("m"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(
+            F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(1000000))
+            < F.expr("(n_chars * 1000000) DIV m")
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "x_quantile_binning",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice < b.q1 THEN 0
+                WHEN o_totalprice < b.q2 THEN 1
+                WHEN o_totalprice < b.q3 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(MIN(o_totalprice) * 100.0) AS BIGINT) / 100.0 AS lo,
+           CAST(ROUND(MAX(o_totalprice) * 100.0) AS BIGINT) / 100.0 AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def x_quantile_binning(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency feature binning (quartiles): cutpoints from ONE
+    exact-percentile aggregate broadcast back over the table, bucket
+    assignment by comparison — NOT an ``ntile`` window, which would
+    funnel the whole table through one sorted partition at scale.  The
+    boundary doubles are interpolated identically in both engines
+    (`a_percentiles` equivalence), so bucket decisions agree exactly."""
+    o = load_table(spark, sf, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), F.lit(0))
+        .when(F.col("o_totalprice") < F.col("q2"), F.lit(1))
+        .when(F.col("o_totalprice") < F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _round_fixed(F.min("o_totalprice"), 2).alias("lo"),
+            _round_fixed(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "x_robust_outliers",
     """
     WITH med AS (
@@ -5090,6 +5174,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_event_transitions",
     "x_time_resample",
     "x_robust_outliers",
+    "x_doc_sample_weighted",
+    "x_quantile_binning",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -5101,8 +5187,6 @@ DRIVER_PRIORITY: list[str] = [
     "q3_revenue_by_segment",
     "j_semi_join",
     "j_anti_join",
-    "s_set_intersect",
-    "s_set_except",
 ]
 
 

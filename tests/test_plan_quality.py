@@ -204,6 +204,9 @@ _CARTESIAN_ALLOWED = {
     "x_kmeans_embeddings",     # k-row centroid broadcast per Lloyd round
     "x_bm25_search",           # corpus stats: 1-row broadcast scalar join
     "x_dsir_weights",          # corpus totals: 1-row broadcast scalar join
+    "x_doc_sample_weighted",   # corpus max: 1-row broadcast scalar join
+    "x_quantile_binning",      # quartile cutpoints: 1-row broadcast join
+    "x_robust_outliers",       # per-group median/MAD: bounded broadcast joins
 }
 
 

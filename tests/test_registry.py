@@ -1,0 +1,40 @@
+"""Registry/driver-contract hygiene: the invariants the round driver
+relies on but never checks itself.  These catch rotation mistakes (a
+DRIVER_PRIORITY name that no longer exists, a duplicate, a wrong-sized
+window) at pytest time instead of as a silently skipped driver row.
+"""
+
+from __future__ import annotations
+
+from kafka_streaming_spark.queries import DRIVER_PRIORITY, REGISTRY, driver_ordered
+
+
+def test_driver_window_is_exactly_50_valid_unique_names():
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    assert missing == []
+
+
+def test_driver_ordered_puts_priority_first_and_loses_nothing():
+    ordered = driver_ordered()
+    assert list(ordered)[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+    assert set(ordered) == set(REGISTRY)
+
+
+def test_rows_only_queries_are_documented_exceptions():
+    """Every query without an oracle must be one of the known
+    genuinely-non-SQL-expressible cases — anything else must ship with a
+    DuckDB oracle (the driver records only a weak rows-only check
+    otherwise)."""
+    rows_only = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is None)
+    assert rows_only == ["a_approx_sketch", "x_bpe_tokenize"]
+
+
+def test_oracles_are_nonempty_sql():
+    bad = [
+        n
+        for n, (_f, sql) in REGISTRY.items()
+        if sql is not None and ("SELECT" not in sql.upper() or len(sql) < 20)
+    ]
+    assert bad == []
