@@ -276,3 +276,42 @@ def test_epoch_shuffle_no_single_partition_window(spark):
     plan = plan_of(spark, "x_epoch_shuffle")
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan  # the per-range row_number
+
+
+def test_pit_join_is_union_sort_not_range_probe(spark):
+    """The point-in-time join must compile to the union-sort shape: ONE
+    window over facts+versions and NO join operator at all (a range/
+    inequality join rewrite would show a nested loop or per-fact probe;
+    the only exchanges are the dim dedupe aggregate and the window
+    partitioning)."""
+    plan = plan_of(spark, "x_pit_join")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_bm25_never_merge_joins_the_corpus(spark):
+    """BM25's joins are all bounded-side broadcasts (df, query relation,
+    1-row stats); a SortMergeJoin would mean the posting stream got
+    shuffled against a corpus-scale side."""
+    plan = plan_of(spark, "x_bm25_search")
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Expand") == 0
+
+
+def test_countmin_sketch_is_broadcast_probed(spark):
+    """The CMS estimate join must broadcast the 2,048-cell sketch, never
+    shuffle candidates against it."""
+    plan = plan_of(spark, "x_countmin_heavyhitters")
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_funnel_is_joins_not_windows(spark):
+    """The strict-order funnel must be per-stage min-aggregates + joins
+    (state = one timestamp per user per stage), never a window over the
+    full per-user event history."""
+    plan = plan_of(spark, "x_event_funnel")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
