@@ -4273,6 +4273,85 @@ def x_image_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_image_resize_stats",
+    """
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(list_sum(flatten(list_transform(
+             generate_series(0, 12*16 - 1),
+             p -> list_transform([0, 1, 2],
+                    c -> (((p // 16) * h0) // 12
+                          + 2 * (((p % 16) * w0) // 16)
+                          + 37*c + doc_id) % 256)
+           ))) AS BIGINT) AS pixel_sum
+    FROM px
+    """,
+)
+def x_image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Image RESIZE end to end through real codecs: gradient PNGs are
+    decoded, nearest-neighbor resampled to 16x12 in numpy, re-encoded as
+    PNG (``resize_images``), decoded AGAIN (``decode_image_pixels``), and
+    reduced to pixel sums.  The oracle knows neither PNG nor numpy — it
+    replays the nearest-neighbor index math ``src = (dst*extent)//target``
+    against the generation formula, so agreement proves decode → resample
+    → re-encode → decode is index-exact.  Everything stays in Arrow
+    ``mapInPandas`` batches (the multimodal boundary pattern)."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_png,
+        resize_images,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                i = np.arange(h).reshape(h, 1, 1)
+                j = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((i + 2 * j + 37 * c + d) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    resized = resize_images(ids.mapInPandas(gen, gen_schema), width=16, height=12)
+    decoded = decode_image_pixels(resized)
+    byte_sum = F.pandas_udf(
+        lambda b: b.map(lambda v: int(np.frombuffer(v, np.uint8).sum()) if v is not None else 0),
+        "long",
+    )
+    return decoded.select(
+        "asset_id", "width", "height", "channels", byte_sum("pixels").alias("pixel_sum")
+    )
+
+
+@register(
     "x_audio_energy",
     """
     WITH t AS (
@@ -5176,6 +5255,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_robust_outliers",
     "x_doc_sample_weighted",
     "x_quantile_binning",
+    "x_image_resize_stats",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -5186,7 +5266,6 @@ DRIVER_PRIORITY: list[str] = [
     "l_pagination",
     "q3_revenue_by_segment",
     "j_semi_join",
-    "j_anti_join",
 ]
 
 
