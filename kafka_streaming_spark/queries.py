@@ -5196,20 +5196,21 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # ROUND-4 ROTATION (CORRECTNESS_r03 digested): r3 checked 50 keys — 44
 # green, 6 non-green (all six root-caused as oracle-typing/canonicalizer
 # defects and FIXED this round).  This window = those 6 (to convert their
-# rows to green) + the 3 post-r3-freeze queries + the 25 new round-4
-# registrations (none has ever had a driver row) + 16 of the queries last
-# checked in round 2.  The long-green names left out to fit
-# (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
-# q18_large_orders, t_sliding_window, a_cube, j_asof_join,
-# w_analytic_pack, w_moving_avg, a_percentiles, a_pivot,
-# x_cosine_near_dup, x_cosine_topk, x_doc_quality, x_ngram_jaccard_pairs,
-# x_doc_token_stats, q5_region_rollup, g_rollup, a_incremental_fold,
-# t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers)
-# all keep strict local parity via tests/test_oracle_parity.py and rotate
-# back next round.
+# rows to green) + the 3 post-r3-freeze queries + ALL 32 new round-4
+# registrations (none has ever had a driver row) + 9 of the queries last
+# checked in round 2.  Every name not in the window is long-green from a
+# prior round and keeps strict local parity via tests/test_oracle_parity.py.
 # ROUND-5 ROTATION NOTE: first include any r4 non-green plus any
-# registration that never got a driver row, then the 23 names above
-# (least-recently-checked first), then the r3-green set.
+# registration that never got a driver row, then the r2-green leave-outs
+# (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
+# q18_large_orders, t_sliding_window, a_cube, j_asof_join, j_anti_join,
+# j_band_join, t_sessionize, w_analytic_pack, w_moving_avg, a_percentiles,
+# a_pivot, x_cosine_near_dup, x_cosine_topk, x_doc_quality,
+# x_ngram_jaccard_pairs, x_doc_token_stats, x_doc_fingerprint,
+# x_doc_lang_id, x_doc_bpe_tokens, x_image_meta, s_set_intersect,
+# s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
+# t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers),
+# then the r3-green set (least-recently-checked first).
 
 DRIVER_PRIORITY: list[str] = [
     # -- r3 non-green, fixed this round (oracle typing / array outputs) ----
