@@ -3367,6 +3367,110 @@ def j_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FORMAT_READY: set[str] = set()
+
+
+def _ensure_format_copy(spark: SparkSession, sf: str, fmt: str) -> str:
+    """Once-per-sf events copy in another source format (csv / json
+    lines), for the format-scan queries: written idempotently under
+    ``.tmp`` from the immutable parquet source.  Only
+    integer/double/string columns are written (timestamps round-trip
+    through epoch millis upstream; CSV/JSON timestamp parsing is a
+    format-flag swamp that adds nothing to the scan path under test)."""
+    import os as _os
+
+    dest = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"events_{fmt}_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    if dest in _FORMAT_READY:
+        return dest
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        ev = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        w = ev.coalesce(4).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(dest)
+        else:
+            w.json(dest)
+    _FORMAT_READY.add(dest)
+    return dest
+
+
+_FORMAT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+def _format_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+@register("f_csv_scan", _FORMAT_ORACLE)
+def f_csv_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source path end to end: the events table round-trips through a
+    headered CSV copy (Java double formatting round-trips exactly, so the
+    re-parsed values are bit-identical) and is read back with an EXPLICIT
+    schema — never inferSchema, which would scan every file twice at
+    100 TB — then aggregated; the oracle reads the original parquet, so a
+    pass proves write → text → typed parse lossless."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _ensure_format_copy(spark, sf, "csv")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("header", True).csv(path)
+    return _format_agg(df)
+
+
+@register("f_jsonl_scan", _FORMAT_ORACLE)
+def f_jsonl_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source path end to end (same contract as `f_csv_scan`:
+    explicit schema, no inference pass; values round-trip exactly)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _ensure_format_copy(spark, sf, "json")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(path)
+    return _format_agg(df)
+
+
 def ensure_zorder_layout(spark: SparkSession, sf: str) -> str:
     """Once-per-sf OPTIMIZE/ZORDER setup for :func:`x_zorder_scan`: lay the
     events out on a (user, time) Z-curve (``ops.layout.zorder`` — one
@@ -5257,6 +5361,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_sample_weighted",
     "x_quantile_binning",
     "x_image_resize_stats",
+    "f_csv_scan",
+    "f_jsonl_scan",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
@@ -5265,8 +5371,6 @@ DRIVER_PRIORITY: list[str] = [
     "w_latest_per_key",
     "w_topk_per_group",
     "l_pagination",
-    "q3_revenue_by_segment",
-    "j_semi_join",
 ]
 
 
