@@ -3367,6 +3367,131 @@ def j_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_data_contract",
+    """
+    SELECT 'value_range' AS rule,
+           CAST(SUM(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM events
+    UNION ALL
+    SELECT 'ts_in_window',
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                           OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'type_in_enum',
+           CAST(SUM(CASE WHEN event_type NOT IN
+                           ('signup','view','click','purchase','error')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_not_null',
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    """,
+)
+def x_data_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract validation (the dbt-test / expectations shape): four
+    declared rules — numeric range, event-time window, enum membership,
+    not-null — evaluated as conditional sums in ONE table pass (the four
+    oracle scans collapse to one on the Spark side; DuckDB's UNION ALL
+    form is the portable spelling of the same counts), reported one row
+    per rule so a quality dashboard can alert per contract clause."""
+    e = load_table(spark, sf, "events")
+    rules = {
+        "value_range": (F.col("value") < 0) | (F.col("value") > 100),
+        "ts_in_window": (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp")),
+        "type_in_enum": ~F.col("event_type").isin(
+            "signup", "view", "click", "purchase", "error"
+        ),
+        "user_not_null": F.col("user_id").isNull(),
+    }
+    one = e.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[F.sum(cond.cast("long")).alias(f"__v_{r}") for r, cond in rules.items()],
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(f"__v_{r}").alias("n_violations"),
+                        F.col("n_checked"),
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+@register(
+    "x_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT event_id, value FROM events WHERE event_id % 97 != 0
+    ), b AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN value + 1.0 ELSE value END AS value
+      FROM events WHERE event_id % 89 != 0
+    ), j AS (
+      SELECT coalesce(a.event_id, b.event_id) AS k,
+             a.event_id IS NULL AS only_b,
+             b.event_id IS NULL AS only_a,
+             a.value AS va, b.value AS vb
+      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    )
+    SELECT CAST(SUM(CASE WHEN only_b THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN only_a THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN NOT only_a AND NOT only_b AND va != vb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN NOT only_a AND NOT only_b AND va = vb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+    FROM j
+    """,
+)
+def x_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation: two deterministic table versions (rows
+    dropped on different key residues; a value perturbation on a third
+    residue) diffed by a FULL OUTER JOIN on the key into
+    added/removed/changed/same counts — the audit primitive behind every
+    incremental-pipeline regression check.  One co-partitioned outer join
+    + a single-row aggregate; exact float equality is safe because both
+    sides derive from the same stored doubles."""
+    e = load_table(spark, sf, "events").select("event_id", "value")
+    a = e.filter(F.col("event_id") % 97 != 0)
+    b = e.filter(F.col("event_id") % 89 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    only_b = F.col("a.event_id").isNull()
+    only_a = F.col("b.event_id").isNull()
+    both = ~only_a & ~only_b
+    return j.agg(
+        F.sum(only_b.cast("long")).alias("n_added"),
+        F.sum(only_a.cast("long")).alias("n_removed"),
+        F.sum((both & (F.col("a.value") != F.col("b.value"))).cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum((both & (F.col("a.value") == F.col("b.value"))).cast("long")).alias(
+            "n_same"
+        ),
+    )
+
+
 _FORMAT_READY: set[str] = set()
 
 
@@ -5363,14 +5488,14 @@ DRIVER_PRIORITY: list[str] = [
     "x_image_resize_stats",
     "f_csv_scan",
     "f_jsonl_scan",
+    "x_data_contract",
+    "x_snapshot_diff",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
     "f_scalar_pack",
     "d_datetime_pack",
     "w_latest_per_key",
-    "w_topk_per_group",
-    "l_pagination",
 ]
 
 
