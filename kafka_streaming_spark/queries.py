@@ -3368,6 +3368,71 @@ def j_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item
+      FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), item_cnt AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           (p.n_ab * n_orders.n * 1000000) // (ca.c * cb.c) AS lift_micro
+    FROM pairs p
+    JOIN item_cnt ca ON p.item_a = ca.item
+    JOIN item_cnt cb ON p.item_b = cb.item
+    CROSS JOIN n_orders
+    ORDER BY p.n_ab DESC, p.item_a, p.item_b LIMIT 25
+    """,
+)
+def x_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence (the collaborative-filtering /
+    association-rule building block): item pairs co-purchased within an
+    order, with lift = P(ab)/(P(a)P(b)) in exact integer micro-units.
+    The pair join is WITHIN the order key — work bounded by
+    basket_size² per order, never |items|² — then pair counts aggregate
+    globally (map-side partials) and the small item-count table joins
+    broadcast.  Top-25 by (support, pair) total order."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = item_cnt.select(F.col("item").alias("item_a"), F.col("c").alias("__ca"))
+    cb = item_cnt.select(F.col("item").alias("item_b"), F.col("c").alias("__cb"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr("(n_ab * n * 1000000) DIV (__ca * __cb)").alias("lift_micro"),
+        )
+        .orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+        .limit(25)
+    )
+
+
+@register(
     "x_data_contract",
     """
     SELECT 'value_range' AS rule,
@@ -5490,12 +5555,12 @@ DRIVER_PRIORITY: list[str] = [
     "f_jsonl_scan",
     "x_data_contract",
     "x_snapshot_diff",
+    "x_market_basket",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
     "f_scalar_pack",
     "d_datetime_pack",
-    "w_latest_per_key",
 ]
 
 

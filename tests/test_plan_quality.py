@@ -207,6 +207,7 @@ _CARTESIAN_ALLOWED = {
     "x_doc_sample_weighted",   # corpus max: 1-row broadcast scalar join
     "x_quantile_binning",      # quartile cutpoints: 1-row broadcast join
     "x_robust_outliers",       # per-group median/MAD: bounded broadcast joins
+    "x_market_basket",         # order-count scalar: 1-row broadcast join
 }
 
 
