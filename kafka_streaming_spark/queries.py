@@ -3368,6 +3368,57 @@ def j_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5('kmv:' || CAST(event_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS hv
+      FROM events
+    ), kth AS (
+      SELECT hv AS kth_min FROM h ORDER BY hv LIMIT 1 OFFSET 63
+    ), exact AS (
+      SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact FROM events
+    )
+    SELECT 64 AS k, kth.kth_min,
+           63 * (1152921504606846976 // kth.kth_min) AS est_distinct,
+           exact.n_exact
+    FROM kth CROSS JOIN exact
+    """,
+)
+def x_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch: keep the
+    k smallest 60-bit hashes of the key; estimate ``(k-1) * (2^60 DIV
+    h_k)`` from the k-th minimum — integer-exact, so unlike HLL the whole
+    sketch AND its estimate are value-hash checked against DuckDB
+    (`a_approx_sketch` stays the rows-only native-HLL witness).  The
+    bottom-k is a partial TakeOrdered (each partition contributes at most
+    k hashes, no full shuffle of the key space), the sketch is mergeable
+    by construction (union = min-k of concatenation), and the estimate is
+    reported next to the exact count so the error is visible."""
+    e = load_table(spark, sf, "events")
+    h = e.select(
+        D.portable_hash60(
+            F.concat(F.lit("kmv:"), F.col("event_id").cast("string"))
+        ).alias("hv")
+    ).distinct()
+    kth = (
+        h.orderBy("hv")
+        .limit(64)
+        .agg(F.max("hv").alias("kth_min"))
+    )
+    exact = e.agg(F.countDistinct("event_id").alias("n_exact"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(64).alias("k"),
+            "kth_min",
+            F.expr("63 * (1152921504606846976 DIV kth_min)").alias("est_distinct"),
+            "n_exact",
+        )
+    )
+
+
+@register(
     "x_market_basket",
     """
     WITH items AS (
@@ -5556,11 +5607,11 @@ DRIVER_PRIORITY: list[str] = [
     "x_data_contract",
     "x_snapshot_diff",
     "x_market_basket",
+    "x_kmv_distinct",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
     "f_filter_routing",
     "f_scalar_pack",
-    "d_datetime_pack",
 ]
 
 

@@ -208,6 +208,7 @@ _CARTESIAN_ALLOWED = {
     "x_quantile_binning",      # quartile cutpoints: 1-row broadcast join
     "x_robust_outliers",       # per-group median/MAD: bounded broadcast joins
     "x_market_basket",         # order-count scalar: 1-row broadcast join
+    "x_kmv_distinct",          # exact-count scalar: 1-row broadcast join
 }
 
 
