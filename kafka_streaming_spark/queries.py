@@ -3368,6 +3368,130 @@ def j_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_triangle_count",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+    ), pairs0 AS (
+      SELECT a.item AS u, b.item AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    ), st AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS np
+      FROM pairs0
+    ), pairs AS (
+      SELECT u, v FROM pairs0 CROSS JOIN st WHERE c * st.np > st.tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges
+    FROM pairs e1
+    JOIN pairs e2 ON e1.v = e2.u
+    JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+)
+def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (support ≥ 3 edges from
+    within-order item pairs) via the oriented-edge join: every edge is
+    stored once as ``u < v``, so each triangle is found exactly once by
+    ``(u,v)⋈(v,w)⋈(u,w)`` — no division by 6, no direction blowup.  At
+    scale the orientation step orders by DEGREE, not id (bounding the
+    join fan-out of hub nodes at O(m^1.5) — the standard fix documented
+    here; id-orientation is used in the registered config because the
+    derived graph is small and the oracle must match exactly).  Two
+    self-joins co-partitioned on the join keys; the graph-family
+    complement of connected components and PageRank."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    a = items.select("l_orderkey", F.col("item").alias("u"))
+    b = items.select("l_orderkey", F.col("item").alias("v"))
+    pairs0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # data-derived support: keep edges co-purchased above the MEAN pair
+    # count (integer compare c*np > tot — no float, scale-factor-free)
+    st = pairs0.agg(F.sum("__c").alias("__tot"), F.count(F.lit(1)).alias("__np"))
+    pairs = (
+        pairs0.crossJoin(F.broadcast(st))
+        .filter(F.expr("__c * __np > __tot"))
+        .select("u", "v")
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = pairs.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
+
+
+@register(
+    "x_skew_profile",
+    """
+    WITH k1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_suppkey
+    ), k2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey
+    ), k3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    )
+    SELECT 'lineitem.l_suppkey' AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_rows,
+           (MAX(c) * 1000000) // CAST(SUM(c) // COUNT(*) AS BIGINT) AS skew_ratio_micro
+    FROM k1
+    UNION ALL
+    SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+           CAST(SUM(c) // COUNT(*) AS BIGINT),
+           (MAX(c) * 1000000) // CAST(SUM(c) // COUNT(*) AS BIGINT)
+    FROM k2
+    UNION ALL
+    SELECT 'events.user_id', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+           CAST(SUM(c) // COUNT(*) AS BIGINT),
+           (MAX(c) * 1000000) // CAST(SUM(c) // COUNT(*) AS BIGINT)
+    FROM k3
+    """,
+)
+def x_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic that decides between a
+    plain shuffle join, AQE skew splitting, and an explicit salted join
+    (`j_skew_salted_join`): per candidate key, the key count, the hottest
+    key's row count, the mean, and max/mean in integer micro-units.  One
+    count aggregate per key (map-side partials); output is 3 rows
+    regardless of scale."""
+
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        c = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return c.agg(
+            F.lit(label).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            F.expr("sum(c) DIV count(1)").alias("mean_rows"),
+            F.expr("(max(c) * 1000000) DIV (sum(c) DIV count(1))").alias(
+                "skew_ratio_micro"
+            ),
+        )
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    e = load_table(spark, sf, "events")
+    return (
+        profile(li, "l_suppkey", "lineitem.l_suppkey")
+        .unionAll(profile(o, "o_custkey", "orders.o_custkey"))
+        .unionAll(profile(e, "user_id", "events.user_id"))
+    )
+
+
+@register(
     "x_kmv_distinct",
     """
     WITH h AS (
@@ -5608,10 +5732,10 @@ DRIVER_PRIORITY: list[str] = [
     "x_snapshot_diff",
     "x_market_basket",
     "x_kmv_distinct",
+    "x_triangle_count",
+    "x_skew_profile",
     # -- last checked in round 2 (least-recently-checked remainder) --------
     "p_parse_project",
-    "f_filter_routing",
-    "f_scalar_pack",
 ]
 
 
