@@ -1,0 +1,79 @@
+"""Distributed graph primitives (beyond the connected-components solver in
+:mod:`kafka_streaming_spark.functions.dedup`): integer PageRank and
+oriented-edge triangle counting.
+
+Both keep every numeric decision in exact integer arithmetic so results
+are independent of partitioning/summation order and reproduce
+bit-identically in a SQL oracle — the same portability contract as the
+dedup/ANN stacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Both orientations of an undirected edge list → (src, dst)."""
+    return pairs.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+        pairs.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Damped PageRank (d = 0.85) in exact integer micro-units: per round,
+    contribution = ``rank DIV degree`` and new rank = ``150000 +
+    (85 * inbound_sum) DIV 100``.  Every node must have out-degree ≥ 1
+    (run :func:`undirect` first for undirected graphs — that also removes
+    the dangling-node mass leak).
+
+    Scale shape: each round is one join + one groupBy shuffle, both
+    partitioned on the node key; O(iters) passes over the edge list, no
+    driver state.  For many rounds at 100 TB, cut lineage every few
+    iterations exactly as the connected-components solver does.
+
+    Returns ``(node, rank_micro, degree)`` for every node.
+    """
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    r = deg.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = r.join(deg, "node").select(
+            F.col("node").alias(src), F.expr("r DIV degree").alias("__c")
+        )
+        r = (
+            edges.join(contrib, src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("__c").alias("__s"))
+            .select("node", F.expr("150000 + (85 * __s) DIV 100").alias("r"))
+        )
+    return r.join(deg, "node").select(
+        "node", F.col("r").alias("rank_micro"), "degree"
+    )
+
+
+def triangle_count(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Count triangles in an undirected graph given each edge ONCE in a
+    consistent orientation (``u < v`` by id here): the oriented join
+    ``(u,v) ⋈ (v,w) ⋈ (u,w)`` finds every triangle exactly once — no
+    division by 6, no direction blowup.  At scale orient by DEGREE
+    instead of id (the classic O(m^1.5) hub-bounding fix); id orientation
+    keeps the SQL oracle exact for the registered configuration.
+
+    Returns a 1-row DataFrame ``(n_triangles)``.
+    """
+    e1 = pairs.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    e2 = e1.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = e1.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    return (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

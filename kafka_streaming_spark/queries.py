@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streaming_spark.functions import dedup as D
+from kafka_streaming_spark.functions import graph as G
 from kafka_streaming_spark.functions import sampling as SP
 from kafka_streaming_spark.functions import similarity as S
 from kafka_streaming_spark.functions import text as T
@@ -3421,16 +3422,8 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.expr("__c * __np > __tot"))
         .select("u", "v")
     )
-    e1 = pairs
-    e2 = pairs.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = pairs.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
-    tri = (
-        e1.join(e2, "v")
-        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    return tri.crossJoin(F.broadcast(n_edges))
+    return G.triangle_count(pairs).crossJoin(F.broadcast(n_edges))
 
 
 @register(
@@ -5357,34 +5350,13 @@ def x_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.col("l_suppkey").alias("a"),
-            (F.col("o_custkey") + 100000).alias("b"),
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
         )
         .distinct()
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    r = deg.select("node", F.lit(1000000).cast("long").alias("r"))
-    for _ in range(2):
-        contrib = r.join(deg, "node").select(
-            F.col("node").alias("src"), F.expr("r DIV degree").alias("__c")
-        )
-        r = (
-            edges.join(contrib, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("__c").alias("__s"))
-            .select("node", F.expr("150000 + (85 * __s) DIV 100").alias("r"))
-        )
-    return (
-        r.join(deg, "node")
-        .select("node", F.col("r").alias("rank_micro"), "degree")
-        .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
-        .limit(20)
-    )
+    ranks = G.pagerank(G.undirect(pairs), iters=2)
+    return ranks.orderBy(F.col("rank_micro").desc(), F.col("node").asc()).limit(20)
 
 
 @register(

@@ -1,0 +1,47 @@
+"""Crafted-graph invariants for functions.graph — shapes where the right
+answer is known in closed form, complementing the DuckDB oracle on the
+derived trade/co-purchase graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.functions import graph as G
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["u", "v"])
+
+
+def test_triangle_count_closed_forms(spark):
+    k4 = _pairs(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert G.triangle_count(k4).collect()[0]["n_triangles"] == 4
+    path = _pairs(spark, [(1, 2), (2, 3), (3, 4)])
+    assert G.triangle_count(path).collect()[0]["n_triangles"] == 0
+    star = _pairs(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert G.triangle_count(star).collect()[0]["n_triangles"] == 0
+    one_tri_plus_tail = _pairs(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    assert G.triangle_count(one_tri_plus_tail).collect()[0]["n_triangles"] == 1
+
+
+def test_pagerank_symmetry_and_hub_dominance(spark):
+    """On a symmetric cycle every node gets the identical rank; on a star
+    the hub outranks every leaf; ranks are deterministic across runs."""
+    cycle = G.undirect(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]))
+    ranks = {r["node"]: r["rank_micro"] for r in G.pagerank(cycle, iters=3).collect()}
+    assert len(set(ranks.values())) == 1
+
+    star = G.undirect(_pairs(spark, [(1, 2), (1, 3), (1, 4), (1, 5)]))
+    sr = {r["node"]: r["rank_micro"] for r in G.pagerank(star, iters=2).collect()}
+    assert all(sr[1] > sr[leaf] for leaf in (2, 3, 4, 5))
+    assert len({sr[leaf] for leaf in (2, 3, 4, 5)}) == 1  # leaves identical
+
+    again = {r["node"]: r["rank_micro"] for r in G.pagerank(star, iters=2).collect()}
+    assert again == sr
+
+
+def test_pagerank_degree_column_is_exact(spark):
+    star = G.undirect(_pairs(spark, [(1, 2), (1, 3), (1, 4)]))
+    deg = {r["node"]: r["degree"] for r in G.pagerank(star, iters=1).collect()}
+    assert deg == {1: 3, 2: 1, 3: 1, 4: 1}
