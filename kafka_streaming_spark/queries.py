@@ -1228,6 +1228,108 @@ def x_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_recall_oracle() -> str:
+    """Both ANN pipelines (exact brute force AND the md5-seeded IVF) run
+    independently in DuckDB, then recall@5 per query — the whole
+    evaluation is value-hash checked, not just its inputs."""
+    cr = _COS_R.format(a="a.vec", b="c.cvec")
+    cs = _COS_R.format(a="p.qv", b="l.cv")
+    cb = _COS_R.format(a="q.qv", b="v.vec")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cb} DESC, v.vec_id) AS rn
+        FROM q, v WHERE q.query_id <> v.vec_id
+      ) WHERE rn <= 5
+    ), cents AS (
+      SELECT vec AS cvec, row_number() OVER (ORDER BY hh) - 1 AS centroid_id
+      FROM (
+        SELECT vec, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) AS hh
+        FROM v ORDER BY hh LIMIT 16
+      )
+    ), ascore AS (
+      SELECT a.vec_id, a.vec, c.centroid_id, {cr} AS cr
+      FROM v a CROSS JOIN cents c
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, vec AS cv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, vec AS qv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cr DESC, centroid_id) AS rn
+        FROM ascore WHERE vec_id < 5
+      ) WHERE rn <= 4
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, l.neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cs} DESC, l.neighbor_id) AS rn
+        FROM lists l JOIN probes p USING (centroid_id)
+        WHERE p.query_id <> l.neighbor_id
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(5 AS BIGINT) AS k,
+           (CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // 5 AS recall_micro
+    FROM exact e
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("x_ann_recall", _ann_recall_oracle())
+def x_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality evaluation AS a query: run the exact brute-force top-5
+    and the IVF top-5 side by side and report per-query recall@5 — the
+    in-engine eval loop every ANN deployment needs (pytest pins recall
+    floors once; this makes the measurement continuously available over
+    any corpus).  Both pipelines and the recall arithmetic are replayed
+    independently by the oracle in integer micro-units."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), S.as_double(F.col("embedding")).alias("cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        _round_fixed(S.cosine(F.col("qv"), F.col("cv")), 6).alias("__cr"),
+    )
+    exact = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("__cr").desc(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="__rn",
+    ).select("query_id", "neighbor_id")
+    ivf = S.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4, family="md5", rounded=True
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    joined = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        F.lit(5).cast("long").alias("k"),
+        F.expr("(sum(coalesce(__hit, 0)) * 1000000) DIV 5").alias("recall_micro"),
+    )
+
+
 def _semdedup_oracle(threshold: float = 0.2) -> str:
     """DuckDB replica of the FULL SemDedup path: md5-seeded centroids,
     rounded-cosine single assignment (centroid_id tiebreak), within-cluster
@@ -5706,8 +5808,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_kmv_distinct",
     "x_triangle_count",
     "x_skew_profile",
-    # -- last checked in round 2 (least-recently-checked remainder) --------
-    "p_parse_project",
+    "x_ann_recall",
 ]
 
 

@@ -210,6 +210,7 @@ _CARTESIAN_ALLOWED = {
     "x_market_basket",         # order-count scalar: 1-row broadcast join
     "x_kmv_distinct",          # exact-count scalar: 1-row broadcast join
     "x_triangle_count",        # edge-count scalar: 1-row broadcast join
+    "x_ann_recall",            # bounded query set x corpus + centroid assign
 }
 
 
