@@ -1987,6 +1987,99 @@ def x_quantile_binning(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_trending_topk",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0 / 7) AS BIGINT) AS week,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, n, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY week
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM b)
+    WHERE rn <= 3
+    """,
+)
+def x_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending items per time window: weekly event-type counts ranked
+    within each week, top-3 kept — the leaderboard/trending-feed query.
+    The rank window runs over the AGGREGATED (week, type) table —
+    |weeks|x|types| rows — never over raw events; count + rank are two
+    shuffles on small keys at any scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    b = e.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0) / F.lit(7.0))
+        .cast("long")
+        .alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("week").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        b.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("week", "event_type", "n", "rank")
+    )
+
+
+@register(
+    "x_conversion_latency",
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), lat AS (
+      SELECT t1.user_id,
+             epoch_ms(t3.t3) - epoch_ms(t1.t1) AS ms
+      FROM t1 JOIN t3 ON t1.user_id = t3.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(ms) AS BIGINT) AS min_ms,
+           CAST(ROUND(quantile_cont(ms, 0.5) * 1000000.0) AS BIGINT) / 1000000.0
+             AS p50_ms,
+           CAST(ROUND(quantile_cont(ms, 0.95) * 1000000.0) AS BIGINT) / 1000000.0
+             AS p95_ms,
+           CAST(MAX(ms) AS BIGINT) AS max_ms
+    FROM lat
+    """,
+)
+def x_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first view → first
+    subsequent purchase latency, summarized as count/min/p50/p95/max —
+    the product-metric companion of the funnel (how LONG conversion
+    takes, not just whether).  Same one-timestamp-per-stage state as the
+    funnel; the exact percentiles use the proven
+    ``percentile`` ≡ ``quantile_cont`` equivalence."""
+    e = load_table(spark, sf, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis(F.col("ts"))).alias("t1"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .filter(F.unix_millis(F.col("ts")) > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis(F.col("ts"))).alias("t3"))
+    )
+    lat = t1.join(t3, "user_id").select((F.col("t3") - F.col("t1")).alias("ms"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("ms").alias("min_ms"),
+        _round_fixed(F.expr("percentile(ms, 0.5)"), 6).alias("p50_ms"),
+        _round_fixed(F.expr("percentile(ms, 0.95)"), 6).alias("p95_ms"),
+        F.max("ms").alias("max_ms"),
+    )
+
+
+@register(
     "x_robust_outliers",
     """
     WITH med AS (
@@ -5743,8 +5836,11 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # registrations (none has ever had a driver row) + 9 of the queries last
 # checked in round 2.  Every name not in the window is long-green from a
 # prior round and keeps strict local parity via tests/test_oracle_parity.py.
-# ROUND-5 ROTATION NOTE: first include any r4 non-green plus any
-# registration that never got a driver row, then the r2-green leave-outs
+# ROUND-5 ROTATION NOTE: first include any r4 non-green plus the
+# registrations that never got a driver row (x_trending_topk and
+# x_conversion_latency missed the r4 window — 52 never-checked
+# candidates for 50 slots — plus anything registered after this
+# comment), then the r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join, j_anti_join,
 # j_band_join, t_sessionize, w_analytic_pack, w_moving_avg, a_percentiles,
