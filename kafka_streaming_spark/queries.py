@@ -877,6 +877,84 @@ def _dedup_clusters_oracle() -> str:
 REGISTRY["x_dedup_clusters"] = (x_dedup_clusters, _dedup_clusters_oracle())
 
 
+def _lsh_eval_oracle() -> str:
+    """LSH banding quality vs exact ground truth, both replayed in DuckDB:
+    truth = all bounded-range pairs with exact shingle-hash Jaccard ≥ 0.3;
+    candidates = the band-collision pairs from the shared MinHash chain."""
+    jac = (
+        "len(list_intersect(a.hs, b.hs)) "
+        "/ (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))"
+    )
+    return f"""
+    WITH {_minhash_ctes()},
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id AND a.doc_id < 150 AND b.doc_id < 150
+      WHERE {jac} >= 0.3
+    ), cand AS (
+      SELECT id_a, id_b FROM cand_pairs WHERE id_a < 150 AND id_b < 150
+    ), hits AS (
+      SELECT t.id_a, t.id_b FROM truth t JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000000
+             // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM truth), 1)
+             AS recall_micro,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000000
+             // greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM cand), 1)
+             AS precision_micro
+    """
+
+
+@register("x_lsh_eval", _lsh_eval_oracle())
+def x_lsh_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-pipeline evaluation AS a query (the LSH counterpart of
+    `x_ann_recall`): banding recall and raw-candidate precision against
+    exact ground truth over a bounded doc range — truth is every pair
+    with exact shingle-hash Jaccard ≥ 0.3, candidates are the band
+    collisions before verification.  Quantifies what the S-curve
+    promises: how many true near-dup pairs the 8x4 banding actually
+    surfaces.  The quadratic truth join is range-bounded (the eval
+    sample, not the corpus); candidates come from the same production
+    banding path the dedup queries use."""
+    d = load_table(spark, sf, "documents")
+    sub = d.filter(F.col("doc_id") < 150)
+    hashed = sub.select(
+        F.col("doc_id"), D.shingle_hashes(F.col("text"), 3, "md5").alias("hs")
+    )
+    a = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(D.jaccard(F.col("hs_a"), F.col("hs_b")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    cand = D.lsh_candidate_pairs(d, hash_family="md5").filter(
+        (F.col("id_a") < 150) & (F.col("id_b") < 150)
+    )
+    hits = truth.join(cand, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV greatest(n_truth, 1)").alias("recall_micro"),
+            F.expr("n_hits * 1000000 DIV greatest(n_candidates, 1)").alias(
+                "precision_micro"
+            ),
+        )
+    )
+
+
 @register("x_minhash_near_dup", _minhash_oracle())
 def x_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (32 perms) + LSH (8 bands × 4 rows) near-dup discovery with
