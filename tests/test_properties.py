@@ -188,3 +188,47 @@ def test_bloom_filter_no_false_negatives(spark):
     non_members = [r for r in rows if r["actual_member"] == 0]
     fp = sum(r["maybe_member"] for r in non_members)
     assert fp / max(len(non_members), 1) < 0.2
+
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(corpus=corpus_strategy)
+def test_bigram_lm_matches_python_reference(spark, corpus):
+    """bigram_lm_scores ≡ a from-scratch Python implementation of the same
+    integer math, for arbitrary tiny corpora (duplicates, empty docs,
+    repeated tokens)."""
+    from kafka_streaming_spark.functions.text import bigram_lm_scores
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(corpus)]
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_micro"])
+        for r in bigram_lm_scores(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+
+    # reference: identical tokenization (split on whitespace of trimmed
+    # lowered text -> [''] for empty docs, matching regexp-split semantics)
+    toks = {i: (t.strip().lower().split() if t.strip() else [""]) for i, t in docs}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for p in zip(ws, ws[1:]):
+            big[p] = big.get(p, 0) + 1
+    v = len(uni)
+    want = {}
+    for i, ws in toks.items():
+        ps = list(zip(ws, ws[1:]))
+        if not ps:
+            continue
+        scores = [(1_000_000 * (big[p] + 1)) // (uni[p[0]] + v) for p in ps]
+        want[i] = (len(ps), sum(scores) // len(ps))
+    assert got == want
