@@ -1833,6 +1833,82 @@ def t_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(sink).select("group_id", "event_count", "cumulative_score")
 
 
+@register(
+    "t_stream_tumbling",
+    """
+    SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) * 86400000
+             AS window_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def t_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """A REAL streaming tumbling-window aggregation under the driver's
+    eye: availableNow drain of the events parquet through
+    ``F.window(ts, '1 day')`` in complete mode (so every window emits at
+    the final trigger, closed or not), memory-sinked — the streaming
+    engine's windows must equal the batch epoch-day buckets the oracle
+    computes.  Values are integer cents, so state-store accumulation
+    order can't perturb the sums."""
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    # Probe the generation's RAW ts encoding (load_table call first: it
+    # pins the UTC zone + nanosAsLong confs but normalizes its own output,
+    # so the raw probe must re-read): nanos-as-long, NTZ, or plain
+    # timestamp — the stream schema must match what the files store.
+    load_table(spark, sf, "events")
+    ts_dtype = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+    ts_field = {
+        "bigint": StructField("ts", LongType()),
+        "timestamp_ntz": StructField("ts", TimestampNTZType()),
+    }.get(ts_dtype, StructField("ts", TimestampType()))
+    src_schema = StructType(
+        [ts_field, StructField("value", DoubleType()), StructField("user_id", LongType())]
+    )
+    raw = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts_col = {
+        "bigint": F.expr("timestamp_micros(ts div 1000)"),
+        "timestamp_ntz": F.col("ts").cast("timestamp"),
+    }.get(ts_dtype, F.col("ts"))
+    stream = raw.select(
+        ts_col.alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = stream.groupBy(F.window("ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("__s"),
+    )
+    sink = f"t_stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n_events",
+        F.col("__s").cast("double").alias("sum_cents"),
+    )
+
+
 _SESSION_GAP = "4 hours"
 
 _SESSIONIZE_CTE = """
