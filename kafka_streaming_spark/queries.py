@@ -3834,6 +3834,78 @@ def x_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_dup_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           ((CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT))
+            * 1000000) // CAST(COUNT(*) AS BIGINT) AS dup_rate_micro
+    FROM documents GROUP BY source
+    """,
+)
+def x_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication rate per source — the corpus-health metric that decides
+    where dedup effort goes: exact-duplicate fraction via content-digest
+    distinct counts, one grouped aggregate (the digest keeps full text
+    out of the distinct-count shuffle)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.expr("((n_docs - n_distinct) * 1000000) DIV n_docs").alias(
+                "dup_rate_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "x_token_budget",
+    """
+    WITH t AS (
+      SELECT lang, source,
+             CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM t
+    )
+    SELECT t.lang, t.source, t.n_tokens,
+           (t.n_tokens * 1000000) // tot.tt AS share_micro
+    FROM t CROSS JOIN tot
+    """,
+)
+def x_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture report: tokens per (lang, source) cell with
+    its share of the corpus in integer micro-units — the data-mixture
+    accounting every pretraining run starts from (the measurement side of
+    `x_dataset_mix`'s resampling).  Token counts are map-side ``size``
+    expressions; one grouped sum + a 1-row total broadcast."""
+    d = load_table(spark, sf, "documents")
+    t = d.groupBy("lang", "source").agg(
+        F.sum(F.size(T.tokens(F.lower(F.col("text"))))).alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").alias("tt"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) DIV tt").alias("share_micro"),
+        )
+    )
+
+
+@register(
     "x_kmv_distinct",
     """
     WITH h AS (
