@@ -316,6 +316,63 @@ def bigram_lm_scores(
     )
 
 
+def compression_ratios(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """zlib compression ratio per document — the Gopher-style redundancy
+    signal (highly repetitive or templated text compresses far below
+    natural prose; near-random strings don't compress at all).
+
+    ``ratio_micro = compressed_bytes * 1e6 DIV raw_bytes`` as exact
+    integers; zlib output is deterministic for a fixed level, so results
+    are stable across runs/partitions (pinned against direct ``zlib`` in
+    pytest).  Python is required (no Catalyst DEFLATE), so this runs
+    Arrow-batched in ``mapInPandas`` — the documented boundary, never a
+    row-at-a-time UDF.  Output: ``(id, raw_bytes, compressed_bytes,
+    ratio_micro)``; null/empty text yields zero bytes and ratio 0.
+    """
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("raw_bytes", LongType()),
+            StructField("compressed_bytes", LongType()),
+            StructField("ratio_micro", LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, raw, comp, ratio = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                b = text.encode("utf-8") if isinstance(text, str) else b""
+                c = len(zlib.compress(b, level)) if b else 0
+                ids.append(i)
+                raw.append(len(b))
+                comp.append(c)
+                ratio.append((c * 1_000_000) // len(b) if b else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "raw_bytes": raw,
+                    "compressed_bytes": comp,
+                    "ratio_micro": ratio,
+                }
+            )
+
+    return spread(df).select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def bpe_train(
     df,
     text_col: str = "text",

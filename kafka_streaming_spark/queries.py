@@ -5618,6 +5618,17 @@ def x_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("x_compression_ratio", None)
+def x_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (the Gopher
+    redundancy heuristic).  Rows-only by nature — SQL has no DEFLATE —
+    with the correctness contract in pytest: distributed output is
+    pinned byte-for-byte to direct ``zlib.compress`` and the
+    repetitive-text-compresses-better ordering is asserted.  See
+    :func:`kafka_streaming_spark.functions.text.compression_ratios`."""
+    return T.compression_ratios(load_table(spark, sf, "documents"))
+
+
 @register("x_bpe_tokenize", None)
 def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """REAL byte-pair encoding (not the regex proxy of

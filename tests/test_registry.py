@@ -28,7 +28,11 @@ def test_rows_only_queries_are_documented_exceptions():
     DuckDB oracle (the driver records only a weak rows-only check
     otherwise)."""
     rows_only = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is None)
-    assert rows_only == ["a_approx_sketch", "x_bpe_tokenize"]
+    assert rows_only == [
+        "a_approx_sketch",      # native HLL/t-digest internals
+        "x_bpe_tokenize",       # per-word iterative merge loop
+        "x_compression_ratio",  # DEFLATE has no SQL form
+    ]
 
 
 def test_oracles_are_nonempty_sql():

@@ -198,3 +198,28 @@ def test_bpe_null_text_is_empty_doc(spark):
     got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
            for r in T.bpe_encode_counts(docs, merges).collect()}
     assert got[2] == (0, 0)
+
+
+def test_compression_ratio_matches_zlib_and_orders_redundancy(spark):
+    """Distributed ratios equal direct zlib byte-for-byte; repetitive text
+    compresses to a smaller ratio than high-entropy text; null text is
+    (0, 0, 0)."""
+    import zlib
+
+    rep = "spam " * 200
+    import random
+    rnd = random.Random(7)
+    noise = "".join(chr(33 + rnd.randrange(90)) for _ in range(1000))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, noise), (3, None)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["compressed_bytes"], r["ratio_micro"])
+        for r in T.compression_ratios(docs).collect()
+    }
+    for i, text in ((1, rep), (2, noise)):
+        b = text.encode()
+        c = len(zlib.compress(b, 6))
+        assert got[i] == (len(b), c, c * 1_000_000 // len(b))
+    assert got[3] == (0, 0, 0)
+    assert got[1][2] < got[2][2]
