@@ -211,6 +211,8 @@ _CARTESIAN_ALLOWED = {
     "x_kmv_distinct",          # exact-count scalar: 1-row broadcast join
     "x_triangle_count",        # edge-count scalar: 1-row broadcast join
     "x_ann_recall",            # bounded query set x corpus + centroid assign
+    "x_lsh_eval",              # bounded-range truth pairs + 1-row metric joins
+    "x_token_budget",          # corpus-total scalar: 1-row broadcast join
 }
 
 
