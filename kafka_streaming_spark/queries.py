@@ -4022,6 +4022,128 @@ def x_market_basket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_gdpr_purge_audit",
+    """
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0
+    ), kept AS (
+      SELECT e.* FROM events e LEFT JOIN del ON e.user_id = del.user_id
+      WHERE del.user_id IS NULL
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS rows_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS rows_purged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS subjects_purged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept k
+             JOIN del ON k.user_id = del.user_id) AS residual_rows
+    """,
+)
+def x_gdpr_purge_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure purge with its audit trail: a deletion-subject
+    list anti-joins the fact table, and the audit row carries
+    before/after/purged counts plus a RESIDUAL check (kept rows still
+    matching a deleted subject — must be 0; the query proves it rather
+    than assuming it).  Anti-join + semi-join on the subject key; the
+    deletion list broadcasts at any realistic subject count."""
+    e = load_table(spark, sf, "events")
+    del_ = e.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    kept = e.join(del_, "user_id", "left_anti")
+    nb = e.agg(F.count(F.lit(1)).alias("rows_before"))
+    na = kept.agg(F.count(F.lit(1)).alias("rows_after"))
+    nd = del_.agg(F.count(F.lit(1)).alias("subjects_purged"))
+    nres = kept.join(del_, "user_id").agg(F.count(F.lit(1)).alias("residual_rows"))
+    return (
+        nb.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nres))
+        .select(
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_purged"),
+            "subjects_purged",
+            "residual_rows",
+        )
+    )
+
+
+@register(
+    "x_ivm_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def x_ivm_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the lineitem side splits
+    into base + delta (key residue), each part joins orders and
+    aggregates SEPARATELY, and the combined per-key states must equal the
+    single-pass oracle — the ΔA⋈B delta-join identity that lets a 100 TB
+    join view absorb new data without rescanning history (the join
+    analog of `a_incremental_fold`'s aggregate IVM).  DECIMAL
+    accumulation keeps the two-part combine exactly associative."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    def part(side: DataFrame) -> DataFrame:
+        return (
+            side.join(o, side["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+            )
+        )
+
+    combined = (
+        part(base)
+        .unionAll(part(delta))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_items"), F.sum("s").alias("__s"))
+    )
+    return combined.select(
+        "o_orderpriority", "n_items", dfix(F.col("__s"), "revenue")
+    )
+
+
+@register(
+    "x_ntile_quartiles",
+    """
+    WITH q AS (
+      SELECT user_id, value,
+             ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+      FROM events
+    )
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_value
+    FROM q GROUP BY quartile
+    """,
+)
+def x_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user timeline quartiles via ``ntile`` (the bucketed-window
+    function the analytic pack doesn't cover): each user's events split
+    into 4 equal-count position buckets ordered by (ts, event_id), then
+    per-quartile totals — early-vs-late lifecycle comparison.  The
+    window partitions by user_id (bounded per-key state), never a global
+    sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = e.select("value", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value")
+    )
+
+
+@register(
     "x_data_contract",
     """
     SELECT 'value_range' AS rule,
