@@ -4022,6 +4022,95 @@ def x_market_basket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_user_growth",
+    """
+    WITH first AS (
+      SELECT user_id,
+             CAST(MIN(floor(epoch_ms(ts) / 86400000.0)) AS BIGINT) AS day_num
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first GROUP BY day_num
+    )
+    SELECT day_num, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day_num
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def x_user_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Growth accounting: new users per day (first-activity day per user)
+    and the cumulative running total — the \"running distinct count over
+    time\" computed the scalable way: min-aggregate per user + a running
+    sum over the tiny per-day table (a naive cumulative COUNT(DISTINCT)
+    window would drag full user sets through every frame).  The only
+    unpartitioned window runs over |days| rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")).alias(
+            "day_num"
+        )
+    )
+    daily = first.groupBy("day_num").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day_num", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+@register(
+    "x_interval_overlap",
+    """
+    WITH windows(win_id, w_start, w_end) AS (
+      VALUES (0, TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+             (1, TIMESTAMP '2024-01-15 12:00:00', TIMESTAMP '2024-01-16 00:00:00'),
+             (2, TIMESTAMP '2024-01-25 06:00:00', TIMESTAMP '2024-01-28 00:00:00')
+    ), spans AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM events GROUP BY user_id
+    )
+    SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n_overlapping_users
+    FROM spans s JOIN windows w
+      ON s.s_start < w.w_end AND w.w_start < s.s_end
+    GROUP BY w.win_id
+    """,
+)
+def x_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (two interval SETS, not point-in-range like
+    the band join): per-user activity spans against literal maintenance
+    windows with the canonical ``a.start < b.end AND b.start < a.end``
+    predicate — a broadcast nested loop over the bounded window side, so
+    the big side streams map-side.  Counts overlapping users per
+    window."""
+    e = load_table(spark, sf, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    windows = spark.createDataFrame(
+        [
+            (0, "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+            (1, "2024-01-15 12:00:00", "2024-01-16 00:00:00"),
+            (2, "2024-01-25 06:00:00", "2024-01-28 00:00:00"),
+        ],
+        ["win_id", "w_start", "w_end"],
+    ).select(
+        "win_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    joined = spans.join(
+        F.broadcast(windows),
+        (F.col("s_start") < F.col("w_end")) & (F.col("w_start") < F.col("s_end")),
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_overlapping_users")
+    )
+
+
+@register(
     "x_gdpr_purge_audit",
     """
     WITH del AS (

@@ -214,6 +214,7 @@ _CARTESIAN_ALLOWED = {
     "x_lsh_eval",              # bounded-range truth pairs + 1-row metric joins
     "x_token_budget",          # corpus-total scalar: 1-row broadcast join
     "x_gdpr_purge_audit",      # audit scalars: 1-row broadcast joins
+    "x_interval_overlap",      # literal window set: broadcast overlap loop
 }
 
 
