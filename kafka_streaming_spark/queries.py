@@ -4022,6 +4022,73 @@ def x_market_basket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "w_range_frame_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_24h_cents
+    FROM events
+    """,
+)
+def w_range_frame_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not the ROWS frames the
+    analytic pack covers): per user, the trailing-24-hour running sum —
+    the frame is defined by TIME distance on the epoch-millis ordering,
+    so equal-timestamp peers enter together and gaps shrink the frame.
+    Integer-cent sums keep frame accumulation exact; per-user partitions
+    bound window state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-86400000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("long").alias("trailing_24h_cents"),
+    )
+
+
+@register(
+    "x_dataset_card",
+    """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+             AS n_distinct_texts,
+           (SELECT CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                   AS BIGINT) FROM documents) AS n_tokens,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+             AS n_sources,
+           (SELECT CAST(MIN(n_chars) AS BIGINT) FROM documents) AS min_chars,
+           (SELECT CAST(MAX(n_chars) AS BIGINT) FROM documents) AS max_chars
+    """,
+)
+def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row dataset card: the header numbers every corpus release
+    ships (doc/token counts, distinct-content count, language/source
+    cardinalities, length bounds) — all from ONE pass (a single agg with
+    every measure; the oracle's scalar subqueries are the portable
+    spelling)."""
+    d = load_table(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        F.sum(F.size(T.tokens(F.lower(F.col("text"))))).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
     "x_user_growth",
     """
     WITH first AS (
