@@ -4089,6 +4089,121 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_ab_test",
+    """
+    WITH assign AS (
+      SELECT CAST(concat('0x', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  AS DECIMAL(38,12)) AS sxx
+      FROM assign GROUP BY arm
+    )
+    SELECT arm, n,
+           CAST(ROUND((CAST(sx AS DOUBLE) / n) * 1000000.0) AS BIGINT) / 1000000.0
+             AS mean_value,
+           CAST(ROUND((CAST(n * sxx - sx * sx AS DOUBLE) / (n * n)) * 1000000.0)
+                AS BIGINT) / 1000000.0 AS var_pop
+    FROM s
+    """,
+)
+def x_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation primitive: users assigned to arms by a pure hash
+    (stable under retries, rebalances, and re-runs — the property rand()
+    assignment lacks), per-arm mean and variance from exact decimal power
+    sums (a_stats_pack's order-independence argument), ready for the
+    z-test the analyst runs on top.  One scan + a 2-group aggregate."""
+    e = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    from kafka_streaming_spark.functions.dedup import portable_hash60
+
+    dv = F.col("value").cast("decimal(18,6)")
+    s = (
+        e.select(
+            F.pmod(
+                portable_hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                F.lit(2),
+            ).alias("arm"),
+            F.col("value"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dv).alias("sx"),
+            F.sum((dv * dv).cast("decimal(38,12)")).alias("sxx"),
+        )
+    )
+    return s.select(
+        "arm",
+        "n",
+        _round_fixed(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_value"),
+        _round_fixed(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("n")),
+            6,
+        ).alias("var_pop"),
+    )
+
+
+@register(
+    "x_traffic_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), trail AS (
+      SELECT day_num, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS t_sum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS t_n
+      FROM daily
+      WINDOW w AS (ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day_num, n,
+           CAST(CASE WHEN t_n > 0 THEN t_sum // t_n ELSE NULL END AS BIGINT)
+             AS trailing_mean,
+           CAST(t_n > 0 AND n * t_n * 2 > t_sum * 3 AS BIGINT) AS is_spike
+    FROM trail
+    """,
+)
+def x_traffic_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic-spike monitor: daily volumes vs the trailing-7-day mean
+    (RANGE frame ending 1 day BEFORE current, so a spike can't mask
+    itself), flagged when volume exceeds 1.5x the trailing mean — the
+    threshold compares in exact integer cross-multiplication
+    (``n * t_n * 2 > t_sum * 3``), no float boundary.  Window state is
+    |days| rows; the raw-event pass is one count aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long").alias("day_num")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day_num").rangeBetween(-7, -1)
+    trail = daily.select(
+        "day_num",
+        "n",
+        F.sum("n").over(w).alias("t_sum"),
+        F.count(F.lit(1)).over(w).alias("t_n"),
+    )
+    return trail.select(
+        "day_num",
+        "n",
+        F.when(F.col("t_n") > 0, F.expr("t_sum DIV t_n")).alias("trailing_mean"),
+        (
+            (F.col("t_n") > 0)
+            & (F.col("n") * F.col("t_n") * 2 > F.col("t_sum") * 3)
+        )
+        .cast("long")
+        .alias("is_spike"),
+    )
+
+
+@register(
     "x_user_growth",
     """
     WITH first AS (
