@@ -3128,6 +3128,59 @@ def f_json_struct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "f_null_pack",
+    """
+    WITH p AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS u
+      FROM events
+    )
+    SELECT CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_v,
+           CAST(SUM(CASE WHEN v IS NULL AND u IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both_null,
+           CAST(CAST(SUM(CAST(coalesce(v, -1.0) AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100.0 AS sum_coalesced,
+           CAST(SUM(CASE WHEN nullif(u, 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nullif_zero,
+           CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_eq_null,
+           CAST(COUNT(v) AS BIGINT) AS count_skips_nulls,
+           CAST(COUNT(*) AS BIGINT) AS count_star
+    FROM p
+    """,
+)
+def f_null_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-semantics surface in one query over planted nulls: aggregate
+    null-skipping (COUNT(col) vs COUNT(*)), ``coalesce`` defaulting,
+    ``nullif`` (0 → NULL here, so its count = nulls + zeros),
+    three-valued AND, and null-safe equality (Spark ``<=>`` ≡ SQL
+    ``IS NOT DISTINCT FROM``) — the semantics every engine must get
+    identical or silently corrupt downstream aggregates."""
+    e = load_table(spark, sf, "events")
+    p = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("user_id")).alias("u"),
+    )
+    return p.agg(
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"),
+        F.sum((F.col("v").isNull() & F.col("u").isNull()).cast("long")).alias(
+            "n_both_null"
+        ),
+        dsum(F.coalesce(F.col("v"), F.lit(-1.0)), "sum_coalesced"),
+        F.sum(F.nullif(F.col("u"), F.lit(0)).isNull().cast("long")).alias(
+            "n_nullif_zero"
+        ),
+        F.sum(F.col("v").eqNullSafe(F.lit(None)).cast("long")).alias(
+            "n_nullsafe_eq_null"
+        ),
+        F.count(F.col("v")).alias("count_skips_nulls"),
+        F.count(F.lit(1)).alias("count_star"),
+    )
+
+
+@register(
     "f_variant_pack",
     """
     WITH js AS (
