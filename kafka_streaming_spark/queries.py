@@ -4142,6 +4142,109 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_histogram",
+    """
+    SELECT CAST(least(floor(value / 10.0), 9) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(MIN(value) * 1000000.0) AS BIGINT) / 1000000.0 AS lo,
+           CAST(ROUND(MAX(value) * 1000000.0) AS BIGINT) / 1000000.0 AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def x_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram (the equal-WIDTH complement of the
+    equal-frequency `x_quantile_binning`): ten 10-unit buckets with the
+    top bucket clamped, observed min/max per bucket.  Pure map-side
+    bucketing + one grouped aggregate; bucket boundaries are exact float
+    division + floor, identical in both engines."""
+    e = load_table(spark, sf, "events")
+    bucket = F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _round_fixed(F.min("value"), 6).alias("lo"),
+        _round_fixed(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "x_order_fill_latency",
+    """
+    WITH fill AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) AS days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(quantile_cont(days, 0.5) * 1000000.0) AS BIGINT) / 1000000.0
+             AS p50_days,
+           CAST(ROUND(quantile_cont(days, 0.95) * 1000000.0) AS BIGINT) / 1000000.0
+             AS p95_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM fill GROUP BY o_orderpriority
+    """,
+)
+def x_order_fill_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-fulfillment latency: order date → LAST line shipment, in
+    days, summarized per priority class (p50/p95/max) — the operational
+    SLA readout.  One join co-partitioned on the order key, a per-order
+    max, then exact percentiles over the small per-order table."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    fill = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("days"),
+        )
+    )
+    return fill.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _round_fixed(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        _round_fixed(F.expr("percentile(days, 0.95)"), 6).alias("p95_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+@register(
+    "x_repeat_purchase",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           (CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000) // CAST(COUNT(*) AS BIGINT) AS repeat_rate_micro,
+           CAST(MAX(n_purchases) AS BIGINT) AS max_purchases
+    FROM pu
+    """,
+)
+def x_repeat_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase rate: buyers with ≥2 purchases as a fraction of
+    all buyers (integer micro-units), plus the heaviest buyer — the
+    retention KPI next to the cohort triangle.  One filtered count
+    aggregate + a 1-row fold."""
+    e = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    pu = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum((F.col("n_purchases") >= 2).cast("long")).alias("n_repeat"),
+        F.expr(
+            "(sum(CAST(n_purchases >= 2 AS BIGINT)) * 1000000) DIV count(1)"
+        ).alias("repeat_rate_micro"),
+        F.max("n_purchases").alias("max_purchases"),
+    )
+
+
+@register(
     "x_ab_test",
     """
     WITH assign AS (
