@@ -4142,6 +4142,109 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_path_analysis",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def x_path_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Top user paths: every 3-step event sequence per user timeline
+    (two ``lead``s over one window pass — not a triple self-join),
+    counted globally, top-10 with a total order — the navigation-path
+    mining query behind every product-flow sankey.  One window shuffle
+    on user_id + one bounded count shuffle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(10)
+    )
+
+
+@register(
+    "x_session_funnel",
+    _SESSIONIZE_CTE.format(cmp=">").replace(
+        "SELECT user_id, ts, value,", "SELECT user_id, ts, event_type, value,"
+    ).replace(
+        """SELECT user_id, ts,
+             CAST(SUM(new_s)""",
+        """SELECT user_id, ts, event_type,
+             CAST(SUM(new_s)""",
+    )
+    + """
+    , t1 AS (
+      SELECT user_id, session_id, MIN(ts) AS t1 FROM sess
+      WHERE event_type = 'view' GROUP BY user_id, session_id
+    ), t2 AS (
+      SELECT s.user_id, s.session_id, MIN(s.ts) AS t2
+      FROM sess s JOIN t1 ON s.user_id = t1.user_id
+                        AND s.session_id = t1.session_id AND s.ts > t1.t1
+      WHERE s.event_type = 'purchase' GROUP BY s.user_id, s.session_id
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id || '#' || session_id) AS BIGINT)
+            FROM sess) AS n_sessions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_viewing_sessions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_converting_sessions
+    """,
+)
+def x_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-session conversion: sessions (4-hour gap rule, the
+    `t_sessionize` operator) where a purchase follows a view INSIDE the
+    same session — the funnel scoped to a visit instead of a lifetime.
+    Stage anchors are per-(user, session) min-aggregates + one join, the
+    same bounded-state shape as `x_event_funnel`, keyed by the composite
+    session key."""
+    from kafka_streaming_spark.ops.sessionize import sessionize
+
+    e = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    sess = sessionize(e, ["user_id"], "ts", gap=_SESSION_GAP)
+    keys = ["user_id", "session_id"]
+    t1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(t1, keys)
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t2"))
+    )
+    n_sessions = sess.select(*keys).distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    n_view = t1.agg(F.count(F.lit(1)).alias("n_viewing_sessions"))
+    n_conv = t2.agg(F.count(F.lit(1)).alias("n_converting_sessions"))
+    return (
+        n_sessions.crossJoin(F.broadcast(n_view)).crossJoin(F.broadcast(n_conv))
+    )
+
+
+@register(
     "x_histogram",
     """
     SELECT CAST(least(floor(value / 10.0), 9) AS BIGINT) AS bucket,

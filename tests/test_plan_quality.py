@@ -215,6 +215,7 @@ _CARTESIAN_ALLOWED = {
     "x_token_budget",          # corpus-total scalar: 1-row broadcast join
     "x_gdpr_purge_audit",      # audit scalars: 1-row broadcast joins
     "x_interval_overlap",      # literal window set: broadcast overlap loop
+    "x_session_funnel",        # funnel scalars: 1-row broadcast joins
 }
 
 
