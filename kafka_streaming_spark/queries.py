@@ -4245,6 +4245,56 @@ def x_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_distribution_drift",
+    """
+    WITH halves AS (
+      SELECT lang, doc_id % 2 AS half FROM documents
+    ), cnt AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM halves GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM cnt
+    )
+    SELECT cnt.lang, cnt.a AS n_ref, cnt.b AS n_new,
+           (cnt.a * 1000000) // tot.ta AS share_ref_micro,
+           (cnt.b * 1000000) // tot.tb AS share_new_micro,
+           abs((cnt.a * 1000000) // tot.ta - (cnt.b * 1000000) // tot.tb)
+             AS abs_drift_micro
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def x_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical distribution drift between a reference and a new
+    corpus slice (deterministic halves here; two snapshots in practice):
+    per-category shares in integer micro-units and their absolute
+    difference — sum the last column for total-variation-style drift.
+    The monitor that catches a silently shifted language/source mix
+    before it skews training.  Two conditional-sum aggregates + a 1-row
+    totals broadcast."""
+    d = load_table(spark, sf, "documents")
+    cnt = d.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("a"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("b"),
+    )
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("a").alias("n_ref"),
+            F.col("b").alias("n_new"),
+            F.expr("(a * 1000000) DIV ta").alias("share_ref_micro"),
+            F.expr("(b * 1000000) DIV tb").alias("share_new_micro"),
+            F.expr("abs((a * 1000000) DIV ta - (b * 1000000) DIV tb)").alias(
+                "abs_drift_micro"
+            ),
+        )
+    )
+
+
+@register(
     "x_histogram",
     """
     SELECT CAST(least(floor(value / 10.0), 9) AS BIGINT) AS bucket,

@@ -216,6 +216,7 @@ _CARTESIAN_ALLOWED = {
     "x_gdpr_purge_audit",      # audit scalars: 1-row broadcast joins
     "x_interval_overlap",      # literal window set: broadcast overlap loop
     "x_session_funnel",        # funnel scalars: 1-row broadcast joins
+    "x_distribution_drift",    # category totals: 1-row broadcast join
 }
 
 
