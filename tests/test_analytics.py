@@ -87,3 +87,21 @@ def test_scd2_ranges_partition_the_timeline(spark):
     assert [v[2] for v in v7] == [0, 0, 1]
     assert v7[-1][1] == 253402300800000
     assert by_user[8] == [(by_user[8][0][0], 253402300800000, 1)]
+
+
+def test_transition_matrix_probabilities_sum_per_source(spark):
+    """x_event_transitions semantics on the real table: per from_type the
+    n column sums to that type's outgoing transitions and p_micro is the
+    exact integer share (sum of p_micro within 25e-6 x fanout of 1e6)."""
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["x_event_transitions"][0](spark, SF_SMALL).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        total = sum(r["n"] for r in rs)
+        for r in rs:
+            assert r["p_micro"] == (r["n"] * 1_000_000) // total
+        # integer floor division loses < 1 micro per cell
+        assert 1_000_000 - len(rs) <= sum(r["p_micro"] for r in rs) <= 1_000_000
