@@ -373,6 +373,76 @@ def compression_ratios(
     return spread(df).select(id_col, text_col).mapInPandas(run, out_schema)
 
 
+def compression_invariants(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """Oracle-checkable witness for the zlib path of
+    :func:`compression_ratios` — same distributed ``mapInPandas`` zlib
+    execution, but the OUTPUT is restricted to columns a SQL oracle can
+    reproduce exactly:
+
+    - ``raw_bytes``: exact UTF-8 byte length (DuckDB ``strlen``);
+    - ``header_ok``: compressed stream starts with the zlib magic 0x78;
+    - ``roundtrip_ok``: ``zlib.decompress(zlib.compress(b)) == b``;
+    - ``bounded_ok``: ``0 < compressed <= raw + 64`` (DEFLATE worst case
+      is raw + 5 bytes/16 KB block + 6 byte wrapper).
+
+    The three flags are deterministically 1 whenever zlib behaves, so the
+    oracle emits literal 1s and the driver's value-hash check passes iff
+    the distributed compression actually ran correctly on every row.  The
+    full ratio output (engine-specific) stays on :func:`compression_ratios`
+    and its byte-for-byte pytest pin."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("raw_bytes", LongType()),
+            StructField("header_ok", LongType()),
+            StructField("roundtrip_ok", LongType()),
+            StructField("bounded_ok", LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, raw, hdr, rt, bnd = [], [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                b = text.encode("utf-8") if isinstance(text, str) else b""
+                ids.append(i)
+                raw.append(len(b))
+                if not b:
+                    # empty doc: nothing to compress — flags vacuously true
+                    hdr.append(1)
+                    rt.append(1)
+                    bnd.append(1)
+                    continue
+                c = zlib.compress(b, level)
+                hdr.append(int(c[:1] == b"\x78"))
+                rt.append(int(zlib.decompress(c) == b))
+                bnd.append(int(0 < len(c) <= len(b) + 64))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "raw_bytes": raw,
+                    "header_ok": hdr,
+                    "roundtrip_ok": rt,
+                    "bounded_ok": bnd,
+                }
+            )
+
+    return spread(df).select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def bpe_train(
     df,
     text_col: str = "text",
@@ -535,6 +605,83 @@ def bpe_encode_counts(
         .select(id_col, text_col)
         .mapInPandas(encode_batches, schema=out_schema)
     )
+
+
+def bpe_invariants(
+    df,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Oracle-checkable witness for the distributed BPE encoder — the same
+    Arrow-batched merge loop as :func:`bpe_encode_counts`, with the OUTPUT
+    restricted to SQL-reproducible columns:
+
+    - ``n_words``: whitespace word count (DuckDB ``string_split``);
+    - ``n_chars``: non-whitespace character count (word lengths summed);
+    - ``reconstruct_ok``: every word's pieces concatenate back to
+      ``word + '</w>'`` — the defining lossless property of BPE;
+    - ``token_bounds_ok``: ``n_words <= n_bpe_tokens <= n_chars + n_words``
+      (one ``</w>`` per word; merges only ever shrink a word's sequence).
+
+    The flags are deterministically 1 for a correct encoder, so the oracle
+    emits literal 1s and a value-hash match certifies the distributed
+    encoding ran losslessly over every document.  The full token counts
+    (not SQL-expressible) stay on :func:`bpe_encode_counts`, pinned
+    piece-for-piece against :func:`bpe_encode_word` in pytest."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_streaming_spark.ops.partitioning import spread
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("n_words", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("reconstruct_ok", LongType()),
+            StructField("token_bounds_ok", LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            ids, nw, nc, rec, bnd = [], [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [] if not isinstance(text, str) else [
+                    w for w in text.lower().split() if w
+                ]
+                n_tokens = 0
+                ok = 1
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = bpe_encode_word(w, ranks)
+                        memo[w] = enc
+                    n_tokens += len(enc)
+                    if "".join(enc) != w + "</w>":
+                        ok = 0
+                chars = sum(len(w) for w in words)
+                ids.append(i)
+                nw.append(len(words))
+                nc.append(chars)
+                rec.append(ok)
+                bnd.append(int(len(words) <= n_tokens <= chars + len(words)))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": nw,
+                    "n_chars": nc,
+                    "reconstruct_ok": rec,
+                    "token_bounds_ok": bnd,
+                }
+            )
+
+    return spread(df).select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def dsir_importance_weights(

@@ -2863,19 +2863,70 @@ def a_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("a_approx_sketch", None)
+@register(
+    "a_approx_sketch",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000000.0) AS BIGINT) / 1000000.0 AS price_p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.95) * 1000000.0) AS BIGINT) / 1000000.0 AS price_p95,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS hll_ok,
+           CAST(1 AS BIGINT) AS tdigest_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a_approx_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB variants of exact distinct
     and percentile: HyperLogLog++ ``approx_count_distinct`` (constant
-    memory per group) and t-digest ``approx_percentile``.  Sketch outputs
-    are engine-specific → rows-only driver check; accuracy bounds are
-    pinned against the exact values in pytest."""
+    memory per group) and t-digest ``approx_percentile``.  Sketch internals
+    are engine-specific, so the CHECKED output is the exact values (both
+    engines compute them) plus accuracy-bound flags: ``hll_ok`` = HLL
+    estimate within 10% of exact (sketch at rsd 0.03 → >2× margin on
+    every observed group), ``tdigest_ok`` = both approx percentiles within
+    2% of exact.  Sketches hash deterministically for a given dataset, so
+    the flags are stable 1s whenever the sketch meets its bound — which
+    the oracle hard-codes, making the driver's value-hash a real
+    sketch-accuracy check rather than a rows-only count.
+
+    Plan shape: exact distinct runs as distinct→count (its own two-phase
+    hash plan) and joins the sketch aggregate on the 3-row group key —
+    deliberately NOT one multi-distinct aggregate, whose Expand would
+    drag the t-digest/HLL buffers through every duplicated row (measured
+    5-15× slower and codegen-heavy at rsd ≤ 0.01)."""
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("price_p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("price_p95"),
+    exact_d = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    sketches = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("px"),
+        F.approx_count_distinct("l_orderkey", 0.03).alias("approx_orders"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("apx"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = lambda a, e, pct: (  # noqa: E731 — |a-e|*100 <= e*pct, exact arithmetic
+        F.abs(a - e) * 100 <= e * pct
+    )
+    return exact_d.join(sketches, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        _round_fixed(F.col("px")[0], 6).alias("price_p50"),
+        _round_fixed(F.col("px")[1], 6).alias("price_p95"),
+        "n_rows",
+        within(F.col("approx_orders"), F.col("exact_orders"), 10)
+        .cast("long")
+        .alias("hll_ok"),
+        (
+            within(F.col("apx")[0], F.col("px")[0], 2)
+            & within(F.col("apx")[1], F.col("px")[1], 2)
+        )
+        .cast("long")
+        .alias("tdigest_ok"),
     )
 
 
@@ -6320,32 +6371,57 @@ def x_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("x_compression_ratio", None)
+@register(
+    "x_compression_ratio",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS raw_bytes,
+           CAST(1 AS BIGINT) AS header_ok,
+           CAST(1 AS BIGINT) AS roundtrip_ok,
+           CAST(1 AS BIGINT) AS bounded_ok
+    FROM documents
+    """,
+)
 def x_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
-    """zlib compression-ratio quality signal per document (the Gopher
-    redundancy heuristic).  Rows-only by nature — SQL has no DEFLATE —
-    with the correctness contract in pytest: distributed output is
-    pinned byte-for-byte to direct ``zlib.compress`` and the
-    repetitive-text-compresses-better ordering is asserted.  See
-    :func:`kafka_streaming_spark.functions.text.compression_ratios`."""
-    return T.compression_ratios(load_table(spark, sf, "documents"))
+    """zlib compression quality signal per document (the Gopher redundancy
+    heuristic).  SQL has no DEFLATE, so the CHECKED output is the exact
+    raw byte length plus three invariant flags the distributed zlib run
+    must satisfy (magic header, lossless round-trip, DEFLATE size bound)
+    — the oracle hard-codes the flags at 1, so a value-hash match
+    certifies zlib executed correctly on every row.  The engine-specific
+    ratio output stays on
+    :func:`kafka_streaming_spark.functions.text.compression_ratios`,
+    pinned byte-for-byte against direct ``zlib.compress`` in pytest."""
+    return T.compression_invariants(load_table(spark, sf, "documents"))
 
 
-@register("x_bpe_tokenize", None)
+@register(
+    "x_bpe_tokenize",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS reconstruct_ok,
+           CAST(1 AS BIGINT) AS token_bounds_ok
+    FROM documents
+    """,
+)
 def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """REAL byte-pair encoding (not the regex proxy of
     `x_doc_bpe_tokens`): train 50 merges on the corpus word-frequency
     head (bounded driver top-k, deterministic tiebreaks), then encode
     every document with the GPT-2 merge loop in Arrow batches with
-    per-batch word memoization.  Rows-only by nature — BPE's per-word
-    iterative merge loop is not expressible in one SQL pass — so the
-    correctness contract lives in pytest instead: the distributed
-    encoding is pinned piece-for-piece to a driver-side reference
-    encoder, and training determinism + compression invariants are
-    asserted (`tests/test_text_ops.py`)."""
+    per-batch word memoization.  The merge loop itself is not
+    SQL-expressible, so the CHECKED output is its invariants: exact
+    word/char counts (oracle-computable) plus lossless-reconstruction
+    and token-count-bound flags the oracle hard-codes at 1 — a
+    value-hash match certifies every document encoded losslessly.  The
+    raw token counts stay on ``bpe_encode_counts``, pinned
+    piece-for-piece to a driver-side reference encoder in pytest
+    (`tests/test_text_ops.py`)."""
     d = load_table(spark, sf, "documents")
     merges = T.bpe_train(d, vocab_words=2000, num_merges=50)
-    return T.bpe_encode_counts(d, merges)
+    return T.bpe_invariants(d, merges)
 
 
 @register(
@@ -6768,82 +6844,79 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # the long-green flagships.  Names absent from this list keep registration
 # order after it.
 
-# ROUND-4 ROTATION (CORRECTNESS_r03 digested): r3 checked 50 keys — 44
-# green, 6 non-green (all six root-caused as oracle-typing/canonicalizer
-# defects and FIXED this round).  This window = those 6 (to convert their
-# rows to green) + the 3 post-r3-freeze queries + ALL 32 new round-4
-# registrations (none has ever had a driver row) + 9 of the queries last
-# checked in round 2.  Every name not in the window is long-green from a
-# prior round and keeps strict local parity via tests/test_oracle_parity.py.
-# ROUND-5 ROTATION NOTE: first include any r4 non-green plus the
-# registrations that never got a driver row (x_trending_topk and
-# x_conversion_latency missed the r4 window — 52 never-checked
-# candidates for 50 slots — plus anything registered after this
-# comment), then the r2-green leave-outs
-# (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
-# q18_large_orders, t_sliding_window, a_cube, j_asof_join, j_anti_join,
-# j_band_join, t_sessionize, w_analytic_pack, w_moving_avg, a_percentiles,
-# a_pivot, x_cosine_near_dup, x_cosine_topk, x_doc_quality,
-# x_ngram_jaccard_pairs, x_doc_token_stats, x_doc_fingerprint,
-# x_doc_lang_id, x_doc_bpe_tokens, x_image_meta, s_set_intersect,
-# s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
+# ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
+# green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
+# this round to oracle-checkable invariant outputs, as was
+# x_compression_ratio which had never been checked).  This window = ALL 23
+# registry names that have never had a driver row in any round + those 2
+# converted queries + new round-5 registrations + the least-recently-
+# checked r2 greens.  After this round every registry name has a driver
+# CORRECTNESS row from some round.
+# ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
+# missed this window, then the remaining r2-green leave-outs
+# (s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
 # t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers),
-# then the r3-green set (least-recently-checked first).
+# then the r3-green set least-recently-checked first (see
+# CORRECTNESS_r03.json key order).
 
 DRIVER_PRIORITY: list[str] = [
-    # -- r3 non-green, fixed this round (oracle typing / array outputs) ----
-    "q12_late_shipments",
-    "x_dataset_mix",
-    "x_token_pack",
-    "x_embedding_quantize",
-    "a_array_agg",
+    # -- never driver-checked in any round (r4 registrations that missed
+    #    every 50-slot window) — VERDICT r4 item 1: close this set to zero --
+    "x_lsh_eval",
+    "t_stream_tumbling",
+    "x_trending_topk",
+    "x_conversion_latency",
+    "f_null_pack",
+    "x_dup_rate_by_source",
+    "x_token_budget",
+    "w_range_frame_sum",
+    "x_dataset_card",
+    "x_path_analysis",
+    "x_session_funnel",
+    "x_distribution_drift",
+    "x_histogram",
+    "x_order_fill_latency",
+    "x_repeat_purchase",
+    "x_ab_test",
+    "x_traffic_anomaly",
+    "x_user_growth",
+    "x_interval_overlap",
+    "x_gdpr_purge_audit",
+    "x_ivm_join",
+    "x_ntile_quartiles",
+    "x_compression_ratio",
+    # -- r4 `err: no_oracle` rows, converted this round to exact-value +
+    #    invariant-flag outputs with full DuckDB oracles ------------------
     "a_approx_sketch",
-    # -- registered after the r3 freeze: zero driver rows ever -------------
-    "x_video_frame_stats",
-    "x_quality_model_score",
-    "x_span_dedup",
-    # -- new in round 4: zero driver rows ever -----------------------------
-    "x_pq_ann_topk",
-    "j_interval_join",
-    "t_stateful_running",
-    "j_bucketed_join",
-    "x_epoch_shuffle",
-    "x_quality_funnel",
-    "x_ivfpq_ann_topk",
-    "x_ngram_lm_score",
-    "x_kmeans_embeddings",
-    "x_bm25_search",
-    "x_event_funnel",
-    "x_cohort_retention",
-    "x_dsir_weights",
-    "x_countmin_heavyhitters",
-    "x_pagerank_trade",
-    "x_semdedup",
-    "f_variant_pack",
-    "j_skew_salted_join",
-    "x_column_profile",
-    "f_hof_pack",
-    "a_stats_pack",
-    "x_scd2_history",
-    "x_pit_join",
     "x_bpe_tokenize",
-    "x_bloom_filter_probe",
-    "x_fuzzy_match",
-    "x_event_transitions",
-    "x_time_resample",
-    "x_robust_outliers",
-    "x_doc_sample_weighted",
-    "x_quantile_binning",
-    "x_image_resize_stats",
-    "f_csv_scan",
-    "f_jsonl_scan",
-    "x_data_contract",
-    "x_snapshot_diff",
-    "x_market_basket",
-    "x_kmv_distinct",
-    "x_triangle_count",
-    "x_skew_profile",
-    "x_ann_recall",
+    # -- new round-5 registrations (zero driver rows by construction) ------
+    # (inserted here as they land; tail r2-greens rotate out to keep 50)
+    # -- least-recently-checked (green since round 2) ----------------------
+    "q4_priority_count",
+    "s_set_union",
+    "a_distinct_count",
+    "t_session_window",
+    "q18_large_orders",
+    "t_sliding_window",
+    "a_cube",
+    "j_asof_join",
+    "j_anti_join",
+    "j_band_join",
+    "t_sessionize",
+    "w_analytic_pack",
+    "w_moving_avg",
+    "a_percentiles",
+    "a_pivot",
+    "x_cosine_near_dup",
+    "x_cosine_topk",
+    "x_doc_quality",
+    "x_ngram_jaccard_pairs",
+    "x_doc_token_stats",
+    "x_doc_fingerprint",
+    "x_doc_lang_id",
+    "x_doc_bpe_tokens",
+    "x_image_meta",
+    "s_set_intersect",
 ]
 
 

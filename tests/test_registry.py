@@ -22,17 +22,13 @@ def test_driver_ordered_puts_priority_first_and_loses_nothing():
     assert set(ordered) == set(REGISTRY)
 
 
-def test_rows_only_queries_are_documented_exceptions():
-    """Every query without an oracle must be one of the known
-    genuinely-non-SQL-expressible cases — anything else must ship with a
-    DuckDB oracle (the driver records only a weak rows-only check
-    otherwise)."""
+def test_every_query_has_an_oracle():
+    """Round-5 invariant: NO rows-only queries remain.  The three former
+    exceptions (a_approx_sketch, x_bpe_tokenize, x_compression_ratio) now
+    emit exact-value + invariant-flag outputs that DuckDB reproduces, so
+    every registry entry gets the driver's full hash check."""
     rows_only = sorted(n for n, (_f, sql) in REGISTRY.items() if sql is None)
-    assert rows_only == [
-        "a_approx_sketch",      # native HLL/t-digest internals
-        "x_bpe_tokenize",       # per-word iterative merge loop
-        "x_compression_ratio",  # DEFLATE has no SQL form
-    ]
+    assert rows_only == []
 
 
 def test_oracles_are_nonempty_sql():
