@@ -48,11 +48,18 @@ def pagerank(
         contrib = r.join(deg, "node").select(
             F.col("node").alias(src), F.expr("r DIV degree").alias("__c")
         )
-        r = (
+        inbound = (
             edges.join(contrib, src)
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum("__c").alias("__s"))
-            .select("node", F.expr("150000 + (85 * __s) DIV 100").alias("r"))
+        )
+        # LEFT join from the full node set (ADVICE r4): a node with zero
+        # in-degree receives no inbound mass but must keep its 150000 base
+        # rank and keep contributing in later rounds — groupBy(dst) alone
+        # would silently drop it from r after round 1.
+        r = deg.select("node").join(inbound, "node", "left").select(
+            "node",
+            F.expr("150000 + (85 * coalesce(__s, 0)) DIV 100").alias("r"),
         )
     return r.join(deg, "node").select(
         "node", F.col("r").alias("rank_micro"), "degree"

@@ -552,7 +552,19 @@ def kmeans_fit_predict(
             ).alias("__c")
         ).select(F.col("__c"), F.col("cluster_id").alias("centroid_id"))
 
-    out = assign(cents).select(F.col(id_col), F.col("cluster_id"))
+    # Materialize the (small: id, cluster_id) result eagerly so the cached
+    # projection can be released NOW — without this, repeated fits leak
+    # cached blocks for the life of the session (ADVICE r4): the plan is
+    # lazy, so an unpersist before the caller's first action would empty
+    # the cache before it is ever hit.  localCheckpoint blocks are RDD
+    # storage, reclaimed by the ContextCleaner once unreferenced, unlike
+    # DataFrame cache entries which live until an explicit unpersist.
+    out = (
+        assign(cents)
+        .select(F.col(id_col), F.col("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    v.unpersist()
     return out
 
 

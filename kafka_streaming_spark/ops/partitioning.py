@@ -48,9 +48,15 @@ def salt(df: DataFrame, key_cols: Sequence[str], buckets: int, salt_col: str = "
     deterministic under retries; its one caveat is that byte-identical
     duplicate rows share a bucket, which only matters if a hot key's rows
     are all literally identical (then there is nothing to spread that a
-    map-side partial aggregate hasn't already collapsed)."""
-    h = F.abs(F.hash(*[F.col(c) for c in df.columns]))
-    return df.withColumn(salt_col, (h % buckets).cast("int"))
+    map-side partial aggregate hasn't already collapsed).
+
+    ``pmod`` (not ``abs(hash) % n``): ``hash()`` can return Int.MinValue,
+    which survives ``abs()`` negative — ``abs % n`` then yields a negative
+    salt for any ``n`` that doesn't divide 2^31, a silent ~2^-32/row loss
+    in :func:`kafka_streaming_spark.ops.joins.salted_join` (the dim side
+    is only replicated for salts 0..n-1).  ``pmod`` is always in [0, n)."""
+    h = F.hash(*[F.col(c) for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(h, F.lit(buckets)).cast("int"))
 
 
 def unsalt_agg(

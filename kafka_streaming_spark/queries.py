@@ -2341,7 +2341,7 @@ def x_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     "x_time_resample",
     """
     WITH spine AS (
-      SELECT unnest(generate_series(19723, 19752)) AS day_num
+      SELECT unnest(generate_series(19723, 19753)) AS day_num
     ), daily AS (
       SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
              CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2357,13 +2357,14 @@ def x_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_time_resample(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series resampling with gap fill: a generated calendar spine
-    (Jan 2024 as epoch-day numbers, ``sequence``+``explode``) left-joined
+    (the full 31 days of Jan 2024 as epoch-day numbers 19723-19753,
+    ``sequence``+``explode``) left-joined
     to daily aggregates so empty days appear as explicit zeros — the
     resample/asfreq operator every monitoring pipeline needs (missing
     periods are silent lies otherwise).  The spine is generated, never
     scanned; the aggregate is one shuffle; the spine join broadcasts."""
     spine = spark.range(1).select(
-        F.explode(F.sequence(F.lit(19723), F.lit(19752))).alias("day_num")
+        F.explode(F.sequence(F.lit(19723), F.lit(19753))).alias("day_num")
     )
     e = load_table(spark, sf, "events")
     daily = e.groupBy(

@@ -45,3 +45,36 @@ def test_pagerank_degree_column_is_exact(spark):
     star = G.undirect(_pairs(spark, [(1, 2), (1, 3), (1, 4)]))
     deg = {r["node"]: r["degree"] for r in G.pagerank(star, iters=1).collect()}
     assert deg == {1: 3, 2: 1, 3: 1, 4: 1}
+
+
+def test_pagerank_directed_keeps_zero_indegree_nodes(spark):
+    """ADVICE r4: a directed chain 1→2→3 satisfies the documented
+    precondition (out-degree ≥ 1 per source node) yet node 1 has zero
+    in-degree — it must stay in the output with the base rank 150000 and
+    keep contributing mass in later rounds, matching a Python reference
+    of the exact integer recurrence."""
+    edges = _pairs(spark, [(1, 2), (2, 3), (3, 4)]).selectExpr(
+        "u AS src", "v AS dst"
+    )
+    got = {
+        r["node"]: (r["rank_micro"], r["degree"])
+        for r in G.pagerank(edges, iters=2).collect()
+    }
+
+    # Python reference over nodes with out-degree >= 1 (the function's
+    # documented domain: 1, 2, 3), exact integer arithmetic.
+    deg = {1: 1, 2: 1, 3: 1}
+    rank = {n: 1_000_000 for n in deg}
+    out_edges = {1: [2], 2: [3], 3: [4]}
+    for _ in range(2):
+        inbound = {n: 0 for n in deg}
+        for s, targets in out_edges.items():
+            c = rank[s] // deg[s]
+            for t in targets:
+                if t in inbound:
+                    inbound[t] += c
+        rank = {n: 150_000 + (85 * inbound[n]) // 100 for n in deg}
+
+    assert set(got) == {1, 2, 3}
+    assert got == {n: (rank[n], deg[n]) for n in deg}
+    assert got[1][0] == 150_000  # zero in-degree -> pure base rank

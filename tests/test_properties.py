@@ -232,3 +232,44 @@ def test_bigram_lm_matches_python_reference(spark, corpus):
         scores = [(1_000_000 * (big[p] + 1)) // (uni[p[0]] + v) for p in ps]
         want[i] = (len(ps), sum(scores) // len(ps))
     assert got == want
+
+
+def test_salt_always_in_range_even_for_min_value_hash(spark):
+    """ADVICE r4: abs(hash) % n goes NEGATIVE when hash() == Int.MinValue
+    and n doesn't divide 2^31 — a silent row-loss hazard in salted_join
+    (dim side only replicated for salts 0..n-1).  salt() must use pmod.
+
+    Two checks: (1) the expression-level fix — pmod of Int.MinValue is
+    non-negative for a non-power-of-2 modulus, while the old
+    ``abs(hash)``-form fails outright (ANSI abs(Int.MinValue) overflows
+    → ArithmeticException; with ANSI off it silently goes negative);
+    (2) the contract — salted_join with buckets=7 (2^31 % 7 != 0) is
+    row-identical to the plain join on real data."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_spark.ops.joins import salted_join
+    from kafka_streaming_spark.ops.partitioning import salt
+
+    row = spark.range(1).select(
+        F.pmod(F.lit(-2147483648), F.lit(7)).alias("pmod_form"),
+    ).collect()[0]
+    assert row["pmod_form"] >= 0
+    with _pytest.raises((Py4JJavaError, Exception)):  # ANSI overflow
+        spark.range(1).select(
+            (F.abs(F.lit(-2147483648)) % 7).alias("abs_form")
+        ).collect()
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = salt(e, ["event_type"], buckets=7)
+    mn, mx = salted.agg(
+        F.min("__salt"), F.max("__salt")
+    ).collect()[0]
+    assert 0 <= mn and mx <= 6
+
+    dim = e.select("event_type").distinct().withColumn(
+        "tag", F.length("event_type")
+    )
+    plain = e.join(dim, "event_type").count()
+    assert salted_join(e, dim, ["event_type"], buckets=7).count() == plain
