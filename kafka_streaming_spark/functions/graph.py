@@ -40,8 +40,17 @@ def pagerank(
 
     Returns ``(node, rank_micro, degree)`` for every node.
     """
-    deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # The edge list and degree table are read EVERY round: cache both so
+    # the (possibly expensive) edge-building subplan upstream runs once,
+    # not once per iteration — the "materialize the edge list first" step
+    # every iterative graph algorithm starts with.  Callers/bench release
+    # with spark.catalog.clearCache(); at 100 TB swap for a checkpoint or
+    # a temp table write.
+    edges = edges.cache()
+    deg = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .cache()
     )
     r = deg.select("node", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(iters):

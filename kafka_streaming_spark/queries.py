@@ -3871,10 +3871,14 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     # data-derived support: keep edges co-purchased above the MEAN pair
     # count (integer compare c*np > tot — no float, scale-factor-free)
     st = pairs0.agg(F.sum("__c").alias("__tot"), F.count(F.lit(1)).alias("__np"))
+    # cached: the filtered edge list feeds FOUR scans (e1/e2/e3 of the
+    # triangle join + the edge count) — without it the whole
+    # items-self-join + stats subplan re-executes per scan
     pairs = (
         pairs0.crossJoin(F.broadcast(st))
         .filter(F.expr("__c * __np > __tot"))
         .select("u", "v")
+        .cache()
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return G.triangle_count(pairs).crossJoin(F.broadcast(n_edges))

@@ -325,3 +325,52 @@ def test_funnel_is_joins_not_windows(spark):
     plan = plan_of(spark, "x_event_funnel")
     assert n_nodes(plan, "Window") == 0
     assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_pagerank_edge_list_cached_and_shuffle_bounded(spark):
+    """VERDICT r4 item 5: the iterative pagerank plan must (a) materialize
+    the edge-building subplan ONCE (cached — without it the lineitem⋈orders
+    distinct re-executes every round) and (b) stay within the shuffle
+    budget of 2 iterations + setup (≤ 13 exchanges: per round one big
+    edges⋈contrib join, one groupBy, one rank maintenance join), with no
+    unbounded join shapes."""
+    plan = plan_of(spark, "x_pagerank_trade")
+    assert "InMemoryTableScan" in plan  # edge/degree subplans run once
+    assert n_nodes(plan, "Exchange") <= 13
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_triangle_count_edges_cached_and_bounded(spark):
+    """The filtered co-purchase edge list feeds four scans (e1/e2/e3 +
+    edge count): it must be cached, the only nested-loop joins are the two
+    1-row stat broadcasts, and the oriented joins never degenerate to a
+    cartesian."""
+    plan = plan_of(spark, "x_triangle_count")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "Exchange") <= 13
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2  # 1-row stats only
+
+
+def test_market_basket_pairs_stay_within_order(spark):
+    """The basket pair join must stay co-partitioned on l_orderkey (pair
+    generation is a self-join WITHIN an order, never a corpus-level
+    shuffle-against-itself), with the support stats joined as bounded
+    broadcasts."""
+    plan = plan_of(spark, "x_market_basket")
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # 1-row totals only
+    assert n_nodes(plan, "Exchange") <= 9
+
+
+def test_lsh_eval_joins_are_bucket_or_broadcast(spark):
+    """The LSH-recall evaluation must join candidates via the banded
+    bucket key or bounded broadcasts (query set, 1-row stats) — a
+    SortMergeJoin or cartesian would mean the corpus got paired
+    all-against-all, defeating LSH."""
+    plan = plan_of(spark, "x_lsh_eval")
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Exchange") <= 9
