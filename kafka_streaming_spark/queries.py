@@ -1909,6 +1909,114 @@ def t_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "t_stream_interval_join",
+    """
+    SELECT s.user_id AS user_id,
+           s.event_id AS signup_event_id,
+           p.event_id AS purchase_event_id,
+           epoch_ms(s.ts) - epoch_ms(p.ts) AS gap_ms
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts <= s.ts AND p.ts >= s.ts - INTERVAL 1 HOUR
+    """,
+)
+def t_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """A REAL stream-stream interval join under the driver's eye
+    (VERDICT r4 item 8): the signup and purchase streams of the same
+    events source, watermarked on both sides, inner-joined on user with
+    purchases in the hour BEFORE each signup
+    (:func:`kafka_streaming_spark.streaming.joins.interval_join`),
+    availableNow-drained to a memory sink.  The single-file source makes
+    one micro-batch, so no state eviction can race the matches and the
+    result must equal the batch/oracle interval join exactly."""
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from kafka_streaming_spark.streaming.joins import interval_join
+
+    load_table(spark, sf, "events")
+    ts_dtype = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+    ts_field = {
+        "bigint": StructField("ts", LongType()),
+        "timestamp_ntz": StructField("ts", TimestampNTZType()),
+    }.get(ts_dtype, StructField("ts", TimestampType()))
+    src_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            ts_field,
+        ]
+    )
+    raw = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts_col = {
+        "bigint": F.expr("timestamp_micros(ts div 1000)"),
+        "timestamp_ntz": F.col("ts").cast("timestamp"),
+    }.get(ts_dtype, F.col("ts"))
+    typed = raw.select("event_id", "user_id", "event_type", ts_col.alias("ts"))
+    signups = typed.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    purchases = typed.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join(
+        signups,
+        purchases,
+        left_key="s_user",
+        right_key="p_user",
+        left_ts="s_ts",
+        right_ts="p_ts",
+        watermark="30 seconds",
+        lookback="1 hour",
+    )
+    sink = f"t_stream_interval_join_{uuid.uuid4().hex[:8]}"
+    # A stream-stream join keeps FOUR state stores per shuffle partition;
+    # at the batch-tuned 32 partitions that is 128 RocksDB instances for
+    # one bounded drain (measured ~5x the whole join's work).  Scope the
+    # state partitioning down for this query — the streaming analogue of
+    # AQE coalescing — and restore the session setting after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        F.col("s_user").alias("user_id"),
+        "signup_event_id",
+        "purchase_event_id",
+        (F.unix_millis(F.col("s_ts")) - F.unix_millis(F.col("p_ts"))).alias("gap_ms"),
+    )
+
+
 _SESSION_GAP = "4 hours"
 
 _SESSIONIZE_CTE = """
@@ -6896,6 +7004,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_bpe_tokenize",
     # -- new round-5 registrations (zero driver rows by construction) ------
     # (inserted here as they land; tail r2-greens rotate out to keep 50)
+    "t_stream_interval_join",
     # -- least-recently-checked (green since round 2) ----------------------
     "q4_priority_count",
     "s_set_union",
@@ -6921,7 +7030,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_lang_id",
     "x_doc_bpe_tokens",
     "x_image_meta",
-    "s_set_intersect",
 ]
 
 
