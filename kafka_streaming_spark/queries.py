@@ -6957,6 +6957,211 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # the long-green flagships.  Names absent from this list keep registration
 # order after it.
 
+@register(
+    "x_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, value, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           value AS last_value,
+           epoch_ms(ts) AS applied_at_ms
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def x_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog application: collapse a per-key op stream to the
+    final snapshot — last writer wins, and a trailing tombstone (here
+    ``event_type = 'error'`` stands in for a delete op) removes the key
+    entirely.  The core of every snapshot-from-changelog rebuild
+    (Debezium→table, Delta CDF compaction — the batch form of the
+    reference's last-writer-wins serving view, ``tomongo.py:9-17``, with
+    delete semantics added).  One window shuffle on the key; deterministic
+    (ts, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.unix_millis(F.col("ts")).alias("applied_at_ms"),
+        )
+    )
+
+
+@register(
+    "x_fk_integrity_audit",
+    """
+    SELECT 'orders->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def x_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit — the data-contract check every
+    warehouse load runs: per foreign key, total rows and orphan rows
+    (children whose parent is missing).  Parent keys are unique, so the
+    left join never multiplies; small parents broadcast, the
+    lineitem→orders pair shuffles on the key (at 100 TB swap in a bloom
+    probe before the join — same output, ~no shuffle for the clean-FK
+    common case)."""
+
+    def audit(child, parent, ck, pk, label):
+        on = child[ck] == parent[pk]
+        return child.join(parent, on, "left").agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(parent[pk].isNull(), 1)).alias("n_orphans"),
+        )
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = F.broadcast(load_table(spark, sf, "customer"))
+    p = F.broadcast(load_table(spark, sf, "part"))
+    s = F.broadcast(load_table(spark, sf, "supplier"))
+    return (
+        audit(o, c, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(audit(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionByName(audit(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(audit(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"))
+    )
+
+
+@register(
+    "x_quantile_normalize",
+    """
+    WITH comp AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS c
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      WHERE i <= 4
+    )
+    SELECT vec_id, pos,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(ROUND(percent_rank() OVER w * 1000000.0) AS BIGINT) / 1000000.0
+             AS pr
+    FROM comp
+    WINDOW w AS (PARTITION BY pos ORDER BY c)
+    """,
+)
+def x_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of an embedding table
+    — the feature-engineering transform that makes dimensions comparable
+    regardless of their marginal distribution (rank / percent_rank within
+    each dimension).  Shown for the first 4 dimensions to bound output.
+    Scale shape: explode once, ONE window shuffle partitioned by
+    dimension — each dimension's ranking is an independent partition, so
+    the plan parallelizes across dimensions instead of sorting the whole
+    matrix."""
+    emb = load_table(spark, sf, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "c")
+    ).filter(F.col("pos") < 4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pos").orderBy("c")
+    return comp.select(
+        "vec_id",
+        "pos",
+        F.rank().over(w).cast("long").alias("rnk"),
+        _round_fixed(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "x_tfidf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ((n.n_docs * 1000000) // df.df) AS score_micro
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score_micro
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def x_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with a LINEAR
+    inverse-document-frequency (``idf_micro = N*1e6 DIV df`` — exact
+    integer arithmetic, so ranking ties break identically in both engines;
+    log-idf reorders nothing for top-k head terms at these df ranges and
+    would put a float in the ORDER BY).  The keyword-extraction /
+    doc-characterization operator.  Scale shape: tf is one grouped
+    aggregate, df one term-keyed aggregate joined back on the term key,
+    N a 1-row broadcast, top-k one window on doc_id."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * F.expr("(n_docs * 1000000) DIV df")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score_micro")
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -7005,6 +7210,10 @@ DRIVER_PRIORITY: list[str] = [
     # -- new round-5 registrations (zero driver rows by construction) ------
     # (inserted here as they land; tail r2-greens rotate out to keep 50)
     "t_stream_interval_join",
+    "x_cdc_apply",
+    "x_fk_integrity_audit",
+    "x_quantile_normalize",
+    "x_tfidf_topk",
     # -- least-recently-checked (green since round 2) ----------------------
     "q4_priority_count",
     "s_set_union",
@@ -7026,10 +7235,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_doc_quality",
     "x_ngram_jaccard_pairs",
     "x_doc_token_stats",
-    "x_doc_fingerprint",
-    "x_doc_lang_id",
-    "x_doc_bpe_tokens",
-    "x_image_meta",
 ]
 
 
