@@ -6958,6 +6958,79 @@ def x_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # order after it.
 
 @register(
+    "f_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS metric,
+           CAST(ROUND(p_size * 1000000.0) AS BIGINT) / 1000000.0 AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice',
+           CAST(ROUND(p_retailprice * 1000000.0) AS BIGINT) / 1000000.0
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def f_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` ≡ SQL UNPIVOT / melt):
+    one row per (id, metric) with the metric name as data — the feature-
+    table normalization step.  Map-side only (no shuffle: unpivot is a
+    generate, the mirror of pivot's aggregate)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="__v",
+    ).select(
+        "p_partkey",
+        "metric",
+        _round_fixed(F.col("__v"), 6).alias("value"),
+    )
+
+
+@register(
+    "a_grouping_sets",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(lang, '<all>') AS lang_dim,
+           CAST(GROUPING(event_type) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT e.event_type, d.lang
+      FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id
+    )
+    GROUP BY GROUPING SETS ((event_type, lang), (event_type), (lang), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with GROUPING() disambiguation — the
+    general form of cube/rollup (`a_cube`/`g_rollup` cover the special
+    cases): four explicit aggregation levels in ONE pass (Expand + single
+    shuffle), with the grouping id separating a real NULL group from a
+    rolled-up one.  Expressed through the SQL surface (``spark.sql``) over
+    a broadcast-joined dimension."""
+    e = load_table(spark, sf, "events")
+    d = load_table(spark, sf, "documents")
+    joined = e.join(
+        F.broadcast(d), e["event_id"] % 500 == d["doc_id"]
+    ).select("event_type", "lang")
+    joined.createOrReplaceTempView("__gs_src")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(lang, '<all>') AS lang_dim,
+               CAST(GROUPING(event_type) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM __gs_src
+        GROUP BY GROUPING SETS ((event_type, lang), (event_type), (lang), ())
+        """
+    )
+
+
+@register(
     "x_cdc_apply",
     """
     WITH ranked AS (
@@ -7214,6 +7287,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_fk_integrity_audit",
     "x_quantile_normalize",
     "x_tfidf_topk",
+    "f_unpivot",
+    "a_grouping_sets",
     # -- least-recently-checked (green since round 2) ----------------------
     "q4_priority_count",
     "s_set_union",
@@ -7233,8 +7308,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_cosine_near_dup",
     "x_cosine_topk",
     "x_doc_quality",
-    "x_ngram_jaccard_pairs",
-    "x_doc_token_stats",
 ]
 
 

@@ -335,6 +335,9 @@ def test_pagerank_edge_list_cached_and_shuffle_bounded(spark):
     budget of 2 iterations + setup (≤ 13 exchanges: per round one big
     edges⋈contrib join, one groupBy, one rank maintenance join), with no
     unbounded join shapes."""
+    # Assert on the COLD plan: a cache populated by an earlier test changes
+    # size statistics and with them the planned join strategies.
+    spark.catalog.clearCache()
     plan = plan_of(spark, "x_pagerank_trade")
     assert "InMemoryTableScan" in plan  # edge/degree subplans run once
     assert n_nodes(plan, "Exchange") <= 13
@@ -347,6 +350,7 @@ def test_triangle_count_edges_cached_and_bounded(spark):
     edge count): it must be cached, the only nested-loop joins are the two
     1-row stat broadcasts, and the oriented joins never degenerate to a
     cartesian."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
     plan = plan_of(spark, "x_triangle_count")
     assert "InMemoryTableScan" in plan
     assert n_nodes(plan, "Exchange") <= 13
