@@ -639,3 +639,79 @@ def test_upsert_commit_is_bucket_bounded_o_delta(spark, tmp_path_factory):
     assert not os.path.exists(f"{root}/gold/data/v_0")
     assert not os.path.exists(f"{root}/gold/data/v_1")
     assert {r["group_id"] for r in gold.read().collect()} == {f"g{i}" for i in range(200)}
+
+
+def test_bucketed_upsert_random_commit_sequences(spark, tmp_path_factory):
+    """Property-style torture of the O(Δ) bucketed state store: a
+    deterministic pseudo-random sequence of commits (varying key subsets),
+    interleaved replays (same version re-offered), a crash-redo (state
+    dir committed, CDF registration lost), and vacuums — after every
+    step, read() must equal a plain dict fold of the same sequence."""
+    import os
+    import random
+    import shutil
+
+    from kafka_streaming_spark.io.sinks import ParquetUpsertTable
+    from kafka_streaming_spark.schemas import GOLD_SCHEMA
+
+    rng = random.Random(42)
+    root = str(tmp_path_factory.mktemp("torture"))
+    gold = ParquetUpsertTable(
+        spark, f"{root}/gold", GOLD_SCHEMA, keys=("group_id",), n_buckets=4
+    )
+    keys = [f"g{i}" for i in range(30)]
+    ref: dict[str, float] = {}
+
+    def mk_state(rows):
+        return spark.createDataFrame(
+            [(k, v, 1, v, 0, 0, 0) for k, v in rows], schema=GOLD_SCHEMA
+        )
+
+    version = 0
+    for step in range(6):
+        changed = rng.sample(keys, rng.randint(1, 8))
+        new_vals = [(k, float(step * 100 + i)) for i, k in enumerate(changed)]
+        for k, v in new_vals:
+            ref[k] = v
+        changed_df = mk_state(new_vals)
+        buckets = [
+            r[0]
+            for r in changed_df.select(gold.bucket_of(changed_df).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        # new bucket state = prior bucket rows with changed keys replaced
+        prior = gold.read_buckets(buckets)
+        keep = prior.filter(~F.col("group_id").isin(changed))
+        gold.upsert_state(
+            keep.unionByName(changed_df),
+            changed_keys=changed_df.select("group_id"),
+            version=version,
+            bucket_ids=buckets,
+        )
+        if step == 2:
+            # replay: same version re-offered after a "crash" — no-op
+            assert gold.upsert_state(
+                changed_df, changed_df.select("group_id"), version=version
+            ) is False
+        if step == 3:
+            # crash-redo: wipe this version's CDF files (state committed,
+            # registration lost) and re-offer — must redo only the CDF step
+            for name in os.listdir(gold.cdf_dir):
+                if name.startswith(f"v{version}_"):
+                    os.remove(f"{gold.cdf_dir}/{name}")
+            assert not gold.version_applied(version)
+            assert gold.upsert_state(
+                gold.read_buckets(buckets).filter(
+                    F.col("group_id").isin([k for k, _ in new_vals])
+                ),
+                changed_df.select("group_id"),
+                version=version,
+            ) is True
+        if step in (2, 4):
+            gold.vacuum(keep_last=2)
+        got = {r["group_id"]: r["cumulative_score"] for r in gold.read().collect()}
+        assert got == ref, f"state diverged at step {step}"
+        version += 1
+
+    shutil.rmtree(root, ignore_errors=True)
