@@ -1910,6 +1910,87 @@ def t_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_stream_sliding",
+    """
+    SELECT (CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - i) * 86400000
+             AS window_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             AS sum_cents
+    FROM events, unnest(generate_series(0, 1)) AS t(i)
+    GROUP BY 1
+    """,
+)
+def t_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming sliding (hopping) windows under the driver's eye —
+    ``F.window(ts, '2 days', '1 day')`` in complete mode, availableNow
+    drain to a memory sink: every event lands in exactly TWO overlapping
+    windows, so the streaming result must equal the batch unnest([0,1])
+    expansion the oracle computes.  The sibling of `t_stream_tumbling`
+    (same ts-encoding probing); integer-cent sums keep state-accumulation
+    order out of the comparison.  (No per-window COUNT DISTINCT here on
+    purpose — that would be collect-set state, unbounded per window in a
+    real stream; the engine's bounded-distinct form is the HLL sketch,
+    see `a_approx_sketch`.)"""
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    load_table(spark, sf, "events")
+    ts_dtype = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+    ts_field = {
+        "bigint": StructField("ts", LongType()),
+        "timestamp_ntz": StructField("ts", TimestampNTZType()),
+    }.get(ts_dtype, StructField("ts", TimestampType()))
+    src_schema = StructType(
+        [ts_field, StructField("value", DoubleType()), StructField("user_id", LongType())]
+    )
+    raw = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts_col = {
+        "bigint": F.expr("timestamp_micros(ts div 1000)"),
+        "timestamp_ntz": F.col("ts").cast("timestamp"),
+    }.get(ts_dtype, F.col("ts"))
+    stream = raw.select(
+        ts_col.alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = stream.groupBy(F.window("ts", "2 days", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("__s"),
+    )
+    sink = f"t_stream_sliding_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n_events",
+        F.col("__s").cast("double").alias("sum_cents"),
+    )
+
+
+@register(
     "t_stream_interval_join",
     """
     SELECT s.user_id AS user_id,
@@ -7283,6 +7364,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new round-5 registrations (zero driver rows by construction) ------
     # (inserted here as they land; tail r2-greens rotate out to keep 50)
     "t_stream_interval_join",
+    "t_stream_sliding",
     "x_cdc_apply",
     "x_fk_integrity_audit",
     "x_quantile_normalize",
@@ -7307,7 +7389,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_pivot",
     "x_cosine_near_dup",
     "x_cosine_topk",
-    "x_doc_quality",
 ]
 
 
