@@ -1459,6 +1459,90 @@ def x_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     return S.semdedup(load_table(spark, sf, "embeddings"), threshold=0.2)
 
 
+def _semdedup_eval_oracle() -> str:
+    """Eval wrapper over the full semdedup oracle: exact lower-id cosine
+    ground truth on the id-bounded eval set, then precision/recall of the
+    kept/dropped decision in integer micro-units."""
+    ps = _COS_R.format(a="x.vec", b="y.vec")
+    return f"""
+    WITH sd AS ({_semdedup_oracle()}),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings WHERE vec_id < 200
+    ), gt AS (
+      SELECT x.vec_id, MAX({ps}) AS mx
+      FROM v x JOIN v y ON y.vec_id < x.vec_id
+      GROUP BY x.vec_id
+    ), joined AS (
+      SELECT sd.vec_id,
+             CAST(1 - sd.kept AS BIGINT) AS dropped,
+             CAST(coalesce(gt.mx, -2.0) >= 0.2 AS BIGINT) AS true_dup
+      FROM sd LEFT JOIN gt ON sd.vec_id = gt.vec_id
+      WHERE sd.vec_id < 200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(SUM(true_dup) AS BIGINT) AS n_true_dup,
+           CAST(SUM(dropped * true_dup) AS BIGINT) AS tp,
+           CASE WHEN SUM(dropped) = 0 THEN 0
+                ELSE CAST(SUM(dropped * true_dup) * 1000000 AS BIGINT)
+                     // CAST(SUM(dropped) AS BIGINT) END AS precision_micro,
+           CASE WHEN SUM(true_dup) = 0 THEN 0
+                ELSE CAST(SUM(dropped * true_dup) * 1000000 AS BIGINT)
+                     // CAST(SUM(true_dup) AS BIGINT) END AS recall_micro
+    FROM joined
+    """
+
+
+@register("x_semdedup_eval", _semdedup_eval_oracle())
+def x_semdedup_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDedup quality evaluation IN the engine (completing the eval trio
+    with `x_ann_recall` and `x_lsh_eval`): on an id-bounded eval set, the
+    exact lower-id max-cosine ground truth vs semdedup's cluster-bounded
+    drop decision → precision (always 1 by construction: a within-cluster
+    near-dup IS a global one) and recall (the fraction of true near-dups
+    the clustering let semdedup see — the quantity the paper trades
+    against pairwise cost).  Integer micro-unit ratios; the bounded
+    quadratic is the documented id-bounded verifier pattern."""
+    emb = load_table(spark, sf, "embeddings")
+    sd = S.semdedup(emb, threshold=0.2).filter(F.col("vec_id") < 200)
+    v = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("__v")
+    )
+    x = v.select(F.col("vec_id").alias("__xa"), F.col("__v").alias("__va"))
+    y = v.select(F.col("vec_id").alias("__xb"), F.col("__v").alias("__vb"))
+    gt = (
+        x.join(y, F.col("__xb") < F.col("__xa"))
+        .select(
+            F.col("__xa"),
+            S.round6(S.cosine(F.col("__va"), F.col("__vb"))).alias("__s"),
+        )
+        .groupBy("__xa")
+        .agg(F.max("__s").alias("__mx"))
+    )
+    joined = sd.join(gt, sd["vec_id"] == gt["__xa"], "left").select(
+        (1 - F.col("kept")).alias("dropped"),
+        (F.coalesce(F.col("__mx"), F.lit(-2.0)) >= 0.2).cast("long").alias("true_dup"),
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum("dropped").alias("n_dropped"),
+        F.sum("true_dup").alias("n_true_dup"),
+        F.sum(F.col("dropped") * F.col("true_dup")).alias("tp"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(0).cast("long")
+    ).otherwise(F.expr(f"({num} * 1000000) DIV {den}"))
+    return agg.select(
+        "n_eval",
+        "n_dropped",
+        "n_true_dup",
+        "tp",
+        ratio("tp", "n_dropped").alias("precision_micro"),
+        ratio("tp", "n_true_dup").alias("recall_micro"),
+    )
+
+
 def _pq_oracle() -> str:
     """DuckDB replica of the FULL product-quantization ADC path in the
     portable configuration: md5 hash-ordered codebook seeding (the iters=0
@@ -7365,6 +7449,7 @@ DRIVER_PRIORITY: list[str] = [
     # (inserted here as they land; tail r2-greens rotate out to keep 50)
     "t_stream_interval_join",
     "t_stream_sliding",
+    "x_semdedup_eval",
     "x_cdc_apply",
     "x_fk_integrity_audit",
     "x_quantile_normalize",
@@ -7388,7 +7473,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_percentiles",
     "a_pivot",
     "x_cosine_near_dup",
-    "x_cosine_topk",
 ]
 
 
