@@ -26,6 +26,7 @@ def pagerank(
     iters: int = 2,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Damped PageRank (d = 0.85) in exact integer micro-units: per round,
     contribution = ``rank DIV degree`` and new rank = ``150000 +
@@ -57,6 +58,13 @@ def pagerank(
         contrib = r.join(deg, "node").select(
             F.col("node").alias(src), F.expr("r DIV degree").alias("__c")
         )
+        # broadcast_ranks: when the NODE table fits an executor (edges may
+        # still be arbitrarily large), broadcasting the per-node
+        # contributions makes the big edges⋈contrib join map-side — the
+        # only remaining shuffle per round is the inbound groupBy.  Leave
+        # False when nodes themselves are beyond broadcast scale.
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
         inbound = (
             edges.join(contrib, src)
             .groupBy(F.col(dst).alias("node"))

@@ -6843,7 +6843,7 @@ def x_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = G.pagerank(G.undirect(pairs), iters=2)
+    ranks = G.pagerank(G.undirect(pairs), iters=2, broadcast_ranks=True)
     return ranks.orderBy(F.col("rank_micro").desc(), F.col("node").asc()).limit(20)
 
 
