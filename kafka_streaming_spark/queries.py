@@ -1084,6 +1084,59 @@ def x_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_hard_negatives",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             CAST(ROUND(list_dot_product(qv, vec)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vec, vec)))
+                        * 1000000.0) AS BIGINT) / 1000000.0 AS cos_r
+      FROM q, v WHERE q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id AS negative_id, cos_r AS cosine_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_r DESC, neighbor_id) AS rn
+          FROM scored WHERE cos_r < 0.9)
+    WHERE rn <= 3
+    """,
+)
+def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-3 most-similar vectors BELOW the near-duplicate ceiling (cos <
+    0.9) — similar enough to be informative negatives, dissimilar enough
+    not to be positives mislabeled as negatives (the standard in-batch /
+    ANN-mined negative recipe).  Same scale shape as the brute top-k
+    baseline: bounded anchor set broadcast against the corpus scan, one
+    per-anchor top-k; swap the scorer for the IVF/LSH index at corpus
+    scale exactly as with `x_ivf_ann_topk`."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"), S.as_double(F.col("embedding")).alias("cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("negative_id")).select(
+        "query_id",
+        "negative_id",
+        _round_fixed(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") < 0.9)
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("negative_id").asc()],
+        3,
+        rank_col="rank",
+    )
+
+
+@register(
     "x_cosine_topk",
     """
     WITH v AS (
@@ -7450,6 +7503,7 @@ DRIVER_PRIORITY: list[str] = [
     "t_stream_interval_join",
     "t_stream_sliding",
     "x_semdedup_eval",
+    "x_hard_negatives",
     "x_cdc_apply",
     "x_fk_integrity_audit",
     "x_quantile_normalize",
@@ -7470,7 +7524,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_sessionize",
     "w_analytic_pack",
     "w_moving_avg",
-    "a_percentiles",
     "a_pivot",
     "x_cosine_near_dup",
 ]

@@ -211,6 +211,7 @@ _CARTESIAN_ALLOWED = {
     "x_kmv_distinct",          # exact-count scalar: 1-row broadcast join
     "x_tfidf_topk",            # corpus doc-count: 1-row broadcast scalar join
     "x_semdedup_eval",         # id-bounded exact verifier + centroid assignment
+    "x_hard_negatives",        # bounded anchor set x corpus (broadcast)
     "x_triangle_count",        # edge-count scalar: 1-row broadcast join
     "x_ann_recall",            # bounded query set x corpus + centroid assign
     "x_lsh_eval",              # bounded-range truth pairs + 1-row metric joins
