@@ -7249,6 +7249,144 @@ def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(ROUND(value * 1000.0) AS BIGINT) AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1
+                  WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL THEN 1
+                  ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id,
+           CAST(MIN(s) AS BIGINT) AS island_start_ms,
+           CAST(MAX(e) AS BIGINT) AS island_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands GROUP BY user_id, island_id
+    """,
+)
+def x_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval merging: per user, coalesce overlapping /
+    touching activity intervals ([ts, ts + value·1s]) into maximal islands
+    — the classic downtime-merge / coverage-consolidation operator (the
+    aggregation complement of `x_interval_overlap`'s pairwise join).  A
+    running MAX(end) over the start-sorted per-key frame detects island
+    breaks (strictly-greater start ⇒ gap), a running SUM numbers them: one
+    window shuffle on the key, no self-join.  All epoch-ms integer
+    arithmetic; (s, event_id) ordering pins ties identically in both
+    engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("s"),
+        (
+            F.unix_millis(F.col("ts"))
+            + F.round(F.col("value") * 1000).cast("long")
+        ).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    max_prev = F.max("e").over(prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(max_prev.isNull() | (F.col("s") > max_prev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        (F.sum("new_island").over(run) - 1).cast("long").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start_ms"),
+        F.max("e").alias("island_end_ms"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@register(
+    "x_trend_slope",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS slope_milli_cents_per_day
+    FROM sums
+    """,
+)
+def x_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend: the least-squares slope of value-over-time per
+    event type from the FOUR power sums (n, Σx, Σy, Σxy, Σxx) — one
+    partial-aggregatable pass, no sort, no window; the grouped-regression
+    operator (`regr_slope`) in the engine's exact-integer form (x = day
+    index, y = cents, slope emitted in milli-cents/day via integer
+    division — both engines truncate identically, and the bounded ranges
+    keep every intermediate under 2^63)."""
+    e = load_table(spark, sf, "events")
+    pts = e.select(
+        "event_type",
+        (F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long") - 19723).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.expr("((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx)").alias(
+            "slope_milli_cents_per_day"
+        ),
+    )
+
+
+@register(
     "x_cdc_apply",
     """
     WITH ranked AS (
@@ -7504,6 +7642,8 @@ DRIVER_PRIORITY: list[str] = [
     "t_stream_sliding",
     "x_semdedup_eval",
     "x_hard_negatives",
+    "x_interval_merge",
+    "x_trend_slope",
     "x_cdc_apply",
     "x_fk_integrity_audit",
     "x_quantile_normalize",
@@ -7523,9 +7663,7 @@ DRIVER_PRIORITY: list[str] = [
     "j_band_join",
     "t_sessionize",
     "w_analytic_pack",
-    "w_moving_avg",
     "a_pivot",
-    "x_cosine_near_dup",
 ]
 
 
