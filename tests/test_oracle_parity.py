@@ -18,7 +18,6 @@ from kafka_streaming_spark.queries import REGISTRY
 from tests.conftest import SF_SMALL
 
 ORACLE_QUERIES = sorted(name for name, (_f, sql) in REGISTRY.items() if sql is not None)
-ROWS_ONLY_QUERIES = sorted(name for name, (_f, sql) in REGISTRY.items() if sql is None)
 
 
 def canon(v):
@@ -69,12 +68,9 @@ def test_oracle_parity(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(spark, name):
-    fn, _ = REGISTRY[name]
-    df = fn(spark, SF_SMALL)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+# (The rows-only runner is gone on purpose: since round 5 EVERY registry
+# query ships an oracle — tests/test_registry.py::test_every_query_has_an_oracle
+# pins the invariant, so a rows-only registration fails fast there.)
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
