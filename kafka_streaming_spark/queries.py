@@ -7257,7 +7257,7 @@ def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
              epoch_ms(ts) + CAST(ROUND(value * 1000.0) AS BIGINT) AS e
       FROM events
     ), flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 1
@@ -7268,7 +7268,7 @@ def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
       FROM iv
     ), islands AS (
       SELECT user_id, s, e,
-             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
                AS island_id
       FROM flagged
@@ -7307,14 +7307,18 @@ def x_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # running-sum order must be UNIQUE per key ((s, event_id), never
+    # (s, e)): with a tie, the engines may order the new_island=1 row
+    # differently and hand tied rows different island ids
     run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     max_prev = F.max("e").over(prev)
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(max_prev.isNull() | (F.col("s") > max_prev), 1)
