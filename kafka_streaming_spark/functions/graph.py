@@ -83,6 +83,53 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous majority-vote label propagation (community detection):
+    every node starts labeled with its own id; each round a node adopts
+    the most frequent label among its NEIGHBORS, ties broken by the
+    smallest label.  The classic LPA visits nodes in random order — this
+    synchronous, min-tiebreak variant is fully deterministic, so the
+    rounds unroll bit-identically into a SQL oracle (same portability
+    contract as :func:`pagerank`).  Distinct from the min-label
+    connected-components solver in ``functions.dedup``: majority vote
+    finds dense communities, not mere reachability.
+
+    ``edges`` must contain both orientations (run :func:`undirect`), so
+    every node appears as ``dst`` and keeps a label each round.
+
+    Scale shape mirrors :func:`pagerank`: the edge list is cached once;
+    each round is one edges⋈labels join on the node key and one
+    (node, label) count aggregate whose per-node arg-max is a true
+    aggregate (``max_by`` over a (count, -label) struct — map-side
+    partials, no window sort).  O(iters) passes, no driver state.
+
+    Returns ``(node, label)`` after ``iters`` rounds.
+    """
+    edges = edges.cache()
+    lab = edges.select(F.col(src).alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        neigh = (
+            edges.join(lab.withColumnRenamed("node", src), src)
+            .groupBy(F.col(dst).alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        # arg-max as an aggregate, not a window: max over the struct
+        # (count, -label) is "most frequent, then smallest label".
+        lab = neigh.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("__cnt"), (-F.col("label")).alias("__t"))
+            ).alias("label")
+        )
+    return lab
+
+
 def triangle_count(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Count triangles in an undirected graph given each edge ONCE in a
     consistent orientation (``u < v`` by id here): the oriented join

@@ -7595,6 +7595,282 @@ def x_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iters: int = 2) -> str:
+    """DuckDB replica of synchronous majority-vote label propagation on
+    the undirected supplier ↔ customer trade graph, rounds unrolled: per
+    round each node takes its most frequent neighbor label (tie → smallest
+    label), expressed as a row_number over the (node, label) counts."""
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(f""", l{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM edges e JOIN l{i} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{iters} GROUP BY label
+    ORDER BY size DESC, community ASC LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@register("x_label_propagation", _lpa_oracle())
+def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection via synchronous majority-vote label propagation
+    (2 rounds) on the undirected supplier ↔ customer trade graph — the
+    community-structure workload next to PageRank (influence) and the
+    connected-components solver (reachability).  Deterministic variant:
+    ties break to the smallest label, so both engines agree bit-for-bit
+    with the rounds unrolled.  Scale shape: edge list cached once, each
+    round one node-keyed join + one count aggregate + one arg-max
+    AGGREGATE (max_by over a (count, -label) struct — map-side partials,
+    no per-node window sort).  Top-20 communities by (size, label)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    lab = G.label_propagation(G.undirect(pairs), iters=2)
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "x_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    c AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT mxd FROM mx)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    ), seg AS (
+      SELECT CASE WHEN recency_days <= 365 AND frequency >= 12 THEN 'champion'
+                  WHEN recency_days <= 365 THEN 'recent'
+                  WHEN frequency >= 12 THEN 'loyal_lapsed'
+                  ELSE 'at_risk' END AS segment,
+             recency_days, frequency, m
+      FROM c
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(m) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS total_revenue,
+           CAST((SUM(recency_days) * 1000000) // COUNT(*) AS BIGINT)
+             AS avg_recency_micro,
+           CAST((SUM(frequency) * 1000000) // COUNT(*) AS BIGINT)
+             AS avg_frequency_micro
+    FROM seg GROUP BY segment
+    """,
+)
+def x_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order vs the corpus max date — a 1-row broadcast), Frequency (order
+    count) and Monetary (exact DECIMAL revenue), bucketed into business
+    segments by fixed thresholds, rolled up per segment.  Averages are
+    exact integer micro-units (``SUM*1e6 DIV COUNT``) so no float ever
+    enters the comparison.  Scale shape: ONE groupBy on the customer key
+    does all three metrics in a single pass; the max-date is a 1-row
+    cross-joined broadcast; the segment rollup shuffles 4 groups."""
+    o = load_table(spark, sf, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__m"),
+    )
+    seg = cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("mxd"), F.col("__last")).alias("recency_days"),
+        "frequency",
+        "__m",
+    ).select(
+        F.when(
+            (F.col("recency_days") <= 365) & (F.col("frequency") >= 12),
+            F.lit("champion"),
+        )
+        .when(F.col("recency_days") <= 365, F.lit("recent"))
+        .when(F.col("frequency") >= 12, F.lit("loyal_lapsed"))
+        .otherwise(F.lit("at_risk"))
+        .alias("segment"),
+        "recency_days",
+        "frequency",
+        "__m",
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dfix(F.sum("__m"), "total_revenue"),
+        F.expr("(sum(recency_days) * 1000000) DIV count(1)")
+        .cast("long")
+        .alias("avg_recency_micro"),
+        F.expr("(sum(frequency) * 1000000) DIV count(1)")
+        .cast("long")
+        .alias("avg_frequency_micro"),
+    )
+
+
+@register(
+    "x_kfold_split",
+    """
+    WITH f AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 5 AS fold,
+             n_chars
+      FROM documents
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(n.total - COUNT(*) AS BIGINT) AS n_train_docs
+    FROM f CROSS JOIN n
+    GROUP BY fold, n.total
+    """,
+)
+def x_kfold_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5(doc_id) byte mod 5 — stable under corpus growth (a doc never
+    changes folds when other docs are added) and engine-portable, the
+    same retry-safe no-rand() contract as the sampling family.  Emits
+    per-fold held-out size plus the complementary training-set size via
+    a 1-row broadcast of the corpus count.  Scale shape: one narrow
+    projection, one 5-group aggregate."""
+    d = load_table(spark, sf, "documents")
+    f = d.select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("long"),
+            F.lit(5),
+        ).alias("fold"),
+        "n_chars",
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        f.crossJoin(F.broadcast(n))
+        .groupBy("fold", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "total_chars",
+            (F.col("total") - F.col("n_docs")).alias("n_train_docs"),
+        )
+    )
+
+
+@register(
+    "x_ewma_smooth",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day_num, a.cnt,
+           CAST(SUM(b.cnt * (1 << CAST(7 - (a.day_num - b.day_num) AS INTEGER)))
+                AS BIGINT) AS ews
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day_num BETWEEN a.day_num - 7 AND a.day_num
+    GROUP BY a.event_type, a.day_num, a.cnt
+    """,
+)
+def x_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted trailing smoothing of the daily event-count
+    series, exact-integer form: ews(day) = Σ_{lag=0..7} cnt(day-lag) ·
+    2^(7-lag) — the α=½ EWMA numerator in fixed point, so both engines
+    agree bit-for-bit (a float pow() would not).  The time-series
+    smoothing / trend-baseline operator behind the traffic-anomaly
+    monitor.  Scale shape: the RAW data is reduced by one day-grain
+    groupBy first; the lag join then runs on the tiny day×type aggregate
+    (calendar-bounded, independent of row scale — broadcast)."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)))
+        .cast("long")
+        .alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    b = daily.select(
+        F.col("event_type").alias("__et"),
+        F.col("day_num").alias("__day"),
+        F.col("cnt").alias("__cnt"),
+    )
+    j = daily.join(
+        F.broadcast(b),
+        (F.col("event_type") == F.col("__et"))
+        & (F.col("__day") >= F.col("day_num") - 7)
+        & (F.col("__day") <= F.col("day_num")),
+    )
+    w = F.expr("shiftleft(1, cast(7 - (day_num - __day) as int))")
+    return j.groupBy("event_type", "day_num", "cnt").agg(
+        F.sum(F.col("__cnt") * w).alias("ews")
+    )
+
+
+@register(
+    "x_source_cap",
+    """
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def x_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (class balancing): keep at most 10 docs per
+    source, chosen by md5(doc_id) order — a deterministic uniform draw
+    that is stable under corpus growth *within* the kept prefix and needs
+    no rand().  The "no single crawl domain may dominate the mixture"
+    operator.  Scale shape: one window partitioned on the source key; at
+    100 TB with mega-sources, pre-filter with a calibrated hash threshold
+    (``uniform_sample``) so the window sorts only ~cap-sized groups."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -7605,7 +7881,8 @@ def x_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row from some round.
 # ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
 # missed this window, then the remaining r2-green leave-outs
-# (s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
+# (j_anti_join, j_band_join, t_sessionize, w_analytic_pack, a_pivot,
+# s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
 # t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers),
 # then the r3-green set least-recently-checked first (see
 # CORRECTNESS_r03.json key order).
@@ -7654,6 +7931,11 @@ DRIVER_PRIORITY: list[str] = [
     "x_tfidf_topk",
     "f_unpivot",
     "a_grouping_sets",
+    "x_label_propagation",
+    "x_rfm_segments",
+    "x_kfold_split",
+    "x_ewma_smooth",
+    "x_source_cap",
     # -- least-recently-checked (green since round 2) ----------------------
     "q4_priority_count",
     "s_set_union",
@@ -7663,11 +7945,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_sliding_window",
     "a_cube",
     "j_asof_join",
-    "j_anti_join",
-    "j_band_join",
-    "t_sessionize",
-    "w_analytic_pack",
-    "a_pivot",
 ]
 
 

@@ -47,6 +47,35 @@ def test_pagerank_degree_column_is_exact(spark):
     assert deg == {1: 3, 2: 1, 3: 1, 4: 1}
 
 
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two K4 cliques joined by a single bridge edge (4—5): after 2
+    synchronous majority rounds every clique-A node carries label 1 and
+    every clique-B node label 5 — the bridge is outvoted.  Hand trace:
+    round 1 gives all-distinct neighbor labels, so each node takes its
+    MIN neighbor (tiebreak); round 2 is a genuine majority vote that
+    pulls node 4 back from B's reach and node 5 back from A's."""
+    edges = G.undirect(
+        _pairs(
+            spark,
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # clique A
+            + [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]  # clique B
+            + [(4, 5)],  # bridge
+        )
+    )
+    got = {r["node"]: r["label"] for r in G.label_propagation(edges, iters=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_label_propagation_is_deterministic_on_ties(spark):
+    """A 4-cycle is maximally tie-prone (every neighbor label count is
+    equal); the min-label tiebreak must make repeated runs identical."""
+    cyc = G.undirect(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]))
+    a = sorted(G.label_propagation(cyc, iters=3).collect())
+    b = sorted(G.label_propagation(cyc, iters=3).collect())
+    assert a == b
+    assert {r["node"] for r in a} == {1, 2, 3, 4}
+
+
 def test_pagerank_directed_keeps_zero_indegree_nodes(spark):
     """ADVICE r4: a directed chain 1→2→3 satisfies the documented
     precondition (out-degree ≥ 1 per source node) yet node 1 has zero

@@ -220,6 +220,8 @@ _CARTESIAN_ALLOWED = {
     "x_interval_overlap",      # literal window set: broadcast overlap loop
     "x_session_funnel",        # funnel scalars: 1-row broadcast joins
     "x_distribution_drift",    # category totals: 1-row broadcast join
+    "x_rfm_segments",          # corpus max date: 1-row broadcast join
+    "x_kfold_split",           # corpus doc-count: 1-row broadcast scalar join
 }
 
 
