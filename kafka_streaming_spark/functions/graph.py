@@ -88,6 +88,7 @@ def label_propagation(
     iters: int = 2,
     src: str = "src",
     dst: str = "dst",
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous majority-vote label propagation (community detection):
     every node starts labeled with its own id; each round a node adopts
@@ -115,8 +116,16 @@ def label_propagation(
         "node", F.col("node").alias("label")
     )
     for _ in range(iters):
+        # broadcast_labels: same lever as pagerank's broadcast_ranks —
+        # when the NODE table fits an executor (edges may still be
+        # arbitrarily large), broadcasting the label map makes the big
+        # edges⋈labels join map-side; the only shuffle left per round is
+        # the (node, label) count.  Leave False beyond broadcast scale.
+        lab_join = lab.withColumnRenamed("node", src)
+        if broadcast_labels:
+            lab_join = F.broadcast(lab_join)
         neigh = (
-            edges.join(lab.withColumnRenamed("node", src), src)
+            edges.join(lab_join, src)
             .groupBy(F.col(dst).alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )

@@ -2128,6 +2128,61 @@ def t_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def t_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming exact deduplication under the driver's eye: the
+    events parquet drained availableNow through stateful
+    ``dropDuplicates`` on (user_id, event_type), append-mode to a memory
+    sink — the reference silver stage's drop-duplicates semantics
+    (stream-processor silver.py dedup step) executed by the streaming
+    engine, not batch.  Keys-only output: WHICH physical row survives a
+    streaming dedup is arrival-order-dependent, the surviving key set is
+    not — so the comparison is deterministic while the state store still
+    does real work (~one entry per distinct pair).  The watermark-bounded
+    variant (T2, `dropDuplicatesWithinWatermark`) is pinned by crafted
+    late/dup fixtures in the pytest suite; this registry form is the
+    unbounded exact one with a clean DISTINCT oracle."""
+    import uuid
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    load_table(spark, sf, "events")  # pins UTC/nanos confs for this sf
+    src_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    deduped = raw.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = f"t_stream_dedup_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select("user_id", "event_type")
+
+
+@register(
     "t_stream_interval_join",
     """
     SELECT s.user_id AS user_id,
@@ -4387,6 +4442,111 @@ def x_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
             "kth_min",
             F.expr("63 * (1152921504606846976 DIV kth_min)").alias("est_distinct"),
             "n_exact",
+        )
+    )
+
+
+@register(
+    "x_kmv_overlap",
+    """
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), h AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5('kmvo:' || tok), 1, 15)) AS BIGINT) AS hv
+      FROM tok
+    ), ska AS (
+      SELECT hv FROM h WHERE source = 'src0' ORDER BY hv LIMIT 128
+    ), skb AS (
+      SELECT hv FROM h WHERE source = 'src1' ORDER BY hv LIMIT 128
+    ), mk AS (
+      SELECT DISTINCT hv
+      FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)
+      ORDER BY hv LIMIT 128
+    ), tau AS (
+      SELECT MAX(hv) AS tau, CAST(COUNT(*) AS BIGINT) AS k_eff FROM mk
+    ), com AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common_sketch
+      FROM ska JOIN skb USING (hv) CROSS JOIN tau
+      WHERE ska.hv <= tau.tau
+    ), ex AS (
+      SELECT CAST(SUM(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common_exact,
+             CAST(COUNT(*) AS BIGINT) AS n_union_exact
+      FROM (SELECT tok, COUNT(DISTINCT source) AS n_src FROM tok GROUP BY tok)
+    )
+    SELECT tau.k_eff, tau.tau, com.n_common_sketch,
+           CAST((com.n_common_sketch * 1000000) // tau.k_eff AS BIGINT)
+             AS jaccard_est_micro,
+           ex.n_common_exact, ex.n_union_exact,
+           CAST((ex.n_common_exact * 1000000) // ex.n_union_exact AS BIGINT)
+             AS jaccard_true_micro
+    FROM tau CROSS JOIN com CROSS JOIN ex
+    """,
+)
+def x_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS: estimate the Jaccard overlap between two
+    corpus slices' token vocabularies by MERGING their bottom-k sketches —
+    union = min-k of the concatenation, intersection estimate = shared
+    hashes below the merged k-th minimum, Jaccard ≈ |shared ≤ τ| / k.
+    This is the property that matters at 100 TB: per-slice sketches are
+    tiny (k hashes), build in one pass each, and compose WITHOUT touching
+    the raw data again — cross-source overlap matrices over hundreds of
+    slices become k-row joins.  The exact vocabulary Jaccard rides along
+    so the sketch error is visible; all arithmetic is 60-bit integer
+    hashes and micro-unit divisions, bit-identical in DuckDB.  Scale
+    shape: each bottom-k is a partial TakeOrdered (every partition
+    contributes ≤ k hashes — no full shuffle of the vocabulary); the
+    merge/estimate stages touch ≤ 2k rows."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = d.select(
+        "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    ).distinct()
+    h = tok.select(
+        "source",
+        D.portable_hash60(F.concat(F.lit("kmvo:"), F.col("tok"))).alias("hv"),
+    ).distinct()
+    ska = h.filter(F.col("source") == "src0").select("hv").orderBy("hv").limit(128)
+    skb = h.filter(F.col("source") == "src1").select("hv").orderBy("hv").limit(128)
+    merged = ska.unionAll(skb).distinct().orderBy("hv").limit(128)
+    tau = merged.agg(
+        F.max("hv").alias("tau"), F.count(F.lit(1)).alias("k_eff")
+    )
+    com = (
+        ska.join(skb, "hv")
+        .crossJoin(F.broadcast(tau))
+        .filter(F.col("hv") <= F.col("tau"))
+        .agg(F.count(F.lit(1)).alias("n_common_sketch"))
+    )
+    ex = (
+        tok.groupBy("tok")
+        .agg(F.countDistinct("source").alias("n_src"))
+        .agg(
+            F.sum(F.when(F.col("n_src") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_common_exact"),
+            F.count(F.lit(1)).alias("n_union_exact"),
+        )
+    )
+    return (
+        tau.crossJoin(F.broadcast(com))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "k_eff",
+            "tau",
+            "n_common_sketch",
+            F.expr("(n_common_sketch * 1000000) DIV k_eff")
+            .cast("long")
+            .alias("jaccard_est_micro"),
+            "n_common_exact",
+            "n_union_exact",
+            F.expr("(n_common_exact * 1000000) DIV n_union_exact")
+            .cast("long")
+            .alias("jaccard_true_micro"),
         )
     )
 
@@ -7652,7 +7812,7 @@ def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    lab = G.label_propagation(G.undirect(pairs), iters=2)
+    lab = G.label_propagation(G.undirect(pairs), iters=2, broadcast_labels=True)
     return (
         lab.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
@@ -7881,7 +8041,8 @@ def x_source_cap(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row from some round.
 # ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
 # missed this window, then the remaining r2-green leave-outs
-# (j_anti_join, j_band_join, t_sessionize, w_analytic_pack, a_pivot,
+# (a_cube, j_asof_join,
+# j_anti_join, j_band_join, t_sessionize, w_analytic_pack, a_pivot,
 # s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
 # t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers),
 # then the r3-green set least-recently-checked first (see
@@ -7936,6 +8097,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_kfold_split",
     "x_ewma_smooth",
     "x_source_cap",
+    "t_stream_dedup",
+    "x_kmv_overlap",
     # -- least-recently-checked (green since round 2) ----------------------
     "q4_priority_count",
     "s_set_union",
@@ -7943,8 +8106,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_session_window",
     "q18_large_orders",
     "t_sliding_window",
-    "a_cube",
-    "j_asof_join",
 ]
 
 

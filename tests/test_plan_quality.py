@@ -222,6 +222,7 @@ _CARTESIAN_ALLOWED = {
     "x_distribution_drift",    # category totals: 1-row broadcast join
     "x_rfm_segments",          # corpus max date: 1-row broadcast join
     "x_kfold_split",           # corpus doc-count: 1-row broadcast scalar join
+    "x_kmv_overlap",           # k-row sketch merges: 1-row broadcast joins
 }
 
 
