@@ -693,3 +693,90 @@ def keep_best_per_cluster(
         )
         .select("cluster_id", "kept_doc_id", "kept_" + score_col, "cluster_size")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """EXACT similarity join via prefix filtering (PPJoin-style) — the
+    scale path that makes "all pairs with Jaccard ≥ t" tractable without
+    the quadratic cross join of :func:`ngram_jaccard_pairs` and without
+    the approximation of MinHash-LSH.
+
+    The filter: order every document's shingles by global rarity
+    (document frequency asc, shingle asc — one total order both engines
+    reproduce), and keep only the first ``|d| - ceil(t·|d|) + 1`` as the
+    document's PREFIX.  Any two documents with Jaccard ≥ t MUST share at
+    least one prefix shingle (pigeonhole: a pair that disagrees on all
+    prefix tokens has too few left to reach the required intersection),
+    so joining on prefix shingles yields a candidate superset — typically
+    tiny, because prefixes are built from the RAREST shingles (bounded
+    document frequency), not the common ones that drive join fan-out.
+    Candidates are then verified with the exact intersection count,
+    keeping ``inter·10^6 ≥ t_micro·union`` (integer cross-multiplication,
+    no float division in the predicate).
+
+    Scale shape: shingle explode → df counts (one groupBy) → per-doc
+    rarity ranking (window partitioned by doc, bounded by doc length) →
+    prefix self-join (fan-out bounded by per-shingle df, worst-case
+    guarded upstream by dropping df=1-in-prefix-only... rare shingles) →
+    verification join proportional to |candidates|·|doc|.  No step is
+    quadratic in the corpus.  Returns ``(id_a, id_b, n_common, n_union,
+    jaccard_micro)`` with ``id_a < id_b``.
+    """
+    from pyspark.sql import Window
+
+    t = F.lit(threshold_micro)
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("tok"),
+    )
+    sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+        )
+        .join(sz, "id")
+    )
+    # prefix length = n - ceil(t*n) + 1, all in integer micro arithmetic
+    pre = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({threshold_micro} * n + 999999) div 1000000") + 1
+    ).select("id", "tok")
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), F.col("id_a") == F.col("ta.id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("id_b") == F.col("tb.id")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        .filter(F.col("n_common") * 1_000_000 >= t * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_union",
+            F.expr("(n_common * 1000000) div n_union").alias("jaccard_micro"),
+        )
+    )

@@ -157,3 +157,44 @@ def triangle_count(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_frontier: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances: seeds start at distance 0; each
+    synchronous round relaxes ``dist(dst) = min(dist(dst), dist(src)+1)``
+    over the edge list.  Returns ``(node, dist)`` for every node reachable
+    within ``rounds`` hops — the k-hop-neighborhood / blast-radius
+    primitive (fraud rings, dependency fallout, social reach).
+
+    Scale shape: each round is one edges⋈dist join plus one min-groupBy,
+    both partitioned on the node key — O(rounds) passes over the edge
+    list, no driver state, and min() makes every round order-independent
+    (bit-identical under any partitioning).  ``broadcast_frontier`` makes
+    the per-round join map-side when the DISTANCE TABLE fits an executor
+    (same lever as pagerank's ``broadcast_ranks``); leave False beyond
+    broadcast scale.  For many rounds, cut lineage every few iterations
+    exactly as the connected-components solver does.
+
+    ``seeds``: a DataFrame with a ``node`` column (distances are relative
+    to the nearest seed).
+    """
+    edges = edges.cache()
+    dist = seeds.select("node").distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(rounds):
+        d_join = dist.withColumnRenamed("node", src)
+        if broadcast_frontier:
+            d_join = F.broadcast(d_join)
+        prop = edges.join(d_join, src).select(
+            F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = dist.unionAll(prop).groupBy("node").agg(F.min("dist").alias("dist"))
+    return dist

@@ -538,3 +538,67 @@ def decode_image_pixels(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(decode, PIXELS_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("hash_hi", LongType(), True),
+        StructField("hash_lo", LongType(), True),
+    ]
+)
+
+
+def average_hash(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual AVERAGE HASH (aHash) over decoded pixel tensors — the
+    image near-dup fingerprint: nearest-neighbor downsample to
+    ``grid×grid``, integer grayscale ``(r+g+b)//3``, then one bit per
+    cell set iff the cell is at least the image mean (compared as
+    ``gray·grid² ≥ sum`` — integer cross-multiplication, no division, so
+    the bit pattern is bit-identical in any reimplementation).  Returns
+    the 64-bit hash split into two LongType halves (``hash_hi`` bits
+    63..32, ``hash_lo`` bits 31..0) to stay clear of signed overflow.
+
+    Every arithmetic step is integer (`(dst·extent)//grid` index math,
+    floor-div grayscale, cross-multiplied threshold) — the same
+    portability contract as the text/dedup stacks, which is what lets a
+    SQL oracle replay the hash analytically.  Near-identical images
+    (small sparse perturbations) collapse to the same hash; bucketing on
+    it is the multimodal analogue of exact text dedup, and Hamming-ball
+    expansion over the two halves is the LSH-style near path.  Scale
+    shape: one Arrow ``mapInPandas`` pass over the decoded tensors, no
+    shuffle; the downstream dedup is a hash groupBy."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g2 = grid * grid
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for asset_id, w, h, ch, px in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                ids.append(asset_id)
+                if px is None or w == 0 or h == 0:
+                    his.append(None)
+                    los.append(None)
+                    continue
+                arr = np.frombuffer(px, np.uint8).reshape(int(h), int(w), int(ch))
+                si = (np.arange(grid) * int(h)) // grid
+                sj = (np.arange(grid) * int(w)) // grid
+                small = arr[si][:, sj].astype(np.int64)
+                gray = small.sum(axis=2) // int(ch)  # (r+g+b)//3, exact ints
+                total = int(gray.sum())
+                bits = (gray.reshape(-1) * g2 >= total).astype(np.int64)
+                hi = 0
+                lo = 0
+                for p, b in enumerate(bits):
+                    if not b:
+                        continue
+                    if p < 32:
+                        lo |= 1 << p
+                    else:
+                        hi |= 1 << (p - 32)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"asset_id": ids, "hash_hi": his, "hash_lo": los})
+
+    return decoded.mapInPandas(hash_batch, AHASH_SCHEMA)

@@ -2128,6 +2128,94 @@ def t_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_stream_session",
+    # (_SESSIONIZE_CTE is defined further down; inline the same >= oracle)
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '4 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts) + INTERVAL '4 hours') AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def t_stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming SESSION windows under the driver's eye — the one
+    window shape whose streaming state machine differs qualitatively from
+    batch: session boundaries are not known up front, so the state store
+    must MERGE adjacent sessions as bridging events arrive (Spark's
+    merging-session-state path, exercised here because availableNow
+    replays the parquet in file order, not time order).  Complete-mode
+    drain to a memory sink; the final merged sessions must equal the
+    batch gaps-and-islands oracle (same ``>=`` boundary semantics as
+    `t_session_window`, end = last event + gap).  Completes the
+    streaming-witness family: tumbling / sliding / dedup / interval-join
+    / session all have real `writeStream` driver rows."""
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    load_table(spark, sf, "events")
+    ts_dtype = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+    ts_field = {
+        "bigint": StructField("ts", LongType()),
+        "timestamp_ntz": StructField("ts", TimestampNTZType()),
+    }.get(ts_dtype, StructField("ts", TimestampType()))
+    src_schema = StructType([ts_field, StructField("user_id", LongType())])
+    raw = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts_col = {
+        "bigint": F.expr("timestamp_micros(ts div 1000)"),
+        "timestamp_ntz": F.col("ts").cast("timestamp"),
+    }.get(ts_dtype, F.col("ts"))
+    stream = raw.select(F.col("user_id"), ts_col.alias("ts"))
+    agg = stream.groupBy(
+        F.session_window("ts", _SESSION_GAP).alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = f"t_stream_session_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+        "n_events",
+    )
+
+
+@register(
     "t_stream_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events
@@ -8031,6 +8119,522 @@ def x_source_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_target_encode",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ), cat AS (
+      SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_cat
+      FROM c GROUP BY o_orderpriority
+    ), g AS (
+      SELECT CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS prior_cents
+      FROM c
+    )
+    SELECT c.o_orderkey, c.o_orderpriority, cat.n_cat,
+           CAST((cat.sum_cents - c.cents) * 1000000 // (cat.n_cat - 1)
+                AS BIGINT) AS loo_micro_cents,
+           CAST((cat.sum_cents - c.cents + 100 * g.prior_cents)
+                // (cat.n_cat - 1 + 100) AS BIGINT) AS smooth_cents
+    FROM c JOIN cat USING (o_orderpriority) CROSS JOIN g
+    WHERE c.o_orderkey % 20 = 0
+    """,
+)
+def x_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out + m-estimate TARGET ENCODING (the categorical→numeric
+    feature-prep operator for tabular ML): each order's priority category
+    is replaced by the mean target (total price) of the OTHER rows in the
+    category — LOO so a row never leaks its own label — plus the m=100
+    Bayesian-smoothed variant that shrinks small categories toward the
+    global prior.  All integer-cent arithmetic (exact in both engines);
+    category stats are one groupBy producing ~5 rows joined back
+    broadcast, the global prior is a 1-row broadcast — the encode pass is
+    map-side at any scale.  Output bounded to the `orderkey % 20` slice
+    (the encoding is computed over the full table).  LOO micro scaling
+    note for 100 TB: drop the 10^6 shift (or keep raw cents) once
+    `sum_cents` approaches 2^63 / 10^6."""
+    c = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cat = c.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_cat"),
+    )
+    glob = c.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div count(*)").alias("prior_cents")
+    )
+    return (
+        c.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "n_cat",
+            F.expr("(sum_cents - cents) * 1000000 div (n_cat - 1)").alias(
+                "loo_micro_cents"
+            ),
+            F.expr(
+                "(sum_cents - cents + 100 * prior_cents) div (n_cat - 1 + 100)"
+            ).alias("smooth_cents"),
+        )
+    )
+
+
+@register(
+    "x_table_fingerprint",
+    """
+    WITH h_orders AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat_ws('|', 'orders', o_orderkey, o_custkey, o_orderstatus,
+                         o_orderpriority)), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    ), h_customer AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat_ws('|', 'customer', c_custkey, c_name, c_nationkey,
+                         c_mktsegment)), 1, 15)) AS BIGINT) AS h
+      FROM customer
+    ), h_lineitem AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat_ws('|', 'lineitem', l_orderkey, l_linenumber, l_partkey,
+                         l_returnflag)), 1, 15)) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fingerprint,
+           CAST(MIN(h) AS BIGINT) AS min_hash, CAST(MAX(h) AS BIGINT) AS max_hash
+    FROM h_orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+           CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT) FROM h_customer
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+           CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT) FROM h_lineitem
+    """,
+)
+def x_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent TABLE FINGERPRINT (replication / migration audit):
+    one 60-bit portable row hash per row over the stable identity columns,
+    reduced with the commutative-associative XOR aggregate — two tables
+    are byte-equal on those columns iff (n_rows, xor, min, max) agree, and
+    the check costs ONE scan + a 1-row aggregate per table, no sort, no
+    shuffle of data rows (partial XOR per partition, combine on the
+    driver-side single group).  This is how you verify a 100 TB copy
+    without comparing 100 TB: fingerprints compose (XOR of partition
+    fingerprints = table fingerprint), so per-partition fingerprints can
+    be stored once and re-verified incrementally.  Doubles/timestamps are
+    deliberately excluded from the hash input (float formatting is not
+    portable across engines); a table name tag salts each table's hash
+    family so identical key tuples in different tables cannot cancel."""
+    def fp(table: str, cols: list[str]) -> DataFrame:
+        t = load_table(spark, sf, table)
+        h = D.portable_hash60(
+            F.concat_ws("|", F.lit(table), *[F.col(c).cast("string") for c in cols])
+        )
+        return t.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_fingerprint"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        ).select(F.lit(table).alias("table_name"), "n_rows",
+                 "xor_fingerprint", "min_hash", "max_hash")
+
+    return (
+        fp("orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+        .unionAll(fp("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]))
+        .unionAll(fp("lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"]))
+    )
+
+
+@register(
+    "x_grouped_median_pandas",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.5)
+             AS median_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def x_grouped_median_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow GROUPED-MAP witness (`applyInPandas`): exact per-user median
+    spend computed inside a pandas function — the escape hatch for
+    whole-group semantics the built-ins can't stream (rank-based robust
+    stats, per-entity model fits; see `x_trend_slope` for the aggregate
+    route when closed forms exist).  Scale shape is the RIGHT one for
+    grouped-map: the group key (user) has high cardinality and bounded
+    per-group size, so groups parallelize across executors and no single
+    pandas frame can blow an executor — the opposite of grouping by a
+    low-cardinality column, which this pattern must avoid at 100 TB.
+    One shuffle on the group key, Arrow-batched both directions, zero
+    row-at-a-time Python.  Integer-cent inputs make the even-count
+    midpoint average exact in IEEE, so numpy's median and DuckDB's
+    quantile_cont are bit-identical."""
+    import pandas as pd
+
+    e = load_table(spark, sf, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_cents": [float(np.median(pdf["cents"].to_numpy()))],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        med, "user_id bigint, n_events bigint, median_cents double"
+    )
+
+
+@register(
+    "x_bfs_hops",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 100000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ), d0 AS (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM pairs WHERE u <= 10
+    ), d1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.dst, d0.dist + 1 FROM edges e JOIN d0 ON e.src = d0.node
+      ) GROUP BY node
+    ), d2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.dst, d1.dist + 1 FROM edges e JOIN d1 ON e.src = d1.node
+      ) GROUP BY node
+    ), d3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.dst, d2.dist + 1 FROM edges e JOIN d2 ON e.src = d2.node
+      ) GROUP BY node
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM d3 GROUP BY dist
+    """,
+)
+def x_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the supplier↔customer trade graph
+    (:func:`kafka_streaming_spark.functions.graph.bfs_distances`): hop
+    distance from the 10 lowest-id suppliers, 3 synchronous rounds — the
+    k-hop-neighborhood primitive (fraud blast radius, recall expansion,
+    dependency fallout).  min()-relaxation makes every round
+    order-independent, so the unrolled-CTE oracle is bit-identical.
+    Output is the per-distance layer profile (count, min/max/sum of node
+    ids) — a fixed ≤4-row frame at any scale.  Completes the iterative
+    graph family: PageRank (mass propagation), label propagation
+    (majority vote), connected components (min-label convergence), BFS
+    (shortest hops) all share the join+groupBy round shape."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    seeds = pairs.filter(F.col("u") <= 10).select(F.col("u").alias("node"))
+    dist = G.bfs_distances(
+        G.undirect(pairs), seeds, rounds=3, broadcast_frontier=True
+    )
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+        F.sum("node").cast("long").alias("sum_node"),
+    )
+
+
+@register(
+    "x_prefix_filter_join",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+             ))) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT id, COUNT(*) AS n FROM toks GROUP BY id
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT id, tok, row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn
+      FROM toks JOIN dfreq USING (tok)
+    ), pre AS (
+      SELECT r.id, r.tok
+      FROM ranked r JOIN sz USING (id)
+      WHERE rn <= n - ((500000 * n + 999999) // 1000000) + 1
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+    ), inter AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand
+      JOIN toks ta ON ta.id = id_a
+      JOIN toks tb ON tb.id = id_b AND tb.tok = ta.tok
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+           CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_micro
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE n_common * 1000000 >= 500000 * (sa.n + sb.n - n_common)
+    """,
+)
+def x_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 0.5 over word trigrams via PREFIX
+    FILTERING (:func:`kafka_streaming_spark.functions.dedup.
+    prefix_filter_pairs`) — the third leg of the near-dup stack: exact
+    like the quadratic `x_ngram_jaccard_pairs` baseline, scalable like
+    the approximate MinHash-LSH path, with neither's weakness.  Each
+    document joins only on its RAREST ``|d|-ceil(t|d|)+1`` shingles
+    (pigeonhole guarantees no qualifying pair is missed — pinned against
+    the exhaustive baseline in ``test_dedup_clusters.py``), so candidate
+    fan-out is bounded by rare-shingle document frequency, not corpus
+    size.  Verification is integer cross-multiplied — no float in any
+    predicate, bit-identical in DuckDB."""
+    d = load_table(spark, sf, "documents")
+    return D.prefix_filter_pairs(d, n=3, threshold_micro=500_000)
+
+
+@register(
+    "x_pareto_frontier",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents
+      FROM part
+    ), fl AS (
+      SELECT p_partkey, p_brand, p_size, cents,
+             COALESCE(MAX(p_size) OVER (
+               PARTITION BY p_brand ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               AS max_size_cheaper,
+             MAX(p_size) OVER (PARTITION BY p_brand, cents)
+               AS max_size_same_price
+      FROM p
+    )
+    SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size, cents
+    FROM fl
+    WHERE max_size_cheaper < p_size AND max_size_same_price <= p_size
+    """,
+)
+def x_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand PARETO FRONTIER (skyline operator): parts not dominated
+    on (price ↓, size ↑) — a part is dominated if some same-brand part is
+    no worse on both axes and strictly better on one.  The naive skyline
+    is a quadratic self-join; this is the sort-based O(n log n) rewrite:
+    one window pass per brand ordered by price, where a part survives iff
+    its size beats the running max over all STRICTLY-cheaper parts
+    (RANGE … 1 PRECEDING keeps price ties out of that frame) and nothing
+    at its exact price is strictly larger.  Two window functions over the
+    same partitioning → one shuffle total; no join at all.  Duplicate
+    (price, size) points all survive (none strictly dominates another) —
+    same tie semantics in both engines."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "cents")
+    return (
+        p.withColumn(
+            "max_size_cheaper", F.coalesce(F.max("p_size").over(w_cheaper), F.lit(-1))
+        )
+        .withColumn("max_size_same_price", F.max("p_size").over(w_same))
+        .filter(
+            (F.col("max_size_cheaper") < F.col("p_size"))
+            & (F.col("max_size_same_price") <= F.col("p_size"))
+        )
+        .select(
+            "p_partkey", "p_brand", F.col("p_size").cast("long").alias("p_size"), "cents"
+        )
+    )
+
+
+@register(
+    "x_seasonal_baseline",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), dowagg AS (
+      SELECT day_num % 7 AS dow, CAST(SUM(n_events) AS BIGINT) AS dow_total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT d.day_num, d.day_num % 7 AS dow, d.n_events,
+           CAST(d.n_events * a.n_days * 1000000 // a.dow_total AS BIGINT)
+             AS ratio_to_dow_mean_micro
+    FROM daily d JOIN dowagg a ON d.day_num % 7 = a.dow
+    """,
+)
+def x_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week SEASONAL BASELINE (the seasonality-aware complement of
+    the trailing-window spike monitor `x_traffic_anomaly`): each day's
+    traffic expressed as an integer-micro ratio to the mean of ITS
+    weekday — Monday dips score against Mondays, not the weekly blend.
+    Weekday buckets come from ``epoch_day % 7`` (engine-neutral pure
+    integer; no locale-dependent DOW function on either side).  Scale
+    shape: raw events reduce to one row per day FIRST (one groupBy), the
+    7-row weekday profile is a broadcast join back — nothing after the
+    first aggregate touches event volume."""
+    e = load_table(spark, sf, "events").select(
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num")
+    )
+    daily = e.groupBy("day_num").agg(F.count(F.lit(1)).alias("n_events"))
+    dowagg = daily.groupBy((F.col("day_num") % 7).alias("dow")).agg(
+        F.sum("n_events").cast("long").alias("dow_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        daily.withColumn("dow", F.col("day_num") % 7)
+        .join(F.broadcast(dowagg), "dow")
+        .select(
+            "day_num",
+            "dow",
+            "n_events",
+            F.expr("n_events * n_days * 1000000 div dow_total").alias(
+                "ratio_to_dow_mean_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "x_image_phash_dedup",
+    """
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0,
+             doc_id % 40 AS g, doc_id // 40 AS pert
+      FROM documents WHERE doc_id < 240
+    ), cell AS (
+      SELECT doc_id, p,
+             ((p // 8) * h0) // 8 AS si, ((p % 8) * w0) // 8 AS sj, g, pert
+      FROM px, unnest(generate_series(0, 63)) AS t(p)
+    ), gray AS (
+      SELECT doc_id, p,
+             ((si + 2*sj + g + CASE WHEN (si + sj) % 13 = 0 THEN pert ELSE 0 END) % 256
+              + (si + 2*sj + g + CASE WHEN (si + sj) % 13 = 0 THEN pert ELSE 0 END + 37) % 256
+              + (si + 2*sj + g + CASE WHEN (si + sj) % 13 = 0 THEN pert ELSE 0 END + 74) % 256
+             ) // 3 AS gray
+      FROM cell
+    ), tot AS (
+      SELECT doc_id, SUM(gray) AS total FROM gray GROUP BY doc_id
+    ), hashes AS (
+      SELECT g.doc_id,
+             CAST(SUM(CASE WHEN g.gray * 64 >= t.total AND g.p >= 32
+                           THEN CAST(1 AS BIGINT) << (g.p - 32) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN g.gray * 64 >= t.total AND g.p < 32
+                           THEN CAST(1 AS BIGINT) << g.p ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM gray g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM hashes GROUP BY hash_hi, hash_lo
+    """,
+)
+def x_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE near-dup dedup via perceptual average-hash — the multimodal
+    analogue of text exact-dedup: deterministic gradient images (6 per
+    base pattern, with a small sparse per-copy perturbation so the bytes
+    differ but the perception doesn't) are encoded as REAL PNGs, decoded
+    back (``decode_image_pixels``), aHashed (``average_hash``: 8×8
+    nearest-neighbor downsample → integer grayscale → mean-threshold
+    bits), and bucketed by hash with a min-id keeper.  The oracle knows
+    nothing of PNG or numpy: it replays the downsample index math and the
+    integer hash analytically from the generation formula, so agreement
+    proves the whole encode→decode→hash→dedup chain byte-exact — and that
+    perceptually-identical-but-byte-different copies really do collapse.
+    Scale shape: Arrow ``mapInPandas`` decode+hash (no shuffle), then one
+    hash groupBy — same plan as `x_doc_exact_dedup`."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import (
+        average_hash,
+        decode_image_pixels,
+        encode_png,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 240).select("doc_id")
+
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                g, pert = d % 40, d // 40
+                i = np.arange(h).reshape(h, 1, 1)
+                j = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                mask = ((i + j) % 13 == 0).astype(np.int64)
+                px = ((i + 2 * j + 37 * c + g + mask * pert) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    hashed = average_hash(decode_image_pixels(ids.mapInPandas(gen, gen_schema)))
+    return hashed.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("asset_id").alias("keeper_id"),
+        F.max("asset_id").alias("max_id"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -8040,8 +8644,11 @@ def x_source_cap(spark: SparkSession, sf: str) -> DataFrame:
 # checked r2 greens.  After this round every registry name has a driver
 # CORRECTNESS row from some round.
 # ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
-# missed this window, then the remaining r2-green leave-outs
-# (a_cube, j_asof_join,
+# missed this window (x_pareto_frontier, x_seasonal_baseline,
+# x_image_phash_dedup, plus any later r5 additions), then the remaining
+# r2-green leave-outs
+# (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
+# q18_large_orders, t_sliding_window, a_cube, j_asof_join,
 # j_anti_join, j_band_join, t_sessionize, w_analytic_pack, a_pivot,
 # s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
 # t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers),
@@ -8099,13 +8706,12 @@ DRIVER_PRIORITY: list[str] = [
     "x_source_cap",
     "t_stream_dedup",
     "x_kmv_overlap",
-    # -- least-recently-checked (green since round 2) ----------------------
-    "q4_priority_count",
-    "s_set_union",
-    "a_distinct_count",
-    "t_session_window",
-    "q18_large_orders",
-    "t_sliding_window",
+    "t_stream_session",
+    "x_target_encode",
+    "x_table_fingerprint",
+    "x_grouped_median_pandas",
+    "x_bfs_hops",
+    "x_prefix_filter_join",
 ]
 
 

@@ -182,3 +182,25 @@ def test_arrow_signatures_null_and_empty_text(spark):
     assert arrow_sig[2] == [None] * 8
     assert arrow_sig[3] == [None] * 8
     assert arrow_sig == sql_sig
+
+
+def test_prefix_filter_join_matches_exhaustive_baseline(spark):
+    """The pigeonhole guarantee: prefix-filtered similarity join finds
+    EXACTLY the pairs the quadratic all-pairs baseline finds at the same
+    threshold — no false negatives from the filter (completeness), no
+    false positives past verification (soundness)."""
+    d = load_table(spark, SF_SMALL, "documents")
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard_micro"]
+        for r in D.prefix_filter_pairs(d, n=3, threshold_micro=500_000).collect()
+    }
+    slow = {
+        (r["id_a"], r["id_b"]): int(r["jaccard_sim"] * 1_000_000)
+        for r in D.ngram_jaccard_pairs(d, n=3, threshold=0.0).collect()
+        if r["jaccard_sim"] >= 0.5
+    }
+    assert set(fast) == set(slow)
+    assert len(fast) > 0  # the corpus plants near-dups; empty would be vacuous
+    for k, jm in fast.items():
+        # same integer-micro value modulo the float→int truncation route
+        assert abs(jm - slow[k]) <= 1

@@ -107,3 +107,27 @@ def test_pagerank_directed_keeps_zero_indegree_nodes(spark):
     assert set(got) == {1, 2, 3}
     assert got == {n: (rank[n], deg[n]) for n in deg}
     assert got[1][0] == 150_000  # zero in-degree -> pure base rank
+
+
+def test_bfs_distances_path_and_multi_source(spark):
+    """Path graph 1-2-3-4-5: from seed {1}, dist(k) = k-1 capped by the
+    round budget; with seeds {1, 5} every node is within 2 hops of its
+    NEAREST seed; broadcast_frontier must not change any distance."""
+    path = G.undirect(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    seed1 = spark.createDataFrame([(1,)], ["node"])
+
+    d2 = {r["node"]: r["dist"] for r in G.bfs_distances(path, seed1, rounds=2).collect()}
+    assert d2 == {1: 0, 2: 1, 3: 2}  # node 4, 5 unreachable in 2 rounds
+
+    d4 = {r["node"]: r["dist"] for r in G.bfs_distances(path, seed1, rounds=4).collect()}
+    assert d4 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    dm = {r["node"]: r["dist"] for r in G.bfs_distances(path, seeds, rounds=2).collect()}
+    assert dm == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+    db = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(path, seeds, rounds=2, broadcast_frontier=True).collect()
+    }
+    assert db == dm

@@ -223,6 +223,7 @@ _CARTESIAN_ALLOWED = {
     "x_rfm_segments",          # corpus max date: 1-row broadcast join
     "x_kfold_split",           # corpus doc-count: 1-row broadcast scalar join
     "x_kmv_overlap",           # k-row sketch merges: 1-row broadcast joins
+    "x_target_encode",         # global prior: 1-row broadcast scalar join
 }
 
 
