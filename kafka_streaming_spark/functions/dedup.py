@@ -720,63 +720,78 @@ def prefix_filter_pairs(
     keeping ``inter·10^6 ≥ t_micro·union`` (integer cross-multiplication,
     no float division in the predicate).
 
-    Scale shape: shingle explode → df counts (one groupBy) → per-doc
-    rarity ranking (window partitioned by doc, bounded by doc length) →
-    prefix self-join (fan-out bounded by per-shingle df, worst-case
-    guarded upstream by dropping df=1-in-prefix-only... rare shingles) →
-    verification join proportional to |candidates|·|doc|.  No step is
-    quadratic in the corpus.  Returns ``(id_a, id_b, n_common, n_union,
-    jaccard_micro)`` with ``id_a < id_b``.
+    Scale shape: shingle-ARRAY materialization (cached — one shingling
+    pass feeds everything) → df counts (one groupBy over the explode) →
+    per-doc rarity ranking (window partitioned by doc, bounded by doc
+    length) → prefix self-join with the PPJoin LENGTH filter
+    (``min(|a|,|b|) ≥ t·max(|a|,|b|)`` — a necessary condition for
+    J ≥ t, applied inside the join) → verification as an
+    ``array_intersect`` over the two cached shingle arrays, joined per
+    CANDIDATE — |cand| rows carrying two bounded arrays, never an
+    exploded |cand|·|doc| token stream.  No step is quadratic in the
+    corpus.  Returns ``(id_a, id_b, n_common, n_union, jaccard_micro)``
+    with ``id_a < id_b``.
     """
     from pyspark.sql import Window
 
     t = F.lit(threshold_micro)
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("tok"),
-    )
-    sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        toks.join(dfreq, "tok")
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+    # One shingling pass, cached: the (id, array, size) relation feeds the
+    # df counts, the ranking, and both verification sides.  Callers/bench
+    # release with clearCache(); at 100 TB swap for a checkpoint or a
+    # temp-table write.
+    sh_arr = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("arr"),
         )
-        .join(sz, "id")
+        .withColumn("n", F.size("arr"))
+        .cache()
+    )
+    toks = sh_arr.select("id", "n", F.explode("arr").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
     )
     # prefix length = n - ceil(t*n) + 1, all in integer micro arithmetic
     pre = ranked.filter(
         F.col("rn")
         <= F.col("n") - F.expr(f"({threshold_micro} * n + 999999) div 1000000") + 1
-    ).select("id", "tok")
+    ).select("id", "tok", "n")
     cand = (
         pre.alias("a")
-        .join(pre.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .join(
+            pre.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # PPJoin length filter: J >= t forces min/max size ratio >= t
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * 1_000_000
+                >= t * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    inter = (
-        cand.join(toks.alias("ta"), F.col("id_a") == F.col("ta.id"))
-        .join(
-            toks.alias("tb"),
-            (F.col("id_b") == F.col("tb.id")) & (F.col("ta.tok") == F.col("tb.tok")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    arr_a = sh_arr.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )
-    sza = sz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    arr_b = sh_arr.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .filter(F.col("n_common") * 1_000_000 >= t * F.col("n_union"))
         .select(
             "id_a",
             "id_b",
-            "n_common",
-            "n_union",
-            F.expr("(n_common * 1000000) div n_union").alias("jaccard_micro"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.expr("(CAST(n_common AS BIGINT) * 1000000) div n_union").alias(
+                "jaccard_micro"
+            ),
         )
     )

@@ -185,16 +185,26 @@ def bfs_distances(
     ``seeds``: a DataFrame with a ``node`` column (distances are relative
     to the nearest seed).
     """
+    # FRONTIER propagation, not full min-relaxation: in an unweighted
+    # graph a node's distance is simply the round it is first reached, so
+    # each round only the NEWLY discovered nodes (the frontier) need to
+    # push — round k joins edges against |frontier_k| nodes instead of
+    # every settled node, and the min-groupBy collapses to a distinct +
+    # anti-join.  Same result set, a fraction of the per-round shuffle
+    # volume (the classic level-synchronous BFS shape).
     edges = edges.cache()
-    dist = seeds.select("node").distinct().select(
-        "node", F.lit(0).cast("long").alias("dist")
-    )
-    for _ in range(rounds):
-        d_join = dist.withColumnRenamed("node", src)
+    frontier = seeds.select("node").distinct()
+    dist = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    for k in range(1, rounds + 1):
+        f_join = frontier.withColumnRenamed("node", src)
         if broadcast_frontier:
-            d_join = F.broadcast(d_join)
-        prop = edges.join(d_join, src).select(
-            F.col(dst).alias("node"), (F.col("dist") + 1).alias("dist")
+            f_join = F.broadcast(f_join)
+        reached = (
+            edges.join(f_join, src).select(F.col(dst).alias("node")).distinct()
         )
-        dist = dist.unionAll(prop).groupBy("node").agg(F.min("dist").alias("dist"))
+        new = reached.join(dist, "node", "left_anti").cache()
+        dist = dist.unionAll(
+            new.select("node", F.lit(k).cast("long").alias("dist"))
+        )
+        frontier = new
     return dist

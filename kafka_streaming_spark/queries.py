@@ -8635,6 +8635,156 @@ def x_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_hll_mergeability",
+    """
+    WITH per AS (
+      SELECT o_orderpriority AS group_key,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT group_key, exact_distinct, CAST(1 AS BIGINT) AS sketch_ok FROM per
+    UNION ALL
+    SELECT 'ALL',
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+           CAST(1 AS BIGINT)
+    """,
+)
+def x_hll_mergeability(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL SKETCH ALGEBRA witness — the property that makes distinct
+    counts tractable at 100 TB: per-group Datasketches HLL sketches
+    (`hll_sketch_agg`) are built ONCE, then the global estimate comes
+    from `hll_union_agg` over the 5 tiny group sketches — no second scan
+    of the data, and the same algebra extends to per-partition /
+    per-day sketches unioned across any slice.  Driver-checkable via the
+    `a_approx_sketch` invariant-flag pattern: the output carries the
+    EXACT distinct counts (DuckDB-computable) plus a flag asserting each
+    sketch estimate lands within 5% of its exact value (lgK=12 ⇒ ~1.6%
+    std error; 5% ≈ 3σ) — the oracle pins the flags at 1, so a hash
+    match certifies both the per-group sketches and the merged union
+    met their accuracy contract."""
+    o = load_table(spark, sf, "orders").select("o_orderpriority", "o_custkey")
+    per = o.groupBy(F.col("o_orderpriority").alias("group_key")).agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) * 20 <= exact
+    ).cast("long")
+    per_rows = per.select(
+        "group_key",
+        "exact_distinct",
+        ok(F.expr("hll_sketch_estimate(sk)"), F.col("exact_distinct")).alias(
+            "sketch_ok"
+        ),
+    )
+    merged = per.agg(F.expr("hll_union_agg(sk)").alias("usk"))
+    glob_exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    all_row = (
+        merged.crossJoin(F.broadcast(glob_exact))
+        .select(
+            F.lit("ALL").alias("group_key"),
+            "exact_distinct",
+            ok(F.expr("hll_sketch_estimate(usk)"), F.col("exact_distinct")).alias(
+                "sketch_ok"
+            ),
+        )
+    )
+    return per_rows.unionAll(all_row)
+
+
+@register(
+    "x_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS k_anonymous,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 0 ELSE COUNT(*) END AS BIGINT)
+             AS suppressed_rows
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def x_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """K-ANONYMITY audit (privacy governance, k=5): every quasi-identifier
+    combination (nation × market segment) with its equivalence-class
+    size, whether it meets the k threshold, and how many rows a
+    suppression pass would redact — the pre-release check before
+    publishing a dataset keyed on quasi-identifiers.  One groupBy over
+    the QI columns; the output is bounded by the QI domain product
+    (|nations|·|segments|), not the row count, at any scale."""
+    c = load_table(spark, sf, "customer")
+    n = F.count(F.lit(1))
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        n.alias("group_size"),
+        (n >= 5).cast("long").alias("k_anonymous"),
+        F.when(n >= 5, F.lit(0)).otherwise(n).cast("long").alias("suppressed_rows"),
+    )
+
+
+@register(
+    "x_dau_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day_num
+    ), wau AS (
+      SELECT s.spine_day AS day_num, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM ud, unnest(generate_series(ud.day_num, ud.day_num + 6)) AS s(spine_day)
+      GROUP BY 1
+    )
+    SELECT d.day_num, d.dau, w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_micro
+    FROM dau d JOIN wau w USING (day_num)
+    """,
+)
+def x_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU / stickiness (the product-health KPI): daily active
+    users, trailing-7-day active users, and their ratio in integer
+    micro-units.  The trailing distinct is NOT a sliding-window
+    re-aggregation of raw events: events first collapse to distinct
+    (day, user) pairs (one dedup shuffle — the only pass over event
+    volume), then each pair votes for the 7 spine days it keeps a user
+    "weekly-active" (explode ×7) and a count-distinct per spine day
+    finishes the job.  Joining back to DAU days drops the trailing ghost
+    days past the observation window.  Scale: everything after the first
+    dedup is proportional to |user-days|·7, independent of raw event
+    multiplicity."""
+    ud = (
+        load_table(spark, sf, "events")
+        .select(
+            F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias(
+                "day_num"
+            ),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("day_num"),
+            "user_id",
+        )
+        .groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day_num")
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_micro"),
+        )
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -8645,7 +8795,8 @@ def x_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS row from some round.
 # ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
 # missed this window (x_pareto_frontier, x_seasonal_baseline,
-# x_image_phash_dedup, plus any later r5 additions), then the remaining
+# x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
+# plus any later r5 additions), then the remaining
 # r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,

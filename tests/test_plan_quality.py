@@ -224,6 +224,7 @@ _CARTESIAN_ALLOWED = {
     "x_kfold_split",           # corpus doc-count: 1-row broadcast scalar join
     "x_kmv_overlap",           # k-row sketch merges: 1-row broadcast joins
     "x_target_encode",         # global prior: 1-row broadcast scalar join
+    "x_hll_mergeability",      # 1-row merged-sketch x 1-row exact join
 }
 
 
@@ -385,3 +386,83 @@ def test_lsh_eval_joins_are_bucket_or_broadcast(spark):
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "Exchange") <= 9
+
+
+def test_prefix_filter_join_cached_and_no_products(spark):
+    """The prefix-filter similarity join must materialize the exploded
+    shingle relation ONCE (it feeds five consumers), never degenerate to
+    a cartesian/all-pairs shape, and stay within the shuffle budget of
+    its five stages (df counts, sizes, ranking window, candidate join,
+    verification join)."""
+    spark.catalog.clearCache()  # cold plan — cache state changes strategies
+    plan = plan_of(spark, "x_prefix_filter_join")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 10
+
+
+def test_bfs_edges_cached_and_shuffle_bounded(spark):
+    """BFS: the edge-building subplan (lineitem⋈orders distinct) must run
+    once (cached), each of the 3 rounds costs at most the min-groupBy
+    shuffles (frontier joins are broadcast), and nothing degenerates to a
+    product."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_bfs_hops")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 18
+
+
+def test_pareto_frontier_is_one_shuffle_no_join(spark):
+    """The skyline rewrite's whole point: two window functions over one
+    brand partitioning — a single exchange, zero joins of any kind."""
+    plan = plan_of(spark, "x_pareto_frontier")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 2
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert n_nodes(plan, j) == 0, j
+
+
+def test_grouped_median_pandas_single_shuffle_arrow(spark):
+    """The grouped-map witness: exactly one exchange (the group-key
+    shuffle), the Arrow grouped-map operator present, and NO
+    row-at-a-time Python anywhere."""
+    plan = plan_of(spark, "x_grouped_median_pandas")
+    assert n_nodes(plan, "Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_table_fingerprint_one_aggregate_per_table(spark):
+    """The fingerprint is one scan + one 1-row aggregate per table: three
+    exchanges total, partial aggregation map-side, and each scan reads
+    only the hashed identity columns (no doubles/timestamps)."""
+    plan = plan_of(spark, "x_table_fingerprint")
+    assert n_nodes(plan, "Exchange") == 3
+    assert "partial" in plan
+    for unused in ("o_totalprice", "c_acctbal", "l_extendedprice", "l_shipdate"):
+        assert unused not in plan
+
+
+def test_image_phash_dedup_is_maps_then_one_shuffle(spark):
+    """The multimodal dedup plan: generation → decode → hash are all
+    Arrow mapInPandas (no shuffle between them), then exactly one
+    exchange for the hash groupBy — the same shape as exact text dedup."""
+    plan = plan_of(spark, "x_image_phash_dedup")
+    assert n_nodes(plan, "Exchange") == 1
+    assert plan.count("MapInPandas") >= 3  # gen, decode, hash stay chained
+    assert "BatchEvalPython" not in plan
+
+
+def test_target_encode_broadcasts_category_stats(spark):
+    """Target encoding: the encode pass must be map-side — category stats
+    and the global prior reach every row via broadcast (one hash, one
+    1-row nested-loop), never a shuffle join on the fact side."""
+    plan = plan_of(spark, "x_target_encode")
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row prior only
+    assert n_nodes(plan, "Exchange") <= 2
