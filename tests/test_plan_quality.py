@@ -466,3 +466,46 @@ def test_target_encode_broadcasts_category_stats(spark):
     assert n_nodes(plan, "BroadcastHashJoin") == 1
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row prior only
     assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_runtime_bloom_filter_injection_available(spark):
+    """100 TB lever check: Spark's runtime bloom-filter join (on by
+    default) must inject a `might_contain` pre-filter on the fact side of
+    a selective shuffle join — at cluster scale (application-side scan
+    past the 10 GB threshold) this prunes most of the fact shuffle for
+    joins against a filtered dimension.  Local tables sit under the
+    threshold, so the gate lowers it for one plan to prove the engine
+    wiring stays live (a Spark-conf regression or an overeager broadcast
+    would silently drop the filter)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the shuffle form
+    try:
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        je = j._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = je.explainString(mode)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
