@@ -8785,6 +8785,217 @@ def x_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    ), p AS (
+      SELECT day_num, n_events,
+             SUM(n_events * n_days - total)
+               OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING) AS pref,
+             total
+      FROM daily CROSS JOIN tot
+    ), q AS (
+      SELECT day_num, n_events, pref, total,
+             MIN(pref) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
+               AS pref_min
+      FROM p
+    )
+    SELECT day_num, n_events,
+           CAST(pref - LEAST(pref_min, 0) AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN (pref - LEAST(pref_min, 0)) * 8 > total THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm
+    FROM q
+    """,
+)
+def x_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection on daily traffic — the classic
+    sequential drift monitor: ``s_t = max(0, s_{t-1} + (x_t - mean))``
+    alarms when cumulative positive deviation exceeds a day's mean
+    volume.  The recursion LOOKS inherently sequential, but the closed
+    form ``s_t = P_t - min(0, min_{j≤t} P_j)`` (prefix sums minus their
+    running minimum) turns it into two stacked window frames — fully
+    parallel, no recursion, bit-identical in SQL.  All integer: daily
+    deviations are scaled by ``n_days`` (``x_t·n - total``) so the mean
+    never becomes a fraction.  Scale shape: raw events reduce to the day
+    grain first; the ordered window then runs over days, not events (the
+    single-partition window is bounded by the calendar, and per-entity
+    CUSUM would partition by entity)."""
+    e = load_table(spark, sf, "events").select(
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num")
+    )
+    daily = e.groupBy("day_num").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    p = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("pref", F.sum(F.col("n_events") * F.col("n_days") - F.col("total")).over(w))
+        .withColumn("pref_min", F.min("pref").over(w))
+    )
+    cusum = F.col("pref") - F.least(F.col("pref_min"), F.lit(0))
+    return p.select(
+        "day_num",
+        "n_events",
+        cusum.cast("long").alias("cusum_scaled"),
+        # alarm at cusum > mean-day/8 (total/8 in the n_days-scaled units):
+        # tight enough to fire on the synthetic corpus's mild runs, so the
+        # flag column is exercised non-vacuously at test scale
+        (cusum * 8 > F.col("total")).cast("long").alias("alarm"),
+    )
+
+
+@register(
+    "x_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM rev
+    ), c AS (
+      SELECT l_suppkey, rev_cents, total_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev CROSS JOIN tot
+    )
+    SELECT l_suppkey, rev_cents,
+           CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_share_micro,
+           CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def x_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto (80-15-5) classification of suppliers by revenue —
+    the inventory-management "which 20% of suppliers carry 80% of
+    revenue" operator: rank by revenue, classify by the cumulative share
+    INCLUDING the supplier's own contribution (A ≤ 80%, B ≤ 95%, else C),
+    all thresholds integer cross-multiplied.  Scale shape: lineitem
+    reduces to one row per supplier first (one groupBy); the global
+    ordered window then runs over the supplier dimension — ~10^6 rows at
+    100 TB, the documented single-partition-window bound (range-partition
+    the sort if the dimension itself becomes huge).  Total order pinned
+    by (revenue desc, suppkey) so ties never reorder across engines."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("cents").cast("long").alias("rev_cents"))
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .select(
+            "l_suppkey",
+            "rev_cents",
+            F.expr("cum_cents * 1000000 div total_cents").alias("cum_share_micro"),
+            F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+            .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@register(
+    "x_item_cf_topk",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ), item_cnt AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS pop FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.item_a, p.item_b, p.cooc,
+             CAST(p.cooc * p.cooc * 1000000 // (ca.pop * cb.pop) AS BIGINT)
+               AS cos2_micro
+      FROM pairs p
+      JOIN item_cnt ca ON p.item_a = ca.item
+      JOIN item_cnt cb ON p.item_b = cb.item
+    ), ranked AS (
+      SELECT item_a, item_b, cooc, cos2_micro,
+             row_number() OVER (PARTITION BY item_a
+                                ORDER BY cos2_micro DESC, cooc DESC, item_b)
+               AS rn
+      FROM scored
+    )
+    SELECT item_a, CAST(rn AS BIGINT) AS rn, item_b, cooc, cos2_micro
+    FROM ranked WHERE rn <= 3 AND item_a < 40
+    """,
+)
+def x_item_cf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ITEM-ITEM collaborative filtering ("customers who bought X also
+    bought"): top-3 neighbors per item by cosine similarity over order
+    co-occurrence.  Cosine = cooc/√(pop_a·pop_b) needs a square root —
+    ranked instead by its SQUARE in integer micro-units
+    (``cooc²·10⁶ // (pop_a·pop_b)``), a monotone transform, so the
+    ranking is exact and bit-identical with no float anywhere; ties
+    pinned by (cooc, neighbor id).  Scale shape: identical to
+    `x_market_basket` (pair generation confined within the order key,
+    bounded by basket²), plus one row_number window partitioned by item
+    — output bounded to items < 40 for the driver, top-3 each."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("pop"))
+    a = items.select("l_orderkey", F.col("item").alias("item_a"))
+    b = items.select("l_orderkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    ca = item_cnt.select(F.col("item").alias("item_a"), F.col("pop").alias("pa"))
+    cb = item_cnt.select(F.col("item").alias("item_b"), F.col("pop").alias("pb"))
+    scored = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            F.expr("cooc * cooc * 1000000 div (pa * pb)").alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cos2_micro").desc(), F.col("cooc").desc(), F.col("item_b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("item_a") < 40))
+        .select("item_a", F.col("rn").cast("long").alias("rn"), "item_b", "cooc", "cos2_micro")
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -8796,6 +9007,7 @@ def x_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
 # ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
 # missed this window (x_pareto_frontier, x_seasonal_baseline,
 # x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
+# x_cusum_drift, x_abc_analysis, x_item_cf_topk,
 # plus any later r5 additions), then the remaining
 # r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -225,6 +225,8 @@ _CARTESIAN_ALLOWED = {
     "x_kmv_overlap",           # k-row sketch merges: 1-row broadcast joins
     "x_target_encode",         # global prior: 1-row broadcast scalar join
     "x_hll_mergeability",      # 1-row merged-sketch x 1-row exact join
+    "x_cusum_drift",           # corpus totals: 1-row broadcast scalar join
+    "x_abc_analysis",          # revenue total: 1-row broadcast scalar join
 }
 
 
