@@ -8996,6 +8996,204 @@ def x_item_cf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_attribution",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('view','click','signup')
+                  THEN event_type END AS touch,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('view','click','signup','purchase')
+    ), w AS (
+      SELECT user_id, is_p,
+             last_value(touch IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+             first_value(touch IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+      FROM u
+    )
+    SELECT COALESCE(lt, '(none)') AS channel, 'last_touch' AS model,
+           CAST(COUNT(*) AS BIGINT) AS conversions
+    FROM w WHERE is_p = 1 GROUP BY 1
+    UNION ALL
+    SELECT COALESCE(ft, '(none)'), 'first_touch', CAST(COUNT(*) AS BIGINT)
+    FROM w WHERE is_p = 1 GROUP BY 1
+    """,
+)
+def x_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing ATTRIBUTION (first-touch vs last-touch): every purchase
+    credits (a) the user's most recent preceding touch event and (b)
+    their earliest touch on record; purchases with no prior touch land in
+    '(none)'.  Both models come from ONE pass — a single user-partitioned
+    ordered window computing `last(touch, ignoreNulls)` and
+    `first(touch, ignoreNulls)` over the strictly-preceding frame
+    (ties broken by event_id, so the credit is deterministic even under
+    same-millisecond events) — then two small channel aggregates.  Scale
+    shape: one shuffle on user_id for the window, aggregates over a
+    handful of channels; the multi-touch extension (position decay)
+    reuses the same frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), F.col("event_type")
+        ).alias("touch"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = u.select(
+        "is_p",
+        F.last("touch", ignorenulls=True).over(w).alias("lt"),
+        F.first("touch", ignorenulls=True).over(w).alias("ft"),
+    ).filter(F.col("is_p") == 1)
+    last_t = scored.groupBy(
+        F.coalesce("lt", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions")).select(
+        "channel", F.lit("last_touch").alias("model"), "conversions"
+    )
+    first_t = scored.groupBy(
+        F.coalesce("ft", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions")).select(
+        "channel", F.lit("first_touch").alias("model"), "conversions"
+    )
+    return last_t.unionAll(first_t)
+
+
+@register(
+    "x_twap",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             epoch_ms(ts) AS ms, event_id,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT user_id, day_num, cents,
+             lead(ms) OVER (PARTITION BY user_id, day_num
+                            ORDER BY ms, event_id) - ms AS gap_ms
+      FROM e
+    )
+    SELECT user_id, day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_ms IS NULL THEN 0 ELSE cents * gap_ms END)
+                * 1000000
+                // SUM(CASE WHEN gap_ms IS NULL THEN 0 ELSE gap_ms END)
+                AS BIGINT) AS twap_micro_cents
+    FROM g GROUP BY user_id, day_num
+    HAVING SUM(CASE WHEN gap_ms IS NULL THEN 0 ELSE gap_ms END) > 0
+    """,
+)
+def x_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-WEIGHTED average value per user-day (the TWAP/metering
+    operator: a price that held for 6 hours must outweigh one that held
+    for a minute — plain AVG is wrong whenever observations are
+    irregular).  Each event's value is weighted by the milliseconds until
+    the user's next same-day event (the last observation carries no
+    forward weight); all integer (cents × ms, micro-unit division),
+    single-event days drop via the zero-duration HAVING guard.  Scale
+    shape: one window shuffle on (user, day) for the lead(), then a
+    standard two-phase aggregate on the same key — the window
+    partitioning is reused by the groupBy, so AQE plans one effective
+    repartitioning."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day_num").orderBy("ms", "event_id")
+    g = e.withColumn("gap_ms", F.lead("ms").over(w) - F.col("ms"))
+    wsum = F.sum(
+        F.when(F.col("gap_ms").isNull(), 0).otherwise(F.col("cents") * F.col("gap_ms"))
+    )
+    dur = F.sum(F.when(F.col("gap_ms").isNull(), 0).otherwise(F.col("gap_ms")))
+    return (
+        g.groupBy("user_id", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            wsum.alias("__w"),
+            dur.alias("__d"),
+        )
+        .filter(F.col("__d") > 0)
+        .select(
+            "user_id",
+            "day_num",
+            "n_events",
+            F.expr("__w * 1000000 div __d").alias("twap_micro_cents"),
+        )
+    )
+
+
+@register(
+    "x_prefix_rollup",
+    """
+    WITH w AS (
+      SELECT p_partkey, regexp_split_to_array(p_type, ' ') AS words,
+             CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents
+      FROM part
+    ), lv AS (
+      SELECT p_partkey, cents, i AS level,
+             array_to_string(list_slice(words, 1, i), ' ') AS prefix
+      FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    )
+    SELECT prefix, CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM lv GROUP BY prefix, level
+    """,
+)
+def x_prefix_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """HIERARCHICAL PREFIX ROLLUP (the URL-path / category-tree
+    aggregation): every part contributes to each ancestor node of its
+    type path ("STANDARD ANODIZED BRASS" → level-1 "STANDARD", level-2
+    "STANDARD ANODIZED", level-3 full), giving counts and revenue at
+    every depth of the hierarchy in ONE pass — explode the path prefixes
+    (bounded by path depth), one groupBy.  Unlike GROUPING SETS over
+    fixed columns (`a_grouping_sets`), the hierarchy here lives INSIDE a
+    string column with variable depth — the shape of web-path and
+    taxonomy rollups.  Scale: output bounded by distinct tree nodes;
+    explode factor = depth (≤3 here); map-side partial aggregation
+    applies."""
+    p = load_table(spark, sf, "part").select(
+        F.split(F.col("p_type"), " ").alias("words"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    lv = p.select(
+        "cents",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words)),"
+                " i -> struct(i AS level, array_join(slice(words, 1, i), ' ') AS prefix))"
+            )
+        ).alias("lp"),
+    )
+    return (
+        lv.select("cents", F.col("lp.level").cast("long").alias("level"), F.col("lp.prefix").alias("prefix"))
+        .groupBy("prefix", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -9007,8 +9205,8 @@ def x_item_cf_topk(spark: SparkSession, sf: str) -> DataFrame:
 # ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
 # missed this window (x_pareto_frontier, x_seasonal_baseline,
 # x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
-# x_cusum_drift, x_abc_analysis, x_item_cf_topk,
-# plus any later r5 additions), then the remaining
+# x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
+# x_prefix_rollup, plus any later r5 additions), then the remaining
 # r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
