@@ -9194,6 +9194,44 @@ def x_prefix_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RECURSIVE_BOM_SQL = """
+    WITH RECURSIVE anc(node, anc) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT a.node, a.anc // 10 FROM anc a WHERE a.anc >= 10
+    )
+    SELECT anc.anc AS ancestor,
+           CAST(COUNT(*) AS BIGINT) AS n_descendants,
+           CAST(SUM(CAST(ROUND(p.p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM anc JOIN part p ON anc.node = p.p_partkey
+    WHERE anc.anc < 100
+    GROUP BY anc.anc
+"""
+
+
+@register("x_recursive_bom", _RECURSIVE_BOM_SQL)
+def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
+    """RECURSIVE CTE witness (Spark 4 `WITH RECURSIVE`, the SQL-surface
+    feature classic warehouse engines gate hierarchy work on): a
+    bill-of-materials-style rollup over the implicit digit-chopping part
+    hierarchy (parent = key/10) — each part's revenue accrues to every
+    ancestor, computed by a genuinely recursive ancestor expansion, NOT a
+    hand-unrolled union.  The recursion step is monotonically decreasing
+    (`anc/10`), so it terminates at the hierarchy depth (≤5 levels) with
+    linear row expansion — the safe recursive shape; cyclic graphs need
+    the hop-capped form (`x_bfs_hops` is the iterative equivalent).
+    Identical SQL text runs on both engines via the `spark.sql`
+    front-end; integer division and cent arithmetic keep it
+    bit-identical.  Output bounded to 2-digit ancestors."""
+    part = load_table(spark, sf, "part")
+    part.createOrReplaceTempView("part")
+    # One divergence in SQL dialect: integer floor division is `//` in
+    # DuckDB (plain `/` promotes to DOUBLE there) and `DIV` in Spark —
+    # the only token swapped between the two texts.
+    return spark.sql(_RECURSIVE_BOM_SQL.replace("a.anc // 10", "a.anc DIV 10"))
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -9206,8 +9244,8 @@ def x_prefix_rollup(spark: SparkSession, sf: str) -> DataFrame:
 # missed this window (x_pareto_frontier, x_seasonal_baseline,
 # x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
 # x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
-# x_prefix_rollup, plus any later r5 additions), then the remaining
-# r2-green leave-outs
+# x_prefix_rollup, x_recursive_bom, plus any later r5 additions), then
+# the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
 # j_anti_join, j_band_join, t_sessionize, w_analytic_pack, a_pivot,
