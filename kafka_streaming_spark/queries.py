@@ -9194,6 +9194,159 @@ def x_prefix_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs
+    ), benford(digit, expected_micro) AS (
+      VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+             (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    )
+    SELECT b.digit, COALESCE(obs.n, 0) AS n,
+           CAST(COALESCE(obs.n, 0) * 1000000 // tot.total AS BIGINT)
+             AS observed_micro,
+           CAST(b.expected_micro AS BIGINT) AS expected_micro,
+           CAST(abs(COALESCE(obs.n, 0) * 1000000 // tot.total
+                    - b.expected_micro) AS BIGINT) AS abs_dev_micro
+    FROM benford b LEFT JOIN obs ON b.digit = obs.digit CROSS JOIN tot
+    """,
+)
+def x_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit (the fraud/fabrication screen for
+    financial columns): observed leading-digit shares of order totals
+    against the log10(1+1/d) expectation, with absolute deviations — all
+    in integer micro-units (the nine Benford constants are hard-coded
+    micro literals in BOTH engine texts, so no float log ever runs).
+    The leading digit comes from the CENTS integer's decimal string, not
+    the double (float formatting is not portable).  Scale shape: one
+    digit groupBy (9 groups), a 9-row literal table joined broadcast, a
+    1-row total — the audit costs one scan regardless of table size.
+    Synthetic uniform prices do NOT follow Benford — the deviations are
+    the point: the audit flags exactly such distributions."""
+    d = load_table(spark, sf, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    benford = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        ["digit", "expected_micro"],
+    )
+    share = F.expr("coalesce(n, 0) * 1000000 div total")
+    return (
+        benford.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            share.alias("observed_micro"),
+            F.col("expected_micro").cast("long").alias("expected_micro"),
+            F.abs(share - F.col("expected_micro")).cast("long").alias("abs_dev_micro"),
+        )
+    )
+
+
+@register(
+    "x_gini",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS i
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1000000
+                // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_micro
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def x_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """GINI COEFFICIENT of revenue concentration per nation — the
+    inequality complement of `x_abc_analysis`: from the rank-sum identity
+    ``G = (2·Σᵢ i·xᵢ - (n+1)·Σx) / (n·Σx)`` over ascending-sorted
+    customer revenues, emitted in exact integer micro-units (one
+    cross-multiplied division at the very end; rank ties pinned by
+    custkey so the rank-weighted sum is deterministic — the identity's
+    value is tie-order-independent anyway since tied x's swap equal
+    products).  Scale shape: orders reduce to one row per customer (one
+    groupBy), ranks come from a window partitioned by nation over the
+    customer DIMENSION, then one aggregate — event-volume independent
+    after the first reduction.  Overflow bound: the rank-weighted sum is
+    ≤ n²·max_cents — switch the accumulator to DECIMAL(38,0) (and keep
+    the final micro division) once n·√max_cents approaches 2^31."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    r = rev.withColumn("i", F.row_number().over(w))
+    return r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "(2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 1000000"
+            " div (count(*) * sum(cents))"
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, t.c_custkey, t.bal_cents
+    FROM nation n,
+    LATERAL (SELECT c_custkey,
+                    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY bal_cents DESC, c_custkey LIMIT 2) t
+"""
+
+
+@register("f_lateral_topk", _LATERAL_TOPK_SQL)
+def f_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated-subquery witness (the SQL-2016 lateral join,
+    Spark 3.2+): per-nation top-2 customers by balance expressed as a
+    correlated ORDER BY…LIMIT subquery — the declarative twin of the
+    window-based `w_topk_per_group`, and the form ad-hoc SQL users reach
+    for first.  The same SQL text runs on both engines.  Catalyst
+    DECORRELATES the lateral into a join + per-key limit rather than
+    re-executing the inner query per outer row — which is exactly why
+    the construct stays usable at 100 TB (a true nested-loop lateral
+    would be |nation| scans of customer)."""
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 _RECURSIVE_BOM_SQL = """
     WITH RECURSIVE anc(node, anc) AS (
       SELECT p_partkey, p_partkey FROM part
@@ -9244,7 +9397,8 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # missed this window (x_pareto_frontier, x_seasonal_baseline,
 # x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
 # x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
-# x_prefix_rollup, x_recursive_bom, plus any later r5 additions), then
+# x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
+# f_lateral_topk, plus any later r5 additions), then
 # the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,

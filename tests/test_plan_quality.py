@@ -227,6 +227,7 @@ _CARTESIAN_ALLOWED = {
     "x_hll_mergeability",      # 1-row merged-sketch x 1-row exact join
     "x_cusum_drift",           # corpus totals: 1-row broadcast scalar join
     "x_abc_analysis",          # revenue total: 1-row broadcast scalar join
+    "x_benford_audit",         # digit total: 1-row broadcast scalar join
 }
 
 
