@@ -9320,6 +9320,71 @@ def x_gini(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_weighted_median",
+    """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), agg AS (
+      SELECT l_returnflag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM li GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, price_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM agg
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MIN(tot_w) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum_w >= tot_w
+    GROUP BY l_returnflag
+    """,
+)
+def x_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED MEDIAN per group (robust stats the built-in percentile
+    can't weight): the smallest price whose cumulative quantity-weight
+    reaches half the group's total — the lower weighted median, selected
+    by integer cross-multiplication (``2·cum ≥ tot``), no interpolation,
+    no float.  Scale shape: raw lineitem first collapses to one row per
+    (group, distinct value) — the decisive reduction when values repeat —
+    then one window partitioned by group and a min-aggregate.  At
+    extreme distinct-value cardinality the same structure runs on a
+    value-histogram (bucket the cents) for an approximate weighted
+    median with bounded error."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    agg = li.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = agg.withColumn("cum_w", F.sum("w").over(wc)).withColumn(
+        "tot_w", F.sum("w").over(wt)
+    )
+    return (
+        c.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.min("tot_w").cast("long").alias("total_weight"),
+        )
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -9398,7 +9463,7 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
 # x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
 # x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
-# f_lateral_topk, plus any later r5 additions), then
+# f_lateral_topk, x_weighted_median, plus any later r5 additions), then
 # the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,

@@ -273,3 +273,82 @@ def test_salt_always_in_range_even_for_min_value_hash(spark):
     )
     plain = e.join(dim, "event_type").count()
     assert salted_join(e, dim, ["event_type"], buckets=7).count() == plain
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    ),
+    n_seeds=st.integers(1, 3),
+    rounds=st.integers(1, 3),
+)
+@SET
+def test_bfs_distances_match_python_reference(spark, edges, n_seeds, rounds):
+    """Frontier BFS ≡ a naive per-round Python relaxation on ANY random
+    graph (undirected both sides): same reachable set, same level for
+    every node, for any seed set and round budget."""
+    from kafka_streaming_spark.functions import graph as G
+
+    pairs = spark.createDataFrame(edges, ["u", "v"])
+    seeds = sorted({u for u, _ in edges})[:n_seeds]
+    got = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(
+            G.undirect(pairs), spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            rounds=rounds,
+        ).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, rounds + 1):
+        nxt = {n for f in frontier for n in adj.get(f, ()) if n not in want}
+        for n in nxt:
+            want[n] = k
+        frontier = nxt
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    t_micro=st.sampled_from([300_000, 500_000, 800_000]),
+)
+@SET
+def test_prefix_filter_complete_on_random_corpora(spark, docs, t_micro):
+    """Prefix-filter similarity join ≡ brute-force shingle-set Jaccard on
+    ANY random corpus and threshold — the pigeonhole completeness proof
+    exercised beyond the fixture corpus (tiny vocab forces heavy shingle
+    sharing, the filter's hardest regime)."""
+    from kafka_streaming_spark.functions.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_union"])
+        for r in prefix_filter_pairs(df, n=3, threshold_micro=t_micro).collect()
+    }
+
+    def shingles(text):
+        ws = text.lower().split()
+        k = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(k)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            inter, union = len(a & b), len(a | b)
+            if inter * 1_000_000 >= t_micro * union:
+                want[(i, j)] = (inter, union)
+    assert got == want
