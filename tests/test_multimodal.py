@@ -189,3 +189,61 @@ def test_sample_frames_decodes_real_avi(spark):
         w, h, ch, pix = decode_png(png)
         assert (w, h, ch) == (6, 6, 3)
         assert np.array_equal(pix, frames[idx])
+
+
+def test_average_hash_closed_forms(spark):
+    """aHash invariants on crafted images: a constant image saturates to
+    all-64-ones (ties count as >= mean); a half-bright image sets exactly
+    the bright half's bits; small perturbations below the mean margin do
+    NOT change the hash (the perceptual-robustness property the dedup
+    relies on); decode failures yield NULL hashes."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_streaming_spark.functions.multimodal import (
+        average_hash,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    def png_of(px):
+        return encode_png(px.astype(np.uint8))
+
+    const = np.full((16, 16, 3), 100)
+    half = np.zeros((16, 16, 3))
+    half[:, 8:, :] = 200  # right half bright
+    # Robustness requires CONTRAST: on the half image the mean sits ~100,
+    # so a +3 bump on a dark pixel stays far below it and no bit flips.
+    # (On a zero-contrast image ANY bump drags the mean above the
+    # background and flips everything — correct aHash behavior, which is
+    # why the dedup recipe pairs it with real photographic content.)
+    jitter = half.copy()
+    jitter[0, 0, :] += 3
+    rows = [
+        (1, bytearray(png_of(const))),
+        (2, bytearray(png_of(half))),
+        (3, bytearray(png_of(jitter))),
+        (4, bytearray(b"not a png")),
+    ]
+    schema = StructType(
+        [StructField("asset_id", LongType(), False), StructField("payload", BinaryType())]
+    )
+    decoded = decode_image_pixels(spark.createDataFrame(rows, schema))
+    got = {
+        r["asset_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in average_hash(decoded).collect()
+    }
+
+    all_ones = (0xFFFFFFFF, 0xFFFFFFFF)
+    assert got[1] == all_ones
+    # right half bright: in each 8-cell row, columns 4..7 are >= mean
+    row_bits = 0b11110000
+    expected_half = sum(row_bits << (8 * r) for r in range(8))
+    assert got[2] == (expected_half >> 32 & 0xFFFFFFFF, expected_half & 0xFFFFFFFF)
+    assert got[3] == got[2]  # jitter collapses to the half image's hash
+    assert got[4] == (None, None)

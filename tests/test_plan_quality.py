@@ -512,3 +512,18 @@ def test_runtime_bloom_filter_injection_available(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_binned_interval_join_no_nested_loop(spark):
+    """The time-bin blocking rewrite's whole point: the band join runs as
+    a hash equi-join on (user, bin) — never a nested-loop/cartesian — and
+    the residual band predicate survives as a filter."""
+    plan = plan_of(spark, "x_binned_interval_join")
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert (
+        n_nodes(plan, "BroadcastHashJoin")
+        + n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        == 1
+    )
