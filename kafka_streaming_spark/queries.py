@@ -5504,6 +5504,8 @@ def _ensure_format_copy(spark: SparkSession, sf: str, fmt: str) -> str:
         w = ev.coalesce(4).write.mode("overwrite")
         if fmt == "csv":
             w.option("header", True).csv(dest)
+        elif fmt == "orc":
+            w.orc(dest)
         else:
             w.json(dest)
     _FORMAT_READY.add(dest)
@@ -5579,6 +5581,36 @@ def f_jsonl_scan(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     df = spark.read.schema(schema).json(path)
+    return _format_agg(df)
+
+
+@register("f_orc_scan", _FORMAT_ORACLE)
+def f_orc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source path end to end (the third columnar-format leg after
+    parquet: same contract as `f_csv_scan` — explicit schema, values
+    round-trip exactly; ORC ships in Spark core, no external package).
+    Avro is the one mainstream format NOT covered: spark-avro is an
+    external jar absent from this environment (probe:
+    ``AnalysisException`` on ``format("avro")``) — the reader call is a
+    one-line swap of this function when the jar is present."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _ensure_format_copy(spark, sf, "orc")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).orc(path)
     return _format_agg(df)
 
 
@@ -9444,6 +9476,115 @@ def x_binned_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_longest_streak",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num
+      FROM events
+    ), isl AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+               AS grp
+      FROM ud
+    ), streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day_num) AS BIGINT) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start
+    FROM best WHERE rn = 1 AND user_id < 100
+    """,
+)
+def x_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
+    """LONGEST CONSECUTIVE-DAY STREAK per user (the engagement/gamified
+    metric): the discrete gaps-and-islands identity — consecutive days
+    share a constant ``day - row_number`` — groups each run in one window
+    pass, then a per-user argmax picks the longest (earliest start breaks
+    ties).  The INTERVAL twin (`x_interval_merge`) coalesces overlapping
+    time ranges; this is the integer-grid form.  Scale shape: events
+    collapse to distinct user-days first, both windows partition on the
+    user key (one shuffle, reused), output bounded to users < 100."""
+    from pyspark.sql import Window
+
+    ud = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias(
+                "day_num"
+            ),
+        )
+        .distinct()
+    )
+    wi = Window.partitionBy("user_id").orderBy("day_num")
+    isl = ud.withColumn("grp", F.col("day_num") - F.row_number().over(wi))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day_num").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("user_id") < 100))
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
+
+
+@register(
+    "f_map_pack",
+    """
+    WITH arr AS (
+      SELECT event_id, generate_series(1, 1 + event_id % 4) AS ks
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           CAST(len(ks) AS INTEGER) AS n_keys,
+           CAST(COALESCE(list_aggregate(
+             list_filter(list_transform(ks, k -> k * event_id + k),
+                         x -> x % 2 = 0), 'sum'), 0) AS BIGINT) AS sum_even_vals,
+           CAST(event_id AS BIGINT) AS lookup_1,
+           CAST(len(ks) + 1 AS INTEGER) AS n_after_concat
+    FROM arr
+    """,
+)
+def f_map_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """MAP-typed column surface (§2.9 completion alongside the array
+    `f_hof_pack`): ``map_from_arrays`` construction, ``transform_values``,
+    ``map_filter``, ``map_values`` fold, ``element_at`` lookup, and
+    ``map_concat`` — all JVM-side Catalyst map expressions, zero
+    shuffles.  Outputs are scalars (maps never reach the checked schema),
+    and the oracle recomputes them with plain list arithmetic — DuckDB
+    needs no map type to certify the values."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    ks = F.sequence(F.lit(1).cast("long"), 1 + F.col("event_id") % 4)
+    m = F.map_from_arrays(ks, F.transform(ks, lambda k: k * F.col("event_id")))
+    tv = F.transform_values(m, lambda k, v: v + k)
+    mf = F.map_filter(tv, lambda k, v: v % 2 == 0)
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.aggregate(
+            F.map_values(mf), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_even_vals"),
+        F.element_at(m, F.lit(1).cast("long")).alias("lookup_1"),
+        F.size(F.map_concat(m, F.create_map(F.lit(0).cast("long"), F.lit(7).cast("long")))).alias(
+            "n_after_concat"
+        ),
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -9522,7 +9663,8 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
 # x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
 # x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
-# f_lateral_topk, x_weighted_median, x_binned_interval_join, plus any
+# f_lateral_topk, x_weighted_median, x_binned_interval_join, f_orc_scan,
+# x_longest_streak, f_map_pack, plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
