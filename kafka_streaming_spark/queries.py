@@ -9585,6 +9585,97 @@ def f_map_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_pii_redact",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1 (555) 123-4567' ELSE '' END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM enriched
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                + len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]'))
+                AS BIGINT) AS n_redactions,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS n_chars_after
+    FROM red
+    WHERE text <> redacted
+    """,
+)
+def x_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII REDACTION transform — the rewrite half of the governance pair
+    (`x_pii_scan` is the triage half): plant deterministic email/URL/
+    phone strings, then chain three global ``regexp_replace`` passes
+    (email → URL → phone, fixed order so overlapping matches resolve
+    identically everywhere) and emit the redaction count plus the md5 of
+    the REDACTED text — the oracle recomputes the same replacements, so
+    a hash match certifies byte-identical redacted output, not just
+    matching counts.  Patterns are lookahead-free (Java regex ≡ RE2).
+    Pure map-side column expressions; rows only for docs that changed."""
+    d = load_table(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://example.org/doc/"), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call +1 (555) 123-4567")).otherwise(
+            ""
+        ),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    e = d.select(F.col("doc_id"), text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(url), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(phone), 0))
+    )
+    return (
+        e.withColumn("redacted", redacted)
+        .filter(F.col("text") != F.col("redacted"))
+        .select(
+            "doc_id",
+            n_red.cast("long").alias("n_redactions"),
+            F.md5("redacted").alias("redacted_md5"),
+            F.length("redacted").cast("long").alias("n_chars_after"),
+        )
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -9664,7 +9755,7 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
 # x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
 # f_lateral_topk, x_weighted_median, x_binned_interval_join, f_orc_scan,
-# x_longest_streak, f_map_pack, plus any
+# x_longest_streak, f_map_pack, x_pii_redact, plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
