@@ -8167,8 +8167,8 @@ def x_source_cap(spark: SparkSession, sf: str) -> DataFrame:
       FROM c
     )
     SELECT c.o_orderkey, c.o_orderpriority, cat.n_cat,
-           CAST((cat.sum_cents - c.cents) * 1000000 // (cat.n_cat - 1)
-                AS BIGINT) AS loo_micro_cents,
+           CAST(CAST(cat.sum_cents - c.cents AS HUGEINT) * 1000000
+                // (cat.n_cat - 1) AS BIGINT) AS loo_micro_cents,
            CAST((cat.sum_cents - c.cents + 100 * g.prior_cents)
                 // (cat.n_cat - 1 + 100) AS BIGINT) AS smooth_cents
     FROM c JOIN cat USING (o_orderpriority) CROSS JOIN g
@@ -8185,9 +8185,11 @@ def x_target_encode(spark: SparkSession, sf: str) -> DataFrame:
     category stats are one groupBy producing ~5 rows joined back
     broadcast, the global prior is a 1-row broadcast — the encode pass is
     map-side at any scale.  Output bounded to the `orderkey % 20` slice
-    (the encoding is computed over the full table).  LOO micro scaling
-    note for 100 TB: drop the 10^6 shift (or keep raw cents) once
-    `sum_cents` approaches 2^63 / 10^6."""
+    (the encoding is computed over the full table).  The LOO micro shift
+    runs through a DECIMAL(38,0)/HUGEINT intermediate: category sums pass
+    the BIGINT·10^6 ceiling at ~100x driver scale (caught by the 100x
+    self-bench, which ANSI mode turns into a hard error instead of a
+    silent wrap)."""
     c = load_table(spark, sf, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -8208,9 +8210,12 @@ def x_target_encode(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey",
             "o_orderpriority",
             "n_cat",
-            F.expr("(sum_cents - cents) * 1000000 div (n_cat - 1)").alias(
-                "loo_micro_cents"
-            ),
+            # 128-bit intermediate — see x_abc_analysis (category sums
+            # pass the BIGINT*10^6 ceiling at ~100x driver scale)
+            F.expr(
+                "CAST((CAST(sum_cents - cents AS DECIMAL(38,0)) * 1000000)"
+                " div (n_cat - 1) AS BIGINT)"
+            ).alias("loo_micro_cents"),
             F.expr(
                 "(sum_cents - cents + 100 * prior_cents) div (n_cat - 1 + 100)"
             ).alias("smooth_cents"),
@@ -8905,7 +8910,8 @@ def x_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
       FROM rev CROSS JOIN tot
     )
     SELECT l_suppkey, rev_cents,
-           CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_share_micro,
+           CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT)
+             AS cum_share_micro,
            CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
                 WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -8940,7 +8946,13 @@ def x_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "l_suppkey",
             "rev_cents",
-            F.expr("cum_cents * 1000000 div total_cents").alias("cum_share_micro"),
+            # 128-bit intermediate: cum·10^6 overflows BIGINT once total
+            # revenue passes ~9e12 cents (hit at the 100x self-bench);
+            # the DECIMAL(38,0) product divides back into BIGINT range
+            F.expr(
+                "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
+                " div total_cents AS BIGINT)"
+            ).alias("cum_share_micro"),
             F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
             .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
             .otherwise("C")
