@@ -1,0 +1,91 @@
+"""Build deterministic Nx replicas of the testdata fact tables for scale
+self-benches (SCALE.md "10x"/"100x" sections) — the standing
+overflow-and-shuffle regression harness.
+
+Facts (orders / lineitem / events) are copied N times with offset keys via
+a range cross join, so joins stay key-consistent within each copy;
+dimensions are copied once.  With ``--vary-documents`` the documents table
+is also replicated with a per-copy suffix token appended to the text, so
+text operators scale WITHOUT the pathological every-doc-has-N-exact-copies
+regime (use the default no-documents mode to stress dedup with exactly
+that regime instead — see the round-4/5 tables in SCALE.md).
+
+Usage:
+    python tools/make_scale_replica.py --factor 100 \
+        --base /root/testdata/sf0.1 --out .tmp/sf10r5 [--vary-documents]
+
+Runs in DuckDB (no Spark session needed); ~75 s for 100x at sf0.1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import duckdb
+
+FACTS = {
+    "orders": (
+        "SELECT o_orderkey + i*1000000 AS o_orderkey,"
+        " o_custkey + i*20000 AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey + i*1000000 AS l_orderkey, l_partkey, l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate"
+    ),
+    "events": (
+        "SELECT event_id + i*1000000 AS event_id, ts,"
+        " user_id + i*2000 AS user_id, event_type, value, props"
+    ),
+}
+DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+VARIED_DOCS = (
+    "SELECT doc_id + i*1000000 AS doc_id,"
+    " text || ' copyword' || CAST(i AS VARCHAR) AS text,"
+    " lang, source, n_chars + 9 + CASE WHEN i >= 10 THEN 1 ELSE 0 END AS n_chars"
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--vary-documents", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    t0 = time.time()
+    for table, sel in FACTS.items():
+        con.execute(
+            f"COPY ({sel} FROM read_parquet('{args.base}/{table}.parquet')"
+            f" CROSS JOIN range({args.factor}) t(i))"
+            f" TO '{args.out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    doc_tables = DIMS + ([] if args.vary_documents else ["documents"])
+    for table in doc_tables:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{args.base}/{table}.parquet'))"
+            f" TO '{args.out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    if args.vary_documents:
+        con.execute(
+            f"COPY ({VARIED_DOCS} FROM read_parquet('{args.base}/documents.parquet')"
+            f" CROSS JOIN range({args.factor}) t(i))"
+            f" TO '{args.out}/documents.parquet' (FORMAT PARQUET)"
+        )
+    for table in list(FACTS) + ["documents"]:
+        n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{args.out}/{table}.parquet')"
+        ).fetchall()[0][0]
+        print(f"{table}: {n:,} rows")
+    print(f"built {args.factor}x replica in {time.time() - t0:.1f}s → {args.out}")
+
+
+if __name__ == "__main__":
+    main()
