@@ -9320,7 +9320,8 @@ def x_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(cents) AS BIGINT) AS total_cents,
-           CAST((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1000000
+           CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
+                * 1000000
                 // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_micro
     FROM r GROUP BY c_nationkey
     """,
@@ -9355,12 +9356,14 @@ def x_gini(spark: SparkSession, sf: str) -> DataFrame:
     return r.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
+        # 128-bit intermediate: the numerator·10^6 product passes the
+        # BIGINT ceiling already at sf0.1 nation sizes (caught by the
+        # full-registry sf0.1 parity sweep, faulted under ANSI mode)
         F.expr(
-            "(2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 1000000"
-            " div (count(*) * sum(cents))"
-        )
-        .cast("long")
-        .alias("gini_micro"),
+            "CAST((CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)"
+            " AS DECIMAL(38,0)) * 1000000)"
+            " div (count(*) * sum(cents)) AS BIGINT)"
+        ).alias("gini_micro"),
     )
 
 
