@@ -208,3 +208,36 @@ def bfs_distances(
         )
         frontier = new
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded K-CORE PEELING: ``rounds`` synchronous passes removing every
+    node of degree < k (and its edges) — each removal can drop neighbors
+    below k, so the full k-core is the fix-point; the bounded form peels
+    the outermost ``rounds`` shells, which is both what the unrolled SQL
+    oracle can replay and the practical form (real graphs converge in a
+    few rounds; iterate with lineage cuts for the exact fix-point, as the
+    connected-components solver does).
+
+    Input must carry BOTH orientations of each undirected edge
+    (:func:`undirect`).  Per round: one degree groupBy + two semi-joins,
+    all partitioned on node keys — no driver state, deterministic
+    (degree thresholding has no tie ambiguity).  Returns the surviving
+    edge list (both orientations).
+    """
+    alive = edges.cache()
+    for _ in range(rounds):
+        deg = alive.groupBy(src).agg(F.count(F.lit(1)).alias("__c"))
+        keep = deg.filter(F.col("__c") >= k).select(src)
+        alive = (
+            alive.join(keep, src, "left_semi")
+            .join(keep.withColumnRenamed(src, dst), dst, "left_semi")
+            .cache()
+        )
+    return alive

@@ -7490,7 +7490,7 @@ def f_unpivot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "a_grouping_sets",
+    "a_grouping_id",
     """
     SELECT coalesce(event_type, '<all>') AS event_type,
            coalesce(lang, '<all>') AS lang_dim,
@@ -7503,7 +7503,7 @@ def f_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY GROUPING SETS ((event_type, lang), (event_type), (lang), ())
     """,
 )
-def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+def a_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
     """Arbitrary GROUPING SETS with GROUPING() disambiguation — the
     general form of cube/rollup (`a_cube`/`g_rollup` cover the special
     cases): four explicit aggregation levels in ONE pass (Expand + single
@@ -9691,6 +9691,457 @@ def x_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_kcore_trade",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 100000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ), kv AS (
+      SELECT 1 + COUNT(*) // COUNT(DISTINCT src) AS k FROM edges
+    ), d1 AS (
+      SELECT src, COUNT(*) AS c FROM edges GROUP BY src
+    ), keep1 AS (
+      SELECT src FROM d1 CROSS JOIN kv WHERE c >= k
+    ), e1 AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN keep1 a ON e.src = a.src JOIN keep1 b ON e.dst = b.src
+    ), d2 AS (
+      SELECT src, COUNT(*) AS c FROM e1 GROUP BY src
+    ), keep2 AS (
+      SELECT src FROM d2 CROSS JOIN kv WHERE c >= k
+    ), e2 AS (
+      SELECT e.src, e.dst FROM e1 e
+      JOIN keep2 a ON e.src = a.src JOIN keep2 b ON e.dst = b.src
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM kv) AS k,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_core_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_core_edges,
+           CAST(SUM(DISTINCT src) AS BIGINT) AS sum_node,
+           CAST(MIN(src) AS BIGINT) AS min_node,
+           CAST(MAX(src) AS BIGINT) AS max_node
+    FROM e2
+    """,
+)
+def x_kcore_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """K-CORE of the trade graph
+    (:func:`kafka_streaming_spark.functions.graph.k_core`): two peeling
+    rounds removing nodes below k = 1 + average degree — the dense-core
+    extraction that strips marginal participants before community/
+    influence analysis (the "remove the long tail, keep the engine room"
+    operator).  k derives from the graph itself (integer mean degree), so
+    the query stays non-vacuous at every scale factor even though
+    absolute degrees grow ~linearly with SF.  Deterministic (degree
+    thresholds have no tie ambiguity) ⇒ the peels unroll exactly into
+    CTEs.  Completes the iterative-graph family: PageRank, label
+    propagation, connected components, BFS, triangles, k-core.  One
+    bounded scalar collect (the 1-row k), same policy as the CC round
+    scalar."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    edges = G.undirect(pairs)
+    k = edges.agg(
+        F.expr("1 + count(*) div count(DISTINCT src)").alias("k")
+    ).collect()[0]["k"]
+    core = G.k_core(edges, int(k), rounds=2)
+    return core.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.countDistinct("src").alias("n_core_nodes"),
+        F.count(F.lit(1)).alias("n_core_edges"),
+        F.sum_distinct(F.col("src")).cast("long").alias("sum_node"),
+        F.min("src").alias("min_node"),
+        F.max("src").alias("max_node"),
+    )
+
+
+@register(
+    "x_chi2_independence",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg, n_name AS nat
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), obs AS (
+      SELECT seg, nat, COUNT(*) AS o FROM base GROUP BY seg, nat
+    ), rt AS (
+      SELECT seg, COUNT(*) AS rtot FROM base GROUP BY seg
+    ), ct AS (
+      SELECT nat, COUNT(*) AS ctot FROM base GROUP BY nat
+    ), tot AS (
+      SELECT COUNT(*) AS nn FROM base
+    ), grid AS (
+      SELECT r.seg, c.nat, r.rtot, c.ctot, COALESCE(o.o, 0) AS o, t.nn
+      FROM rt r CROSS JOIN ct c CROSS JOIN tot t
+      LEFT JOIN obs o ON o.seg = r.seg AND o.nat = c.nat
+    ), cells AS (
+      SELECT seg, nat, nn,
+             CAST(FLOOR(
+               CAST(o * nn - rtot * ctot AS DOUBLE)
+               * CAST(o * nn - rtot * ctot AS DOUBLE)
+               / (CAST(nn AS DOUBLE) * CAST(rtot AS DOUBLE)
+                  * CAST(ctot AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS cell_micro
+      FROM grid
+    ), agg AS (
+      SELECT MAX(nn) AS n_obs,
+             COUNT(DISTINCT seg) AS r_levels,
+             COUNT(DISTINCT nat) AS c_levels,
+             CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro
+      FROM cells
+    )
+    SELECT CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(r_levels AS BIGINT) AS r_levels,
+           CAST(c_levels AS BIGINT) AS c_levels,
+           CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+           chi2_micro,
+           CAST(FLOOR(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+                           / (CAST(n_obs AS DOUBLE)
+                              * CAST(LEAST(r_levels - 1, c_levels - 1)
+                                     AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS cramers_v_micro
+    FROM agg
+    """,
+)
+def x_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST between two categorical columns
+    (market segment × nation over customers) — the categorical-association
+    screen of feature selection and drift audits, with Cramér's V as the
+    normalized effect size.  Numeric policy: every per-cell term
+    ``(O·N − R·C)² / (N·R·C)`` is computed from EXACT BIGINT factors
+    through a fixed chain of IEEE-deterministic double ops (multiply /
+    divide / sqrt are correctly rounded, identical across engines), then
+    floored to a per-cell micro BIGINT — so the SUM is order-independent
+    integer arithmetic and hash-stable, the same trick the other micro
+    queries use but extended to a two-sided expected-counts grid.  The
+    grid is the cross join of the two marginal tables (≤ r×c = 125 rows,
+    CONSTANT at every SF — the only cross join), left-joined against
+    observed cells so zero-observed cells still contribute their
+    expected-count mass.  Scale shape: raw rows reduce to three marginal
+    aggregates + one contingency groupBy, everything after is
+    constant-size."""
+    c = load_table(spark, sf, "customer").select("c_mktsegment", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat"))
+        .cache()
+    )
+    obs = base.groupBy("seg", "nat").agg(F.count(F.lit(1)).alias("o"))
+    rt = base.groupBy("seg").agg(F.count(F.lit(1)).alias("rtot"))
+    ct = base.groupBy("nat").agg(F.count(F.lit(1)).alias("ctot"))
+    tot = base.agg(F.count(F.lit(1)).alias("nn"))
+    grid = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["seg", "nat"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    d = F.col("o") * F.col("nn") - F.col("rtot") * F.col("ctot")
+    cells = grid.select(
+        "seg",
+        "nat",
+        "nn",
+        F.floor(
+            d.cast("double")
+            * d.cast("double")
+            / (
+                F.col("nn").cast("double")
+                * F.col("rtot").cast("double")
+                * F.col("ctot").cast("double")
+            )
+            * F.lit(1000000.0)
+        ).alias("cell_micro"),
+    )
+    agg = cells.agg(
+        F.max("nn").alias("n_obs"),
+        F.countDistinct("seg").alias("r_levels"),
+        F.countDistinct("nat").alias("c_levels"),
+        F.sum("cell_micro").cast("long").alias("chi2_micro"),
+    )
+    return agg.select(
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+        .cast("long")
+        .alias("dof"),
+        "chi2_micro",
+        F.floor(
+            F.sqrt(
+                (F.col("chi2_micro").cast("double") / F.lit(1000000.0))
+                / (
+                    F.col("n_obs").cast("double")
+                    * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1).cast(
+                        "double"
+                    )
+                )
+            )
+            * F.lit(1000000.0)
+        ).alias("cramers_v_micro"),
+    )
+
+
+@register(
+    "x_grid_nearest_join",
+    """
+    WITH sg AS (
+      SELECT s_suppkey,
+             CAST(concat('0x', substr(md5('xs' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS sx,
+             CAST(concat('0x', substr(md5('ys' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS sy
+      FROM supplier
+    ), qg AS (
+      SELECT c_custkey,
+             CAST(concat('0x', substr(md5('xc' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS cx,
+             CAST(concat('0x', substr(md5('yc' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS cy
+      FROM customer WHERE c_custkey <= 500
+    ), cand AS (
+      SELECT q.c_custkey, s.s_suppkey,
+             (s.sx - q.cx) * (s.sx - q.cx)
+             + (s.sy - q.cy) * (s.sy - q.cy) AS dist2
+      FROM qg q
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+      JOIN sg s ON s.sx // 20000 = q.cx // 20000 + ox.dx
+              AND s.sy // 20000 = q.cy // 20000 + oy.dy
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rn
+      FROM cand
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(s_suppkey AS BIGINT) AS nearest_suppkey,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_grid_nearest_join(spark: SparkSession, sf: str) -> DataFrame:
+    """GRID-BLOCKED SPATIAL NEAREST-NEIGHBOR JOIN — the geohash/grid-cell
+    blocking pattern for spatial joins at scale: points land in fixed
+    cells (coord ÷ 20000 on a 1M×1M integer plane → 50×50 grid), each
+    query probes only its 3×3 cell neighborhood (a 9-way key-offset
+    equi-join — never a distance cross join), and the nearest candidate
+    wins by exact integer squared distance with key tiebreak.  The same
+    shape serves geo point-of-interest lookup, sensor-to-station
+    assignment, and any metric-space blocking where a cell bound on the
+    search radius holds.  Coordinates derive from the cross-engine md5
+    hash family (:func:`~kafka_streaming_spark.functions.dedup.portable_hash60`)
+    so both engines see identical geometry; the query side is a bounded
+    key range (≤500), candidates per query are bounded by cell density.
+    Matched-only semantics: a query with an empty neighborhood is
+    correctly absent (the blocked form's contract — widen the grid, not
+    the join, to lower the miss rate).  Nearest-per-query is a struct-min
+    AGGREGATE (not a window sort) on the Spark side; the oracle's
+    row_number form is the same argmin."""
+    sup = load_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.pmod(
+            D.portable_hash60(F.concat(F.lit("xs"), F.col("s_suppkey").cast("string"))),
+            F.lit(1000000),
+        ).alias("sx"),
+        F.pmod(
+            D.portable_hash60(F.concat(F.lit("ys"), F.col("s_suppkey").cast("string"))),
+            F.lit(1000000),
+        ).alias("sy"),
+    )
+    qry = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("xc"), F.col("c_custkey").cast("string"))
+                ),
+                F.lit(1000000),
+            ).alias("cx"),
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("yc"), F.col("c_custkey").cast("string"))
+                ),
+                F.lit(1000000),
+            ).alias("cy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    )
+    cand = qry.join(
+        sup,
+        (F.expr("sx DIV 20000") == F.expr("cx DIV 20000") + F.col("dx"))
+        & (F.expr("sy DIV 20000") == F.expr("cy DIV 20000") + F.col("dy")),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx"))
+            + (F.col("sy") - F.col("cy")) * (F.col("sy") - F.col("cy"))
+        ).alias("dist2"),
+    )
+    return (
+        cand.groupBy("c_custkey")
+        .agg(
+            F.min(
+                F.struct(F.col("dist2").alias("d"), F.col("s_suppkey").alias("k"))
+            ).alias("m")
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("m.k").cast("long").alias("nearest_suppkey"),
+            F.col("m.d").cast("long").alias("dist2"),
+        )
+    )
+
+
+@register(
+    "x_acf_lag",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT nat, day, x,
+             lag(x, 1) OVER (PARTITION BY nat ORDER BY day) AS x1,
+             lag(x, 7) OVER (PARTITION BY nat ORDER BY day) AS x7
+      FROM daily
+    ), stats AS (
+      SELECT nat, day, x, x1, x7,
+             COUNT(*) OVER (PARTITION BY nat) AS nn,
+             CAST(SUM(x) OVER (PARTITION BY nat) AS BIGINT) AS s
+      FROM lagged
+    ), terms AS (
+      SELECT nat, nn,
+             CAST(FLOOR(CAST(nn * x - s AS DOUBLE)
+                        * CAST(nn * x - s AS DOUBLE)
+                        / 10000000000000.0) AS BIGINT) AS den_t,
+             CASE WHEN x1 IS NULL THEN NULL ELSE
+               CAST(FLOOR(CAST(nn * x - s AS DOUBLE)
+                          * CAST(nn * x1 - s AS DOUBLE)
+                          / 10000000000000.0) AS BIGINT) END AS num1_t,
+             CASE WHEN x7 IS NULL THEN NULL ELSE
+               CAST(FLOOR(CAST(nn * x - s AS DOUBLE)
+                          * CAST(nn * x7 - s AS DOUBLE)
+                          / 10000000000000.0) AS BIGINT) END AS num7_t
+      FROM stats
+    ), byn AS (
+      SELECT nat, MAX(nn) AS n_days,
+             CAST(SUM(den_t) AS BIGINT) AS den,
+             CAST(SUM(num1_t) AS BIGINT) AS num1,
+             CAST(SUM(num7_t) AS BIGINT) AS num7
+      FROM terms GROUP BY nat
+    )
+    SELECT nat AS n_name, CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(num AS DOUBLE) * 1000000.0
+                      / CAST(den AS DOUBLE), 0) AS BIGINT) AS acf_micro
+    FROM (
+      SELECT nat, n_days, den, 1 AS lag_k, num1 AS num FROM byn
+      UNION ALL
+      SELECT nat, n_days, den, 7 AS lag_k, num7 AS num FROM byn
+    )
+    """,
+)
+def x_acf_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG-k AUTOCORRELATION (sample ACF at lags 1 and 7) of each
+    nation's daily revenue series — the time-series diagnostic behind
+    seasonality detection and forecast-model selection (`x_seasonal_baseline`
+    asserts a weekly profile; this MEASURES whether one exists).  Mean
+    centering is cross-multiplied into integers (``n·xₜ − S``) so no
+    float mean ever forms; each lag product flows through one fixed
+    IEEE-deterministic double multiply and a 1e13-scaled floor to a
+    per-row micro BIGINT, making both sums order-independent exact
+    integers (overflow-safe through a 100× replica: |n·x−S| ≲ 1e13 ⇒
+    term ≲ 1e13, ×2400 days ≪ 2⁶³).  Scale shape: raw orders reduce to
+    one row per (nation, day) FIRST; the lag/stat windows and the final
+    fold run on the ~nation×2400-row daily table, one partition-key
+    shuffle end-to-end.  Row-lag semantics over observed days (standard
+    sparse-series ACF); denominator spans all n terms, numerator the
+    n−k overlapped pairs."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
+            "day"
+        ),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nat"), "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    from pyspark.sql.window import Window
+
+    wo = Window.partitionBy("nat").orderBy("day")
+    wp = Window.partitionBy("nat")
+    stats = (
+        daily.withColumn("x1", F.lag("x", 1).over(wo))
+        .withColumn("x7", F.lag("x", 7).over(wo))
+        .withColumn("nn", F.count(F.lit(1)).over(wp))
+        .withColumn("s", F.sum("x").over(wp).cast("long"))
+    )
+    dev = (F.col("nn") * F.col("x") - F.col("s")).cast("double")
+    scale = F.lit(10000000000000.0)
+
+    def _lag_term(col: str) -> Column:
+        lagdev = (F.col("nn") * F.col(col) - F.col("s")).cast("double")
+        return F.when(
+            F.col(col).isNull(), F.lit(None).cast("long")
+        ).otherwise(F.floor(dev * lagdev / scale))
+
+    terms = stats.select(
+        "nat",
+        "nn",
+        F.floor(dev * dev / scale).alias("den_t"),
+        _lag_term("x1").alias("num1_t"),
+        _lag_term("x7").alias("num7_t"),
+    )
+    byn = terms.groupBy("nat").agg(
+        F.max("nn").alias("n_days"),
+        F.sum("den_t").cast("long").alias("den"),
+        F.sum("num1_t").cast("long").alias("num1"),
+        F.sum("num7_t").cast("long").alias("num7"),
+    )
+    unioned = byn.select(
+        "nat", "n_days", "den", F.lit(1).alias("lag_k"), F.col("num1").alias("num")
+    ).unionAll(
+        byn.select(
+            "nat", "n_days", "den", F.lit(7).alias("lag_k"), F.col("num7").alias("num")
+        )
+    )
+    return unioned.select(
+        F.col("nat").alias("n_name"),
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("num").cast("double") * F.lit(1000000.0) / F.col("den").cast("double"), 0)
+        .cast("long")
+        .alias("acf_micro"),
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -9770,7 +10221,8 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
 # x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
 # f_lateral_topk, x_weighted_median, x_binned_interval_join, f_orc_scan,
-# x_longest_streak, f_map_pack, x_pii_redact, plus any
+# x_longest_streak, f_map_pack, x_pii_redact, x_kcore_trade,
+# x_chi2_independence, x_grid_nearest_join, x_acf_lag, plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,
@@ -9823,7 +10275,11 @@ DRIVER_PRIORITY: list[str] = [
     "x_quantile_normalize",
     "x_tfidf_topk",
     "f_unpivot",
-    "a_grouping_sets",
+    # the GROUPING()-id form: registered in r4 under "a_grouping_sets",
+    # silently shadowing the r3-green orders form; renamed in r5 so BOTH
+    # live (the orders form keeps its r3 green; this one gets its first
+    # driver row here)
+    "a_grouping_id",
     "x_label_propagation",
     "x_rfm_segments",
     "x_kfold_split",

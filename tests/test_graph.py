@@ -131,3 +131,20 @@ def test_bfs_distances_path_and_multi_source(spark):
         for r in G.bfs_distances(path, seeds, rounds=2, broadcast_frontier=True).collect()
     }
     assert db == dm
+
+
+def test_k_core_clique_with_tail(spark):
+    """K4 plus a pendant tail, k=3: the tail node peels in round 1 (degree
+    1) and the clique survives intact (each node keeps degree 3); on a
+    path graph, k=2 peels everything within two rounds (ends fall first,
+    exposing new ends)."""
+    k4_tail = G.undirect(
+        _pairs(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)])
+    )
+    core = G.k_core(k4_tail, k=3, rounds=2)
+    nodes = {r["src"] for r in core.select("src").distinct().collect()}
+    assert nodes == {1, 2, 3, 4}
+    assert core.count() == 12  # K4, both orientations
+
+    path = G.undirect(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    assert G.k_core(path, k=2, rounds=2).count() == 0

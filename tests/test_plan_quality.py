@@ -228,6 +228,7 @@ _CARTESIAN_ALLOWED = {
     "x_cusum_drift",           # corpus totals: 1-row broadcast scalar join
     "x_abc_analysis",          # revenue total: 1-row broadcast scalar join
     "x_benford_audit",         # digit total: 1-row broadcast scalar join
+    "x_chi2_independence",     # r×c marginal grid (≤125 rows) + 1-row total
 }
 
 
@@ -416,6 +417,41 @@ def test_bfs_edges_cached_and_shuffle_bounded(spark):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert n_nodes(plan, "Exchange") <= 18
+
+
+def test_kcore_edges_cached_and_shuffle_bounded(spark):
+    """K-core peeling: the undirected edge list must be materialized once
+    per peel state (cached — it feeds the degree groupBy AND both
+    semi-join probes), the keep-set joins must never degenerate to a
+    product, and two rounds stay within the per-round budget of one
+    degree shuffle plus two key-partitioned semi-joins."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_kcore_trade")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 14
+
+
+def test_grid_nearest_is_blocked_equi_join(spark):
+    """The spatial join must stay a grid-cell EQUI-join (9 offset probes),
+    never a distance cross join; the bounded query-key range must reach
+    the customer scan as a pushed filter."""
+    plan = plan_of(spark, "x_grid_nearest_join")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "LessThanOrEqual(c_custkey,500)" in plan
+    assert n_nodes(plan, "Exchange") <= 6
+
+
+def test_acf_reduces_before_windows(spark):
+    """ACF must aggregate raw orders to one row per (nation, day) FIRST;
+    the lag/stat windows and final fold then share the nation
+    partitioning — a handful of small-table exchanges, never a product."""
+    plan = plan_of(spark, "x_acf_lag")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 10
 
 
 def test_pareto_frontier_is_one_shuffle_no_join(spark):
