@@ -10142,6 +10142,491 @@ def x_acf_lag(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_bitmap_rollup",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      FROM events
+    ), mn AS (
+      SELECT MIN(day) AS min_day FROM e
+    ), slots AS (
+      SELECT user_id, event_type, day - min_day AS slot
+      FROM e CROSS JOIN mn WHERE day - min_day < 63
+    ), masks AS (
+      SELECT user_id, event_type,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(slot AS INTEGER)) AS BIGINT)
+               AS mask
+      FROM slots GROUP BY user_id, event_type
+    ), j AS (
+      SELECT a.user_id, a.mask AS ma, b.mask AS mb
+      FROM (SELECT user_id, mask FROM masks WHERE event_type = 'click') a
+      JOIN (SELECT user_id, mask FROM masks WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+    )
+    SELECT CAST(bit_count(ma & mb) AS BIGINT) AS overlap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(bit_count(ma | mb)) AS BIGINT) AS sum_union_days,
+           CAST(SUM(bit_count(ma)) AS BIGINT) AS sum_click_days
+    FROM j GROUP BY 1
+    """,
+)
+def x_bitmap_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """BITMAP-INDEX ACTIVITY ROLLUP — the roaring-bitmap/audience-segment
+    pattern in pure engine integers: each user's active days over a
+    63-day window collapse into ONE BIGINT bitset (``bit_or`` of
+    ``1 << slot``), after which audience intersections are bitwise AND +
+    popcount on 8-byte values instead of day-level joins.  Here: users
+    active in BOTH 'click' and 'purchase', histogrammed by number of
+    co-active days, with union/click-day mass per bucket.  This is the
+    compose-without-rescanning property for set-membership — segment
+    overlap matrices at 100 TB become k² mask joins on pre-reduced
+    per-user rows, never k² event scans.  The 63-slot bound keeps the
+    bitset inside a signed BIGINT (no sign-bit aliasing); the only
+    collect-free scalar is the 1-row min-day broadcast.  Output ≤ 64
+    histogram rows."""
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day"),
+    )
+    mn = e.agg(F.min("day").alias("min_day"))
+    slots = (
+        e.crossJoin(F.broadcast(mn))
+        .withColumn("slot", F.col("day") - F.col("min_day"))
+        .filter(F.col("slot") < 63)
+    )
+    masks = (
+        slots.groupBy("user_id", "event_type")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(slot AS INT)))"
+            ).alias("mask")
+        )
+        .cache()  # feeds both audience filters — one event scan, not two
+    )
+    a = masks.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("mask").alias("ma")
+    )
+    b = masks.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("mask").alias("mb")
+    )
+    j = a.join(b, "user_id")
+    return (
+        j.groupBy(
+            F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+            .cast("long")
+            .alias("overlap_days")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.bit_count(F.col("ma").bitwiseOR(F.col("mb"))))
+            .cast("long")
+            .alias("sum_union_days"),
+            F.sum(F.bit_count(F.col("ma"))).cast("long").alias("sum_click_days"),
+        )
+    )
+
+
+@register(
+    "x_golden_record",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+                  AS BIGINT) AS ck
+      FROM documents
+    ), sizes AS (
+      SELECT ck, COUNT(*) AS n_members FROM d GROUP BY ck HAVING COUNT(*) > 1
+    ), m AS (
+      SELECT d.* FROM d JOIN sizes USING (ck)
+    ), lang_rank AS (
+      SELECT ck, lang, ROW_NUMBER() OVER (
+        PARTITION BY ck ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM m GROUP BY ck, lang
+    ), src_rank AS (
+      SELECT ck, source, ROW_NUMBER() OVER (
+        PARTITION BY ck ORDER BY COUNT(*) DESC, source) AS rn
+      FROM m GROUP BY ck, source
+    ), base AS (
+      SELECT ck, CAST(MIN(doc_id) AS BIGINT) AS golden_id,
+             CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM m GROUP BY ck
+    )
+    SELECT b.ck, b.golden_id, b.best_n_chars, b.n_members,
+           l.lang AS modal_lang, s.source AS modal_source
+    FROM base b
+    JOIN (SELECT ck, lang FROM lang_rank WHERE rn = 1) l USING (ck)
+    JOIN (SELECT ck, source FROM src_rank WHERE rn = 1) s USING (ck)
+    """,
+)
+def x_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """GOLDEN-RECORD CONSOLIDATION — the survivorship step after entity
+    blocking: records blocked into candidate-duplicate clusters (here the
+    40-char text prefix through the cross-engine md5 hash — the blocking
+    key under which the corpus's planted near-dup variants collide at
+    every SF) are merged into ONE canonical row per cluster: modal lang
+    and modal source (most frequent wins, lexicographic tiebreak), the
+    longest variant's n_chars, the smallest doc_id as the surviving key.
+    Mode-per-group is a count-then-struct-MIN aggregate (``min((-cnt,
+    val))``) — two key-partitioned aggregations, never a per-cluster
+    window sort over members; all three per-cluster branches join back
+    on the cluster key (co-partitioned, AQE-coalesced).  Singleton
+    blocks are excluded — consolidation output is exactly the clusters
+    where a merge decision existed."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        D.portable_hash60(F.substring(F.col("text"), 1, 40)).alias("ck"),
+    )
+    sizes = (
+        d.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+    m = d.join(sizes.select("ck"), "ck", "left_semi").cache()
+
+    def _mode(col: str, out: str) -> DataFrame:
+        return (
+            m.groupBy("ck", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("ck")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col(col).alias("v"))
+                ).alias("mm")
+            )
+            .select("ck", F.col("mm.v").alias(out))
+        )
+
+    base = m.groupBy("ck").agg(
+        F.min("doc_id").cast("long").alias("golden_id"),
+        F.max("n_chars").cast("long").alias("best_n_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        base.join(_mode("lang", "modal_lang"), "ck")
+        .join(_mode("source", "modal_source"), "ck")
+        .select(
+            "ck",
+            "golden_id",
+            "best_n_chars",
+            "n_members",
+            "modal_lang",
+            "modal_source",
+        )
+    )
+
+
+@register(
+    "x_decile_lift",
+    """
+    WITH hist AS (
+      SELECT n_chars AS score, COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+      FROM documents GROUP BY n_chars
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(SUM(pos) AS BIGINT) AS total_pos
+      FROM hist
+    ), cum AS (
+      SELECT score, n, pos,
+             COALESCE(CAST(SUM(n) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS cum_before
+      FROM hist
+    ), dec AS (
+      SELECT 1 + 10 * cum_before // total_n AS decile,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM cum CROSS JOIN tot
+      GROUP BY 1
+    ), folded AS (
+      SELECT decile, n_rows, n_pos,
+             CAST(SUM(n_rows) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      FROM dec
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+           CAST(n_pos * 1000000 // n_rows AS BIGINT) AS rate_micro,
+           cum_n, cum_pos,
+           CAST(cum_pos * total_n * 1000000 // (cum_n * total_pos)
+                AS BIGINT) AS cum_lift_micro
+    FROM folded CROSS JOIN tot
+    """,
+)
+def x_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """DECILE LIFT / GAINS TABLE — the model-evaluation ranking audit
+    (here: does the n_chars 'score' concentrate English docs in its top
+    deciles?): rows ranked by score, cut into population deciles, each
+    reporting positive rate and cumulative lift vs the base rate.  The
+    100 TB shape is the whole point: NO global row sort or ntile —
+    scores first collapse to a bounded value histogram (distinct
+    n_chars, constant-order cardinality), deciles derive from cumulative
+    counts over that histogram (``1 + 10·cum_before ÷ N``), and the two
+    ordered windows run over the histogram (~300 rows) and the decile
+    table (≤10 rows).  Ties share a decile (cut points never split a
+    score value — documented gains-table semantics).  All ratios are
+    nonneg integer micro-units; lift cross-multiplies
+    ``cum_pos·N / (cum_n·P)`` exactly (overflow-safe through 100×:
+    cum_pos·N·1e6 ≲ 2.5e17 ≪ 2⁶³)."""
+    d = load_table(spark, sf, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
+    )
+    hist = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_pos").cast("long").alias("pos")
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.sum("pos").cast("long").alias("total_pos"),
+    )
+    from pyspark.sql.window import Window
+
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(wdesc).cast("long"), F.lit(0))
+    )
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.lit(1) + F.expr("10 * cum_before DIV total_n")).alias("decile")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    folded = dec.withColumn(
+        "cum_n", F.sum("n_rows").over(wcum).cast("long")
+    ).withColumn("cum_pos", F.sum("n_pos").over(wcum).cast("long"))
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_rows",
+        "n_pos",
+        F.expr("n_pos * 1000000 DIV n_rows").cast("long").alias("rate_micro"),
+        "cum_n",
+        "cum_pos",
+        F.expr("cum_pos * total_n * 1000000 DIV (cum_n * total_pos)")
+        .cast("long")
+        .alias("cum_lift_micro"),
+    )
+
+
+@register(
+    "x_rrf_fusion",
+    """
+    WITH cand AS (
+      SELECT term, doc_id, n_chars,
+             (length(text) - length(replace(text, term, '')))
+               // length(term) AS tf
+      FROM documents
+      CROSS JOIN (SELECT unnest(['data', 'stream', 'batch']) AS term) t
+    ), hits AS (
+      SELECT term, doc_id, n_chars, tf FROM cand WHERE tf > 0
+    ), ra AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rk
+      FROM hits
+    ), rb AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM hits
+    ), fused AS (
+      SELECT COALESCE(a.term, b.term) AS term,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.rk AS rank_tf, b.rk AS rank_len,
+             COALESCE(1000000 // (60 + a.rk), 0)
+             + COALESCE(1000000 // (60 + b.rk), 0) AS rrf_micro
+      FROM (SELECT * FROM ra WHERE rk <= 20) a
+      FULL OUTER JOIN (SELECT * FROM rb WHERE rk <= 20) b
+        ON a.term = b.term AND a.doc_id = b.doc_id
+    )
+    SELECT term, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(rank_tf, 0) AS BIGINT) AS rank_tf,
+           CAST(COALESCE(rank_len, 0) AS BIGINT) AS rank_len,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rk AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY rrf_micro DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def x_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
+    (keyword + semantic lists merged by ``Σ 1/(60+rank)``, here in exact
+    integer micro units): per query term, candidates rank once by term
+    frequency and once by a second signal (length prior standing in for
+    the dense-retriever score — the fusion algebra is the operator),
+    top-20 of each list full-outer-merge, fused top-10 wins.  Absent
+    ranks contribute 0 (the defining RRF property — presence in both
+    lists compounds).  Scale shape: the per-term candidate set prunes to
+    tf>0 BEFORE any window (postings, not corpus), both rank windows
+    push the small-k top-k limit below their sorts, the merge join is
+    two ≤20-row lists per term.  Determinism: doc_id tiebreaks at every
+    rank; tf from replace-length arithmetic (no regex, no tokenizer
+    divergence)."""
+    terms = F.array(F.lit("data"), F.lit("stream"), F.lit("batch"))
+    d = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars", "text", F.explode(terms).alias("term"))
+        .withColumn(
+            "tf",
+            (
+                (F.length("text") - F.length(F.expr("replace(text, term, '')")))
+                / F.length("term")
+            ).cast("long"),
+        )
+        .filter(F.col("tf") > 0)
+        .select("term", "doc_id", "n_chars", "tf")
+        .cache()
+    )
+    ra = top_k_per_group(
+        d, ["term"], [F.col("tf").desc(), F.col("doc_id").asc()], 20, "rank_tf"
+    ).select("term", "doc_id", "rank_tf")
+    rb = top_k_per_group(
+        d, ["term"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 20, "rank_len"
+    ).select("term", "doc_id", "rank_len")
+    fused = (
+        ra.join(rb, ["term", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(
+                F.expr("1000000 DIV (60 + rank_tf)").cast("long"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000 DIV (60 + rank_len)").cast("long"), F.lit(0)
+            ),
+        )
+        .withColumn("rank_tf", F.coalesce(F.col("rank_tf"), F.lit(0)))
+        .withColumn("rank_len", F.coalesce(F.col("rank_len"), F.lit(0)))
+    )
+    return top_k_per_group(
+        fused,
+        ["term"],
+        [F.col("rrf_micro").desc(), F.col("doc_id").asc()],
+        10,
+        "fused_rank",
+    ).select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank_tf").cast("long").alias("rank_tf"),
+        F.col("rank_len").cast("long").alias("rank_len"),
+        F.col("rrf_micro").cast("long").alias("rrf_micro"),
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+@register(
+    "x_sax_symbols",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), framed AS (
+      SELECT nat,
+             (day - MIN(day) OVER (PARTITION BY nat)) // 30 AS frame,
+             x
+      FROM daily
+    ), paa AS (
+      SELECT nat, frame,
+             CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_cents
+      FROM framed GROUP BY nat, frame
+    ), sym AS (
+      SELECT nat, frame,
+             substr('abcd',
+                    CAST(NTILE(4) OVER (PARTITION BY nat
+                                        ORDER BY mean_cents, frame)
+                         AS INTEGER), 1) AS s
+      FROM paa
+    )
+    SELECT nat AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           string_agg(s, '' ORDER BY frame) AS sax
+    FROM sym GROUP BY nat
+    """,
+)
+def x_sax_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX SYMBOLIZATION (Symbolic Aggregate approXimation) of each
+    nation's daily revenue series — the time-series indexing/motif-mining
+    front end: Piecewise Aggregate Approximation over 30-day frames
+    (integer mean cents, exact ``sum ÷ n``), then each frame quantized
+    to a 4-letter alphabet by ITS nation's own distribution (NTILE over
+    the per-nation frame means, frame-id tiebreak → fully deterministic
+    without the Gaussian-breakpoint float table), concatenated in frame
+    order into one motif string per nation.  Downstream, equal substrings
+    = candidate motifs and string distance lower-bounds series distance —
+    the classic reason to symbolize at 100 TB.  Scale shape: raw orders
+    reduce to (nation, day) FIRST, frames reduce again (~80 per nation),
+    every window runs on the reduced tables along the nation
+    partitioning; the ordered concat is an array_sort fold, not a
+    driver collect."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
+            "day"
+        ),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nat"), "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("nat")
+    framed = daily.select(
+        "nat",
+        ((F.col("day") - F.min("day").over(wp)) / 30).cast("long").alias("frame"),
+        "x",
+    )
+    paa = framed.groupBy("nat", "frame").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mean_cents")
+    )
+    wq = Window.partitionBy("nat").orderBy("mean_cents", "frame")
+    sym = paa.select(
+        "nat",
+        "frame",
+        F.substring(F.lit("abcd"), F.ntile(4).over(wq), 1).alias("s"),
+    )
+    return (
+        sym.groupBy("nat")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(frame, s))),"
+                " p -> p.s), '')"
+            ).alias("sax"),
+        )
+        .select(F.col("nat").alias("n_name"), "n_frames", "sax")
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -10222,7 +10707,9 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
 # f_lateral_topk, x_weighted_median, x_binned_interval_join, f_orc_scan,
 # x_longest_streak, f_map_pack, x_pii_redact, x_kcore_trade,
-# x_chi2_independence, x_grid_nearest_join, x_acf_lag, plus any
+# x_chi2_independence, x_grid_nearest_join, x_acf_lag, x_bitmap_rollup,
+# x_golden_record, x_decile_lift, x_rrf_fusion, x_sax_symbols,
+# a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,

@@ -229,6 +229,8 @@ _CARTESIAN_ALLOWED = {
     "x_abc_analysis",          # revenue total: 1-row broadcast scalar join
     "x_benford_audit",         # digit total: 1-row broadcast scalar join
     "x_chi2_independence",     # r×c marginal grid (≤125 rows) + 1-row total
+    "x_bitmap_rollup",         # window min-day: 1-row broadcast scalar join
+    "x_decile_lift",           # corpus totals: 1-row broadcast scalar joins
 }
 
 
@@ -452,6 +454,60 @@ def test_acf_reduces_before_windows(spark):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert n_nodes(plan, "Exchange") <= 10
+
+
+def test_bitmap_rollup_reduces_to_masks_before_join(spark):
+    """The audience-overlap join must run on per-user BIGINT masks (one
+    groupBy reduce), never on day-level rows; the only nested-loop is the
+    1-row min-day broadcast."""
+    spark.catalog.clearCache()  # cold plan — cache state changes strategies
+    plan = plan_of(spark, "x_bitmap_rollup")
+    assert "InMemoryTableScan" in plan  # mask table feeds both audiences
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "Exchange") <= 7
+
+
+def test_golden_record_modes_are_aggregates_not_windows(spark):
+    """Mode-per-cluster must be the count-then-struct-min AGGREGATE — a
+    Window node here would mean per-cluster member sorts at 100 TB."""
+    spark.catalog.clearCache()  # cold plan — cache state changes strategies
+    plan = plan_of(spark, "x_golden_record")
+    assert n_nodes(plan, "Window") == 0
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_decile_lift_windows_only_after_histogram(spark):
+    """The gains table must never sort raw rows: its two ordered windows
+    run over the bounded score histogram and the ≤10-row decile table,
+    so the whole plan stays within a small exchange budget."""
+    plan = plan_of(spark, "x_decile_lift")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Exchange") <= 8
+
+
+def test_rrf_fusion_prunes_candidates_before_ranking(spark):
+    """RRF must rank pruned postings (tf>0 candidates, cached — both
+    rank lists read them), never the raw corpus, and the list merge is a
+    two-small-lists join — no product shapes anywhere."""
+    spark.catalog.clearCache()  # cold plan — cache state changes strategies
+    plan = plan_of(spark, "x_rrf_fusion")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 8
+
+
+def test_sax_reduces_twice_before_windows(spark):
+    """SAX must reduce orders → (nation, day) → (nation, frame) before
+    any window; everything ordered runs on the reduced frame table along
+    the nation partitioning."""
+    plan = plan_of(spark, "x_sax_symbols")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 8
 
 
 def test_pareto_frontier_is_one_shuffle_no_join(spark):
