@@ -9750,7 +9750,9 @@ def x_kcore_trade(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = G.undirect(pairs)
+    # cache: the distinct-pair build feeds BOTH the k scalar and round-1
+    # peeling — without it the lineitem⋈orders distinct executes twice
+    edges = G.undirect(pairs).cache()
     k = edges.agg(
         F.expr("1 + count(*) div count(DISTINCT src)").alias("k")
     ).collect()[0]["k"]
@@ -10627,6 +10629,117 @@ def x_sax_symbols(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_ols_normal_eq",
+    """
+    WITH raw AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+      FROM raw GROUP BY flag
+    ), m AS (
+      SELECT flag, n, sx1, sx2, sy,
+             CAST(n AS DOUBLE) * CAST(sx1x1 AS DOUBLE)
+               - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) AS a11,
+             CAST(n AS DOUBLE) * CAST(sx1x2 AS DOUBLE)
+               - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a12,
+             CAST(n AS DOUBLE) * CAST(sx2x2 AS DOUBLE)
+               - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a22,
+             CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE)
+               - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+             CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE)
+               - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2
+      FROM s
+    ), fit AS (
+      SELECT flag, n, sx1, sx2, sy, a11, a12, a22, b1, b2,
+             a11 * a22 - a12 * a12 AS det
+      FROM m
+    )
+    SELECT flag AS l_returnflag, n,
+           CAST(ROUND((b1 * a22 - b2 * a12) / det * 1000000.0, 0)
+                AS BIGINT) AS beta_qty_micro,
+           CAST(ROUND((b2 * a11 - b1 * a12) / det * 1000000.0, 0)
+                AS BIGINT) AS beta_disc_micro,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - (b1 * a22 - b2 * a12) / det * CAST(sx1 AS DOUBLE)
+                       - (b2 * a11 - b1 * a12) / det * CAST(sx2 AS DOUBLE))
+                      / CAST(n AS DOUBLE), 0) AS BIGINT) AS intercept_cents
+    FROM fit
+    """,
+)
+def x_ols_normal_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """CLOSED-FORM 2-FEATURE OLS via the normal equations — in-engine
+    model fitting as ONE aggregation pass: per return-flag group, regress
+    line price (cents) on quantity and discount from the nine sufficient
+    statistics (n, Σx, Σxx, Σxy), then solve the centered 2×2 system by
+    Cramer's rule.  This is how regression actually runs at 100 TB — the
+    sufficient statistics are a map-side-combinable aggregate (the model
+    'trains' in the same shuffle an AVG would take), and the solve is
+    O(1) per group.  Determinism: every Σ is an exact BIGINT; the solve
+    is a FIXED chain of IEEE double ops (±,×,÷ are correctly rounded and
+    engine-identical) from those integers, emitted through the
+    round-half-away micro fixed point — bit-identical cross-engine
+    without any iterative fitter.  Degenerate groups (singular det) do
+    not occur on this data (both regressors vary within every flag)."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x2"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = s.select(
+        "flag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (dd("n") * dd("sx1x1") - dd("sx1") * dd("sx1")).alias("a11"),
+        (dd("n") * dd("sx1x2") - dd("sx1") * dd("sx2")).alias("a12"),
+        (dd("n") * dd("sx2x2") - dd("sx2") * dd("sx2")).alias("a22"),
+        (dd("n") * dd("sx1y") - dd("sx1") * dd("sy")).alias("b1"),
+        (dd("n") * dd("sx2y") - dd("sx2") * dd("sy")).alias("b2"),
+    )
+    fit = m.withColumn("det", F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+    beta1 = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / F.col("det")
+    beta2 = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / F.col("det")
+    return fit.select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        F.round(beta1 * F.lit(1000000.0), 0).cast("long").alias("beta_qty_micro"),
+        F.round(beta2 * F.lit(1000000.0), 0).cast("long").alias("beta_disc_micro"),
+        F.round(
+            (dd("sy") - beta1 * dd("sx1") - beta2 * dd("sx2")) / dd("n"), 0
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -10709,7 +10822,7 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_longest_streak, f_map_pack, x_pii_redact, x_kcore_trade,
 # x_chi2_independence, x_grid_nearest_join, x_acf_lag, x_bitmap_rollup,
 # x_golden_record, x_decile_lift, x_rrf_fusion, x_sax_symbols,
-# a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
+# x_ols_normal_eq, a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,

@@ -510,6 +510,18 @@ def test_sax_reduces_twice_before_windows(spark):
     assert n_nodes(plan, "Exchange") <= 8
 
 
+def test_ols_normal_eq_is_one_aggregation(spark):
+    """The regression must 'train' inside a single map-side-combinable
+    aggregate (sufficient statistics), solved per group in the projection
+    — one shuffle, no joins, no windows."""
+    plan = plan_of(spark, "x_ols_normal_eq")
+    assert n_nodes(plan, "Exchange") <= 2
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") == 0
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
 def test_pareto_frontier_is_one_shuffle_no_join(spark):
     """The skyline rewrite's whole point: two window functions over one
     brand partitioning — a single exchange, zero joins of any kind."""

@@ -31,6 +31,27 @@ def test_every_query_has_an_oracle():
     assert rows_only == []
 
 
+def test_register_names_are_unique_in_source():
+    """A second @register under an existing name silently overwrites the
+    first (dict assignment), shadowing a live query — exactly what
+    happened to a_grouping_sets in round 4 (caught and un-shadowed in
+    round 5).  Pin uniqueness at the source-text level, where the dict
+    can't hide the collision."""
+    import collections
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).parent.parent
+        / "kafka_streaming_spark"
+        / "queries.py"
+    ).read_text()
+    names = re.findall(r'@register\(\s*\n?\s*"([a-z0-9_]+)"', src)
+    dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+    assert dupes == []
+    assert len(names) == len(REGISTRY)
+
+
 def test_oracles_are_nonempty_sql():
     bad = [
         n
