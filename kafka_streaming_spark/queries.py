@@ -10740,6 +10740,155 @@ def x_ols_normal_eq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_preference_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+                  AS BIGINT) AS blk
+      FROM documents
+    ), multi AS (
+      SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 1
+    ), m AS (
+      SELECT d.* FROM d JOIN multi USING (blk)
+    ), ranked AS (
+      SELECT blk, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY n_chars DESC, doc_id) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY n_chars ASC, doc_id DESC) AS rw
+      FROM m
+    ), counts AS (
+      SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM m GROUP BY blk
+    )
+    SELECT b.blk,
+           CAST(b.doc_id AS BIGINT) AS chosen_id,
+           CAST(w.doc_id AS BIGINT) AS rejected_id,
+           CAST(b.n_chars AS BIGINT) AS chosen_score,
+           CAST(w.n_chars AS BIGINT) AS rejected_score,
+           CAST(b.n_chars - w.n_chars AS BIGINT) AS margin,
+           c.n_candidates
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (blk)
+    JOIN counts c USING (blk)
+    WHERE b.n_chars > w.n_chars
+    """,
+)
+def x_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """PREFERENCE-PAIR MINING — contrastive (chosen, rejected) pair
+    construction for preference/reward training: within each prompt
+    block (the 40-char-prefix near-dup family, same blocking as
+    `x_golden_record`), the highest-scoring variant becomes `chosen`,
+    the lowest `rejected`, with the score margin attached (pairs with
+    zero margin are dropped — no learning signal).  The score is the
+    deterministic n_chars stand-in; swap in any quality column and the
+    shape holds.  Both extremes come from ONE aggregate over the
+    members (struct-min with sign tricks: ``min((-score, id))`` is the
+    argmax with min-id tiebreak, ``min((score, -id))`` the argmin with
+    max-id tiebreak) — never a per-block window sort, so pair mining
+    stays a two-shuffle groupBy at 100 TB (the oracle's window form is
+    the same argmin/argmax with matching tiebreaks)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        D.portable_hash60(F.substring(F.col("text"), 1, 40)).alias("blk"),
+    )
+    multi = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("blk")
+    )
+    m = d.join(multi, "blk", "left_semi")
+    ranked = m.groupBy("blk").agg(
+        F.min(
+            F.struct((-F.col("n_chars")).alias("ns"), F.col("doc_id").alias("id"))
+        ).alias("best"),
+        F.min(
+            F.struct(F.col("n_chars").alias("s"), (-F.col("doc_id")).alias("nid"))
+        ).alias("worst"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        ranked.filter(-F.col("best.ns") > F.col("worst.s"))
+        .select(
+            "blk",
+            F.col("best.id").cast("long").alias("chosen_id"),
+            (-F.col("worst.nid")).cast("long").alias("rejected_id"),
+            (-F.col("best.ns")).cast("long").alias("chosen_score"),
+            F.col("worst.s").cast("long").alias("rejected_score"),
+            (-F.col("best.ns") - F.col("worst.s")).cast("long").alias("margin"),
+            "n_candidates",
+        )
+    )
+
+
+@register(
+    "x_leakage_safe_split",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+                  AS BIGINT) AS blk
+      FROM documents
+    ), anchors AS (
+      SELECT blk, MIN(doc_id) AS anchor FROM d GROUP BY blk
+    ), assigned AS (
+      SELECT d.doc_id, d.n_chars, d.blk,
+             CASE WHEN CAST(concat('0x', substr(md5('split'
+                        || CAST(a.anchor AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM d JOIN anchors a USING (blk)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM assigned GROUP BY split
+    """,
+)
+def x_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE TRAIN/TEST SPLIT — the contamination-proof
+    alternative to row-level splitting: every document inherits the
+    split of its NEAR-DUP CLUSTER (40-char-prefix block), decided by
+    hashing the cluster's anchor (min doc_id), so two near-identical
+    variants can never land on opposite sides of the split — the
+    train-on-test-paraphrase leak that row hashing
+    (`x_doc_split`) permits by construction.  80/20 via the
+    cross-engine md5 hash of the anchor; deterministic, retry-stable,
+    engine-identical.  Scale shape: one groupBy for anchors, one
+    key-partitioned join back, one final fold — the anchor join stays
+    on the block key end-to-end.  By construction
+    ``n_clusters('train') + n_clusters('test') = total distinct
+    blocks`` (no straddling cluster — the audited invariant)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        D.portable_hash60(F.substring(F.col("text"), 1, 40)).alias("blk"),
+    )
+    anchors = d.groupBy("blk").agg(F.min("doc_id").alias("anchor"))
+    assigned = d.join(anchors, "blk").withColumn(
+        "split",
+        F.when(
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("split"), F.col("anchor").cast("string"))
+                ),
+                F.lit(10),
+            )
+            < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("blk").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -10822,7 +10971,8 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_longest_streak, f_map_pack, x_pii_redact, x_kcore_trade,
 # x_chi2_independence, x_grid_nearest_join, x_acf_lag, x_bitmap_rollup,
 # x_golden_record, x_decile_lift, x_rrf_fusion, x_sax_symbols,
-# x_ols_normal_eq, a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
+# x_ols_normal_eq, x_preference_pairs, x_leakage_safe_split,
+# a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
 # q18_large_orders, t_sliding_window, a_cube, j_asof_join,

@@ -522,6 +522,25 @@ def test_ols_normal_eq_is_one_aggregation(spark):
     assert "partial" in plan.lower()  # map-side combine before the shuffle
 
 
+def test_preference_pairs_extremes_are_aggregates(spark):
+    """Both pair extremes (chosen argmax, rejected argmin) must come from
+    ONE struct-min aggregate over block members — a Window here means
+    per-block member sorts at 100 TB."""
+    plan = plan_of(spark, "x_preference_pairs")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_leakage_safe_split_stays_on_block_key(spark):
+    """Cluster-aware splitting is one anchor groupBy + one key join +
+    one fold — no products, bounded exchanges."""
+    plan = plan_of(spark, "x_leakage_safe_split")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 6
+
+
 def test_pareto_frontier_is_one_shuffle_no_join(spark):
     """The skyline rewrite's whole point: two window functions over one
     brand partitioning — a single exchange, zero joins of any kind."""
