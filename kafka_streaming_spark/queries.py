@@ -10008,6 +10008,31 @@ def x_grid_nearest_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _nation_daily_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared series builder for the per-nation time-series operators
+    (`x_acf_lag`, `x_sax_symbols`, `x_rolling_median`): one row per
+    (nation, day) with exact revenue cents — raw orders reduce here
+    FIRST, so every downstream window runs on the ~nation×2400-row
+    series, never on order volume."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
+            "day"
+        ),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nat"), "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+
+
 @register(
     "x_acf_lag",
     """
@@ -10078,23 +10103,7 @@ def x_acf_lag(spark: SparkSession, sf: str) -> DataFrame:
     shuffle end-to-end.  Row-lag semantics over observed days (standard
     sparse-series ACF); denominator spans all n terms, numerator the
     n−k overlapped pairs."""
-    o = load_table(spark, sf, "orders").select(
-        "o_custkey",
-        F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
-            "day"
-        ),
-        F.expr(
-            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-        ).alias("cents"),
-    )
-    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
-    daily = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nat"), "day")
-        .agg(F.sum("cents").cast("long").alias("x"))
-    )
+    daily = _nation_daily_cents(spark, sf)
     from pyspark.sql.window import Window
 
     wo = Window.partitionBy("nat").orderBy("day")
@@ -10582,23 +10591,7 @@ def x_sax_symbols(spark: SparkSession, sf: str) -> DataFrame:
     every window runs on the reduced tables along the nation
     partitioning; the ordered concat is an array_sort fold, not a
     driver collect."""
-    o = load_table(spark, sf, "orders").select(
-        "o_custkey",
-        F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
-            "day"
-        ),
-        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
-            "cents"
-        ),
-    )
-    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
-    daily = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nat"), "day")
-        .agg(F.sum("cents").cast("long").alias("x"))
-    )
+    daily = _nation_daily_cents(spark, sf)
     from pyspark.sql.window import Window
 
     wp = Window.partitionBy("nat")
@@ -10889,6 +10882,129 @@ def x_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_rolling_median",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT nat, day, x,
+             list(x) OVER (PARTITION BY nat ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+      FROM daily
+    )
+    SELECT nat AS n_name, day, x,
+           CAST(len(w) AS BIGINT) AS w_size,
+           CAST(list_sort(w)[CAST((len(w) + 1) // 2 AS INTEGER)]
+                AS BIGINT) AS med7_cents
+    FROM win
+    """,
+)
+def x_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING MEDIAN (trailing 7-day window) of each nation's daily
+    revenue — the robust smoother that survives the outlier days a
+    rolling MEAN chases (`w_moving_avg` is the mean twin; `x_ewma_smooth`
+    the exponential one).  Exact small-frame median: the 7-element frame
+    materializes as an array (collect over a ROWS frame), sorts, and
+    takes the lower median — O(k log k) per row with k bounded by the
+    frame, the right exact-median shape when the frame is small and the
+    series is long (quantile sketches are for the transposed case).
+    Scale shape: raw orders reduce to (nation, day) FIRST; the window
+    runs on the reduced series along the nation partitioning.  All
+    integer cents — array_sort and 1-based indexing agree across
+    engines."""
+    daily = _nation_daily_cents(spark, sf)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nat").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("nat").alias("n_name"),
+        "day",
+        "x",
+        F.size(F.collect_list("x").over(w)).cast("long").alias("w_size"),
+        F.element_at(
+            F.array_sort(F.collect_list("x").over(w)),
+            ((F.size(F.collect_list("x").over(w)) + 1) / 2).cast("int"),
+        )
+        .cast("long")
+        .alias("med7_cents"),
+    )
+
+
+@register(
+    "x_id_completeness_audit",
+    """
+    WITH feeds AS (
+      SELECT 'raw' AS feed, o_orderkey AS id FROM orders
+      UNION ALL
+      SELECT 'after_loss', o_orderkey FROM orders
+      WHERE CAST(concat('0x', substr(md5('loss'
+                 || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 97 <> 0
+    ), b AS (
+      SELECT feed, id // 4096 AS bucket,
+             COUNT(*) AS present,
+             MIN(id) AS lo,
+             MAX(id) AS hi
+      FROM feeds GROUP BY feed, bucket
+    )
+    SELECT feed,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 4096 AS BIGINT) AS bucket_start,
+           CAST(present AS BIGINT) AS present,
+           CAST(4096 - present AS BIGINT) AS missing,
+           CAST(lo AS BIGINT) AS first_present,
+           CAST(hi AS BIGINT) AS last_present
+    FROM b WHERE present < 4096
+    """,
+)
+def x_id_completeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ID-SPACE COMPLETENESS AUDIT — the CDC/backfill integrity check
+    ("did every sequence number arrive?") in its SCALABLE form: instead
+    of a global lead()-over-everything window (a single-partition sort at
+    100 TB), the id space folds into fixed 4096-wide buckets with ONE
+    groupBy; a bucket holding fewer than 4096 ids has gaps, and only
+    those buckets are reported (present/missing counts + the observed id
+    range to steer a targeted re-pull).  Two feeds run through the audit
+    side by side: the intact id stream (orderkeys are dense, so only the
+    ragged tail bucket reports — the all-clear answer) and a
+    deterministically damaged copy (~1% of ids dropped by hash), where
+    EVERY bucket reports its loss — the detection-power witness.  One
+    shuffle, output bounded by 2 × id-range/4096."""
+    o = load_table(spark, sf, "orders").select(F.col("o_orderkey").alias("id"))
+    damaged = o.filter(
+        F.pmod(
+            D.portable_hash60(F.concat(F.lit("loss"), F.col("id").cast("string"))),
+            F.lit(97),
+        )
+        != 0
+    )
+    feeds = o.withColumn("feed", F.lit("raw")).unionAll(
+        damaged.withColumn("feed", F.lit("after_loss"))
+    )
+    b = feeds.groupBy("feed", F.expr("id DIV 4096").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+    return b.filter(F.col("present") < 4096).select(
+        "feed",
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * 4096).cast("long").alias("bucket_start"),
+        F.col("present").cast("long").alias("present"),
+        (F.lit(4096) - F.col("present")).cast("long").alias("missing"),
+        F.col("lo").cast("long").alias("first_present"),
+        F.col("hi").cast("long").alias("last_present"),
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.bal_cents
     FROM nation n,
@@ -10972,6 +11088,7 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_chi2_independence, x_grid_nearest_join, x_acf_lag, x_bitmap_rollup,
 # x_golden_record, x_decile_lift, x_rrf_fusion, x_sax_symbols,
 # x_ols_normal_eq, x_preference_pairs, x_leakage_safe_split,
+# x_rolling_median, x_id_completeness_audit,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -541,6 +541,26 @@ def test_leakage_safe_split_stays_on_block_key(spark):
     assert n_nodes(plan, "Exchange") <= 6
 
 
+def test_rolling_median_window_on_reduced_series(spark):
+    """The rolling median must window the (nation, day) reduced series —
+    exchange budget covers the daily reduce + one nation-partitioned
+    window; no products."""
+    plan = plan_of(spark, "x_rolling_median")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 5
+    assert n_nodes(plan, "Window") == 1  # one frame pass, not per-column
+
+
+def test_id_completeness_is_one_groupby_no_window(spark):
+    """The audit's whole point: bucket-fold completeness, never a global
+    lead() window (a single-partition sort at scale)."""
+    plan = plan_of(spark, "x_id_completeness_audit")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Exchange") <= 3
+
+
 def test_pareto_frontier_is_one_shuffle_no_join(spark):
     """The skyline rewrite's whole point: two window functions over one
     brand partitioning — a single exchange, zero joins of any kind."""
