@@ -11070,6 +11070,377 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_RECURSIVE_BOM_SQL.replace("a.anc // 10", "a.anc DIV 10"))
 
 
+# ===========================================================================
+# Round-5 late batch: classification evaluation, privacy l-diversity, graph
+# statistics, embedding diagnostics
+# ===========================================================================
+
+
+@register(
+    "x_langid_confusion",
+    """
+    WITH h AS (
+      SELECT lang AS actual,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS h_en,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ein)\\b')) AS h_de,
+             len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS h_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b')) AS h_fr
+      FROM documents
+    ), p AS (
+      SELECT actual,
+             CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                  WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                  WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                  ELSE 'fr' END AS pred
+      FROM h
+    ), a AS (
+      SELECT actual AS lang, COUNT(*) AS n_actual,
+             SUM(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS tp
+      FROM p GROUP BY actual
+    ), pr AS (
+      SELECT pred AS lang, COUNT(*) AS n_pred FROM p GROUP BY pred
+    )
+    SELECT COALESCE(a.lang, pr.lang) AS lang,
+           CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual,
+           CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+           CAST(CASE WHEN COALESCE(n_pred, 0) = 0 THEN 0
+                     ELSE COALESCE(tp, 0) * 1000000 // n_pred END AS BIGINT)
+             AS precision_micro,
+           CAST(CASE WHEN COALESCE(n_actual, 0) = 0 THEN 0
+                     ELSE COALESCE(tp, 0) * 1000000 // n_actual END AS BIGINT)
+             AS recall_micro,
+           CAST(COALESCE(tp, 0) * 2000000
+                // (COALESCE(n_actual, 0) + COALESCE(n_pred, 0)) AS BIGINT)
+             AS f1_micro
+    FROM a FULL JOIN pr ON a.lang = pr.lang
+    """,
+)
+def x_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """CLASSIFIER EVALUATION (new family): per-class confusion-matrix
+    metrics for the heuristic language identifier (`x_doc_lang_id`)
+    scored against the documents table's ground-truth ``lang`` column —
+    precision / recall / F1 in integer micro-units per class.  The
+    corpus contains a class (`zh`) the 4-language marker heuristic can
+    never predict, so the matrix exercises the zero-predicted edge
+    (precision guard) as well as the never-actual edge (`und`, recall
+    guard).  Shape: one pass computes (actual, pred) per doc; two
+    class-keyed aggregates (cached common input) meet in a tiny full
+    outer join — the per-class metric derivation touches |classes|
+    rows, never |docs|, so the eval costs one scan + two bounded
+    shuffles at any corpus size."""
+    d = load_table(spark, sf, "documents").select(
+        F.col("lang").alias("actual"), T.lang_id(F.col("text")).alias("pred")
+    )
+    p = d.cache()  # feeds both class-keyed aggregates
+    a = p.groupBy(F.col("actual").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_actual"),
+        F.sum((F.col("actual") == F.col("pred")).cast("long")).alias("tp"),
+    )
+    pr = p.groupBy(F.col("pred").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    return a.join(pr, "lang", "full").selectExpr(
+        "lang",
+        "CAST(coalesce(n_actual, 0) AS BIGINT) AS n_actual",
+        "CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred",
+        "CAST(coalesce(tp, 0) AS BIGINT) AS tp",
+        "CAST(CASE WHEN coalesce(n_pred, 0) = 0 THEN 0"
+        "     ELSE coalesce(tp, 0) * 1000000 DIV n_pred END AS BIGINT)"
+        " AS precision_micro",
+        "CAST(CASE WHEN coalesce(n_actual, 0) = 0 THEN 0"
+        "     ELSE coalesce(tp, 0) * 1000000 DIV n_actual END AS BIGINT)"
+        " AS recall_micro",
+        "CAST(coalesce(tp, 0) * 2000000"
+        "     DIV (coalesce(n_actual, 0) + coalesce(n_pred, 0)) AS BIGINT)"
+        " AS f1_micro",
+    )
+
+
+@register(
+    "x_gini_impurity",
+    """
+    WITH s AS (
+      SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+    ), c AS (
+      SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY column_name, v
+    )
+    SELECT column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * 1000000
+                // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS impurity_micro
+    FROM c GROUP BY column_name
+    """,
+)
+def x_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-PROFILING Gini impurity per categorical column — the
+    class-balance diagnostic (1 - Σp²) behind decision-tree splits and
+    label-skew audits, in integer micro-units: ``(N² - Σc²)·10⁶ // N²``
+    over exact class counts (no floats anywhere).  Distinct from
+    `x_gini` (Lorenz wealth concentration): impurity measures categorical
+    balance, not numeric inequality.  One unpivoted scan over the three
+    profiled columns, one count-per-class shuffle, one per-column
+    reduce; output bounded by the column count.  Int64 bound: N²·10⁶
+    caps at N ≈ 3·10⁶ rows per column — beyond that drop the micro
+    factor to 10³ or accumulate in decimal(38,0) (DuckDB side is
+    HUGEINT-exact already)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = (
+        o.select(F.lit("o_orderstatus").alias("column_name"), F.col("o_orderstatus").alias("v"))
+        .unionAll(o.select(F.lit("o_orderpriority"), F.col("o_orderpriority")))
+        .unionAll(c.select(F.lit("c_mktsegment"), F.col("c_mktsegment")))
+    )
+    cnt = s.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    n2 = F.sum("cnt") * F.sum("cnt")
+    return cnt.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("cnt").alias("n_rows"),
+        ((n2 - F.sum(F.col("cnt") * F.col("cnt"))) * 1000000 / n2)
+        .cast("long")
+        .alias("impurity_micro"),
+    )
+
+
+@register(
+    "x_l_diversity",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT sens) AS BIGINT) AS distinct_sensitive,
+           CAST(CASE WHEN COUNT(DISTINCT sens) >= 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS l_diverse
+    FROM s GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def x_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """L-DIVERSITY audit (l=3) — the privacy check k-anonymity
+    (`x_k_anonymity`) famously misses: a quasi-identifier group can be
+    k-large yet leak the sensitive attribute if every member shares one
+    value.  Per QI group (nation × segment): size, number of distinct
+    sensitive values (bucketed account balance), and the l-diversity
+    flag.  One groupBy with a distinct-count; output bounded by the QI
+    domain product at any scale."""
+    c = load_table(spark, sf, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    n_sens = F.countDistinct("sens")
+    return (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            n_sens.alias("distinct_sensitive"),
+            (n_sens >= 3).cast("long").alias("l_diverse"),
+        )
+    )
+
+
+@register(
+    "x_degree_histogram",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 100000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), ends AS (
+      SELECT u AS src FROM pairs UNION ALL SELECT v FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS degree FROM ends GROUP BY src
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(src) AS BIGINT) AS sum_node
+    FROM deg GROUP BY degree
+    """,
+)
+def x_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the supplier-customer trade graph — the
+    first diagnostic run before any graph algorithm (it decides salting,
+    k-core thresholds, and whether pagerank needs skew handling).  Edge
+    endpoints → count per node → count per degree; `sum_node` makes the
+    node partition a value-checked witness, not just a count.  Two
+    key-hashed shuffles after the distinct edge build; output bounded by
+    the max degree."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    ends = pairs.select(F.col("u").alias("src")).unionAll(
+        pairs.select(F.col("v").alias("src"))
+    )
+    deg = ends.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("src").alias("sum_node"),
+    )
+
+
+@register(
+    "x_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 100000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), j AS (
+      SELECT a.d AS x, b.d AS y
+      FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS assortativity_micro
+    FROM sums
+    """,
+)
+def x_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the trade graph: Pearson correlation of
+    endpoint degrees over all directed edges — do hubs trade with hubs
+    (positive) or with the periphery (negative, the expected sign for a
+    bipartite supplier-customer graph)?  All six moment sums accumulate
+    EXACTLY (Spark decimal(38,0) / DuckDB HUGEINT — int64 would overflow
+    n·Σxy past sf≈1), then one fixed chain of IEEE double ops (two
+    casts, mul, sqrt, div, round) produces a bit-identical micro-unit
+    result, the same float-determinism discipline as `x_ols_normal_eq`.
+    Cost: the degree build plus one edges⋈deg⋈deg co-keyed join and a
+    scalar reduce."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    edges = G.undirect(pairs).cache()  # feeds deg build AND the pair join
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        edges.join(deg.select(F.col("src"), F.col("d").alias("x")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(num / F.sqrt(varx * vary) * 1000000.0, 0)
+        .cast("long")
+        .alias("assortativity_micro"),
+    )
+
+
+@register(
+    "x_pair_distance_hist",
+    """
+    WITH v AS (
+      SELECT vec_id, vec_id % 25 AS blk,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, 64),
+                   i -> (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i]))),
+               (acc, x) -> acc + x) AS dist2
+      FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(CAST(ROUND(dist2 * 1000000.0) AS BIGINT) / 1000000.0 * 4.0)
+                AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(id_a + id_b) AS BIGINT) AS sum_ids
+    FROM pairs GROUP BY bin
+    """,
+)
+def x_pair_distance_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-SPACE DIAGNOSTIC: histogram of pairwise squared-L2
+    distances over block-sampled pairs — the curve you read before
+    picking an ANN/SemDedup threshold (for L2-normalized vectors dist²
+    ∈ [0,4]; bin width 0.25).  Pair sampling is BLOCKED, not all-pairs:
+    vectors pair only within `vec_id % B` blocks, so pair count is
+    B·(N/B)² — B is the sampling-rate knob and scales with N to hold
+    expected pairs-per-block constant on a 100 TB corpus.  The per-pair
+    fold is a left-to-right `zip_with`/`aggregate` chain, bit-identical
+    to the DuckDB `list_reduce` replica; 6-digit rounding before binning
+    keeps bucket edges engine-stable."""
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 25).alias("blk"),
+        S.as_double(F.col("embedding")).alias("vec"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("blk"), F.col("vec").alias("va")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("blk"), F.col("vec").alias("vb")
+    )
+    pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    binned = pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(_round_fixed(dist2, 6) * 4.0).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("sum_ids"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -11088,7 +11459,9 @@ def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
 # x_chi2_independence, x_grid_nearest_join, x_acf_lag, x_bitmap_rollup,
 # x_golden_record, x_decile_lift, x_rrf_fusion, x_sax_symbols,
 # x_ols_normal_eq, x_preference_pairs, x_leakage_safe_split,
-# x_rolling_median, x_id_completeness_audit,
+# x_rolling_median, x_id_completeness_audit, x_langid_confusion,
+# x_gini_impurity, x_l_diversity, x_degree_histogram, x_assortativity,
+# x_pair_distance_hist,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -670,3 +670,75 @@ def test_binned_interval_join_no_nested_loop(spark):
         + n_nodes(plan, "ShuffledHashJoin")
         == 1
     )
+
+
+def test_langid_confusion_cached_input_and_bounded_shuffles(spark):
+    """The (actual, pred) projection feeds BOTH class-keyed aggregates: it
+    must be cached (one documents scan + one lang-id evaluation, not two),
+    and the whole eval costs at most the two class shuffles plus the tiny
+    full-outer join — bounded regardless of corpus size."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
+    plan = plan_of(spark, "x_langid_confusion")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "Exchange") <= 5
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_gini_impurity_two_phase_and_pruned_scans(spark):
+    """Impurity profiling: the class-count aggregate must keep its partial
+    (map-side) phase, and each profiled table's scan must read only the
+    profiled column — a full-row scan for a one-column profile is wrong."""
+    plan = plan_of(spark, "x_gini_impurity")
+    assert "partial_count" in plan or "partial_sum" in plan
+    for line in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert "o_totalprice" not in line
+        assert "c_acctbal" not in line
+
+
+def test_l_diversity_single_aggregate(spark):
+    """The l-diversity audit is ONE grouped aggregate over the QI keys —
+    exactly one exchange hierarchy (distinct-count expands internally but
+    never joins), and the customer scan reads only QI + sensitive cols."""
+    plan = plan_of(spark, "x_l_diversity")
+    assert n_nodes(plan, "Exchange") <= 2  # QI shuffle (+distinct expand)
+    line = read_schema_with(plan, "c_nationkey")
+    assert "c_address" not in line and "c_comment" not in line
+
+
+def test_assortativity_edges_cached_equi_joins_only(spark):
+    """The degree-correlation build must cache the undirected edge list
+    (feeds the degree aggregate AND the edges⋈deg⋈deg join) and join only
+    on hash-partitionable equi-keys — no nested loop anywhere; the final
+    moment reduce is a single-row aggregate."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
+    plan = plan_of(spark, "x_assortativity")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 8
+
+
+def test_pair_distance_hist_blocked_equi_join(spark):
+    """The pair sampler's scale contract: pairs form ONLY through the
+    `blk` equi-join (hash-partitionable, bounded per block) — never a
+    cartesian — and the id ordering survives as a join-level filter, so
+    the fold evaluates on N·(N/B) rows, not N²."""
+    plan = plan_of(spark, "x_pair_distance_hist")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert (
+        n_nodes(plan, "BroadcastHashJoin")
+        + n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        == 1
+    )
+
+
+def test_degree_histogram_two_phase_aggregates(spark):
+    """Both histogram passes (degree per node, nodes per degree) must keep
+    map-side partials; the edge build joins on the order key only."""
+    plan = plan_of(spark, "x_degree_histogram")
+    assert "partial_count" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Exchange") <= 6
