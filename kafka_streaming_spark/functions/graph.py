@@ -210,6 +210,49 @@ def bfs_distances(
     return dist
 
 
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Weighted multi-source shortest paths: ``rounds`` synchronous
+    Bellman-Ford relaxations of ``dist(dst) = min(dist(dst),
+    dist(src) + w)`` over an integer-weighted edge list.  Returns
+    ``(node, dist)`` for every node reachable within ``rounds`` hops —
+    exact shortest distances for paths of that hop count (the weighted
+    counterpart of :func:`bfs_distances`; BFS's frontier shortcut does
+    NOT apply here because a later, longer-hop path can be cheaper, so
+    every settled node re-relaxes each round).
+
+    Scale shape: each round is one edges⋈dist equi-join plus one
+    min-groupBy, both partitioned on the node key — O(rounds) passes
+    over the edge list, no driver state; min() keeps every round
+    order-independent (bit-identical under any partitioning).  For many
+    rounds, checkpoint every few iterations exactly as the
+    connected-components solver does.
+
+    ``seeds``: a DataFrame with a ``node`` column (distance 0 sources).
+    """
+    edges = edges.cache()
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(rounds):
+        cand = edges.join(dist.withColumnRenamed("node", src), src).select(
+            F.col(dst).alias("node"),
+            (F.col("dist") + F.col(w)).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionAll(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -11336,8 +11336,12 @@ def x_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     n·Σxy past sf≈1), then one fixed chain of IEEE double ops (two
     casts, mul, sqrt, div, round) produces a bit-identical micro-unit
     result, the same float-determinism discipline as `x_ols_normal_eq`.
-    Cost: the degree build plus one edges⋈deg⋈deg co-keyed join and a
-    scalar reduce."""
+    Cost: the degree build plus ONE pairs⋈deg⋈deg co-keyed join — the
+    bipartite u/v namespaces are disjoint, so each direction's moment
+    sums are the mirror of the other's and the physical join runs over
+    the |pairs| distinct edges, not the 2·|pairs| doubled edge list the
+    oracle (and the semantics) describe: n = 2·cnt, Σx = Σy =
+    Σ(dᵤ+dᵥ), Σxy doubles, Σx² = Σy² = Σ(dᵤ²+dᵥ²)."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -11347,25 +11351,25 @@ def x_assortativity(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("o_custkey") + 100000).alias("v"),
         )
         .distinct()
+        .cache()  # feeds both degree builds AND the pair join
     )
-    edges = G.undirect(pairs).cache()  # feeds deg build AND the pair join
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    j = (
-        edges.join(deg.select(F.col("src"), F.col("d").alias("x")), "src")
-        .join(
-            deg.select(F.col("src").alias("dst"), F.col("d").alias("y")),
-            "dst",
-        )
-        .select("x", "y")
-    )
+    deg_u = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("x"))
+    deg_v = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("y"))
+    j = pairs.join(deg_u, "u").join(deg_v, "v").select("x", "y")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    sums = j.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    half = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+        F.sum(dec(F.col("x") + F.col("y"))).alias("s1"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("s11"),
+        F.sum(dec(F.col("x") * F.col("x") + F.col("y") * F.col("y"))).alias("s2"),
+    )
+    sums = half.select(
+        (F.col("cnt") * 2).alias("n"),
+        F.col("s1").alias("sx"),
+        F.col("s1").alias("sy"),
+        (F.col("s11") * 2).alias("sxy"),
+        F.col("s2").alias("sxx"),
+        F.col("s2").alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -11441,6 +11445,209 @@ def x_pair_distance_hist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_trade_flow_imbalance",
+    """
+    WITH flow AS (
+      SELECT cn.n_name AS from_nation, sn.n_name AS to_nation,
+             SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)))
+               // 10000 AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT least(from_nation, to_nation) AS nation_a,
+           greatest(from_nation, to_nation) AS nation_b,
+           CAST(SUM(CASE WHEN from_nation < to_nation THEN rev ELSE 0 END)
+                AS BIGINT) AS flow_ab,
+           CAST(SUM(CASE WHEN from_nation > to_nation THEN rev ELSE 0 END)
+                AS BIGINT) AS flow_ba,
+           CAST(abs(SUM(CASE WHEN from_nation < to_nation THEN rev ELSE 0 END)
+                    - SUM(CASE WHEN from_nation > to_nation THEN rev ELSE 0 END))
+                * 1000000
+                // (SUM(CASE WHEN from_nation < to_nation THEN rev ELSE 0 END)
+                    + SUM(CASE WHEN from_nation > to_nation THEN rev ELSE 0 END))
+                AS BIGINT) AS imbalance_micro
+    FROM flow
+    WHERE from_nation <> to_nation
+    GROUP BY 1, 2
+    """,
+)
+def x_trade_flow_imbalance(spark: SparkSession, sf: str) -> DataFrame:
+    """TRADE-FLOW IMBALANCE MATRIX: directed customer-nation → supplier-
+    nation revenue flows folded into unordered pairs with a micro-unit
+    imbalance ratio |f_ab − f_ba| / (f_ab + f_ba) — the bilateral-
+    imbalance analysis q7 computes for ONE nation pair, generalized to
+    the full matrix in a single pass (no flow self-join: least/greatest
+    pair folding inside one groupBy).  Revenue is discounted exact
+    integer arithmetic (cent·percent units) truncated to whole dollars
+    BEFORE the ratio, so the 10⁶ product stays far inside int64 at any
+    realistic scale.  The two nation joins broadcast (constant 25-row
+    dims); the fact-side joins shuffle on their keys; output is bounded
+    by the nation-pair domain (≤300 rows) forever."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev_term = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    )
+    flow = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("from_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("to_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("from_nation", "to_nation")
+        .agg(F.sum(rev_term).alias("rev_raw"))
+        .selectExpr("from_nation", "to_nation", "rev_raw DIV 10000 AS rev")
+        .filter(F.col("from_nation") != F.col("to_nation"))
+    )
+    ab = F.sum(F.when(F.col("from_nation") < F.col("to_nation"), F.col("rev")).otherwise(F.lit(0)))
+    ba = F.sum(F.when(F.col("from_nation") > F.col("to_nation"), F.col("rev")).otherwise(F.lit(0)))
+    folded = (
+        flow.groupBy(
+            F.least("from_nation", "to_nation").alias("nation_a"),
+            F.greatest("from_nation", "to_nation").alias("nation_b"),
+        )
+        .agg(ab.alias("flow_ab"), ba.alias("flow_ba"))
+    )
+    return folded.selectExpr(
+        "nation_a",
+        "nation_b",
+        "CAST(flow_ab AS BIGINT) AS flow_ab",
+        "CAST(flow_ba AS BIGINT) AS flow_ba",
+        "CAST(abs(flow_ab - flow_ba) * 1000000 DIV (flow_ab + flow_ba) AS BIGINT)"
+        " AS imbalance_micro",
+    )
+
+
+@register(
+    "x_weighted_shortest_path",
+    """
+    WITH pairs AS (
+      SELECT l_suppkey AS u, o_custkey + 100000 AS v,
+             MIN(CAST(floor(epoch_ms(l_shipdate) / 86400000.0) AS BIGINT)
+                 - CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT)) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT u AS src, v AS dst, w FROM pairs
+      UNION ALL SELECT v, u, w FROM pairs
+    ), d0 AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      FROM edges WHERE src < 3
+    ), d1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT * FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN d0 d ON e.src = d.node
+      ) GROUP BY node
+    ), d2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT * FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN d1 d ON e.src = d.node
+      ) GROUP BY node
+    ), d3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT * FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN d2 d ON e.src = d.node
+      ) GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d3 WHERE node <= 100000
+    """,
+)
+def x_weighted_shortest_path(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED SHORTEST PATHS (3-round Bellman-Ford,
+    :func:`kafka_streaming_spark.functions.graph.bellman_ford`): trade-
+    graph distances from the two lowest-key suppliers, edge weight =
+    minimum order→ship latency in whole days between a supplier and a
+    customer — "how quickly can goods flow from these suppliers to any
+    peer through shared customers".  Output restricted to supplier-side
+    nodes (settled by round 2; round 3 witnesses the no-further-
+    improvement fixpoint for them), keeping the result bounded by
+    |suppliers|.  Completes the shortest-path family: BFS counts hops,
+    this relaxes true weights — every round one edges⋈dist equi-join +
+    one min-groupBy, both node-key-partitioned, no driver state.  The
+    oracle unrolls the identical three relaxations as CTEs."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    day = lambda col: F.floor(F.unix_millis(col) / 86400000.0).cast("long")  # noqa: E731
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .agg(F.min(day(F.col("l_shipdate")) - day(F.col("o_orderdate"))).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("v"), F.col("u"), F.col("w")))
+    seeds = edges.filter(F.col("src") < 3).select(F.col("src").alias("node"))
+    dist = G.bellman_ford(edges, seeds, rounds=3)
+    return dist.filter(F.col("node") <= 100000).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@register(
+    "x_feature_hashing",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 64
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def x_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """HASHING-TRICK FEATURIZATION: tokens hashed into a fixed 64-bucket
+    vocabulary-free feature space, emitted as sparse (doc, bucket,
+    count) rows — the classic featurizer for linear models / similarity
+    sketches when a vocabulary pass is too expensive (no collect, no
+    fit step, stable across corpus growth).  Uses the cross-engine
+    md5-derived `portable_hash60` family so bucket assignment is
+    bit-identical in the oracle; production would swap in `xxhash64`
+    (one JVM intrinsic per token).  One explode + one groupBy whose key
+    space is bounded by docs × 64; the doc_id bound keeps the CHECKED
+    output small while the shape is corpus-size-linear."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    return tok.groupBy(
+        "doc_id",
+        (D.portable_hash60(F.col("token")) % 64).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -11461,7 +11668,8 @@ def x_pair_distance_hist(spark: SparkSession, sf: str) -> DataFrame:
 # x_ols_normal_eq, x_preference_pairs, x_leakage_safe_split,
 # x_rolling_median, x_id_completeness_audit, x_langid_confusion,
 # x_gini_impurity, x_l_diversity, x_degree_histogram, x_assortativity,
-# x_pair_distance_hist,
+# x_pair_distance_hist, x_trade_flow_imbalance, x_weighted_shortest_path,
+# x_feature_hashing,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -742,3 +742,41 @@ def test_degree_histogram_two_phase_aggregates(spark):
     assert "partial_count" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "Exchange") <= 6
+
+
+def test_trade_flow_imbalance_broadcast_dims_no_flow_self_join(spark):
+    """The imbalance matrix must fold pairs inside ONE aggregate over the
+    flow table (least/greatest keying) — never a flow-vs-flow self-join —
+    and the two constant nation dims must broadcast."""
+    plan = plan_of(spark, "x_trade_flow_imbalance")
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # 6 scan NODES only (lineitem/orders/customer/supplier/nation x2):
+    # no second read of the flow aggregate
+    assert n_nodes(plan, "Scan parquet") == 6
+
+
+def test_weighted_shortest_path_edges_cached_relaxation_bounded(spark):
+    """Bellman-Ford: the weighted edge list must be cached (it feeds every
+    relaxation round), every per-round join is a node-key equi-join, and
+    3 rounds stay within the shuffle budget (per round: one edges⋈dist
+    join + one min-groupBy)."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
+    plan = plan_of(spark, "x_weighted_shortest_path")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 26  # 3 rounds x (join sides + min-groupBy)
+
+
+def test_feature_hashing_single_aggregate_pruned_scan(spark):
+    """The hashing-trick featurizer is explode + ONE grouped count — no
+    joins at all — and the documents scan reads only (doc_id, text) with
+    the id bound pushed down."""
+    plan = plan_of(spark, "x_feature_hashing")
+    for op in ("Join", "CartesianProduct"):
+        assert n_nodes(plan, op) == 0
+    line = read_schema_with(plan, "doc_id")
+    assert "lang" not in line and "source" not in line
+    assert "LessThan(doc_id,200)" in plan
