@@ -11648,6 +11648,263 @@ def x_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@register(
+    "x_modularity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs
+    ), lab AS (
+      SELECT p.u, p.c, s.s_nationkey AS cu, cust.c_nationkey AS cc
+      FROM pairs p
+      JOIN supplier s ON p.u = s.s_suppkey
+      JOIN customer cust ON p.c = cust.c_custkey
+    ), internal AS (
+      SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS n_internal_edges
+      FROM lab WHERE cu = cc GROUP BY cu
+    ), du AS (
+      SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS d FROM lab GROUP BY cu
+    ), dc AS (
+      SELECT cc AS community, CAST(COUNT(*) AS BIGINT) AS d FROM lab GROUP BY cc
+    ), degsum AS (
+      SELECT community, CAST(SUM(d) AS BIGINT) AS degree_sum
+      FROM (SELECT * FROM du UNION ALL SELECT * FROM dc) GROUP BY community
+    )
+    SELECT n.n_name AS community,
+           CAST(COALESCE(i.n_internal_edges, 0) AS BIGINT) AS n_internal_edges,
+           g.degree_sum,
+           CAST(4 * m.m * COALESCE(i.n_internal_edges, 0)
+                - g.degree_sum * g.degree_sum AS BIGINT) AS term_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS term_den
+    FROM degsum g
+    CROSS JOIN m
+    LEFT JOIN internal i ON g.community = i.community
+    JOIN nation n ON g.community = n.n_nationkey
+    """,
+)
+def x_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """GRAPH MODULARITY terms for the nation partition of the trade graph
+    — the community-quality score Q = Σ_c [e_c/m − (d_c/2m)²] that
+    grades clusterings like `x_label_propagation`'s.  Emitted as EXACT
+    per-community integers (internal-edge count, degree sum, and the
+    common-denominator term 4m·e_c − d_c² over 4m²) — no division
+    anywhere, so no negative-truncation hazard (terms are signed) and
+    the reader sums terms/4m² for Q.  Shape: one distinct edge build
+    (cached — it feeds the m scalar and the labeling), two bounded
+    dimension joins to label endpoints, then community-keyed counts;
+    the 1-row m joins in as a broadcast.  Output bounded by |nations|."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("u"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .cache()  # feeds the m scalar AND the endpoint labeling
+    )
+    m = pairs.agg(F.count(F.lit(1)).alias("m"))
+    lab = (
+        pairs.join(s, F.col("u") == F.col("s_suppkey"))
+        .join(cust, F.col("c") == F.col("c_custkey"))
+        .select(F.col("s_nationkey").alias("cu"), F.col("c_nationkey").alias("cc"))
+    )
+    internal = (
+        lab.filter(F.col("cu") == F.col("cc"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_internal_edges"))
+    )
+    du = lab.groupBy(F.col("cu").alias("community")).agg(F.count(F.lit(1)).alias("d"))
+    dc = lab.groupBy(F.col("cc").alias("community")).agg(F.count(F.lit(1)).alias("d"))
+    degsum = (
+        du.unionAll(dc)
+        .groupBy("community")
+        .agg(F.sum("d").alias("degree_sum"))
+    )
+    out = (
+        degsum.crossJoin(F.broadcast(m))
+        .join(internal, "community", "left")
+        .join(F.broadcast(n), F.col("community") == F.col("n_nationkey"))
+    )
+    e_c = F.coalesce(F.col("n_internal_edges"), F.lit(0))
+    return out.select(
+        F.col("n_name").alias("community"),
+        e_c.cast("long").alias("n_internal_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        (4 * F.col("m") * e_c - F.col("degree_sum") * F.col("degree_sum"))
+        .cast("long")
+        .alias("term_num"),
+        (4 * F.col("m") * F.col("m")).cast("long").alias("term_den"),
+    )
+
+
+@register(
+    "x_zscore_normalize",
+    """
+    WITH x AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      FROM customer
+    ), st AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS q
+      FROM x GROUP BY c_nationkey
+    )
+    SELECT x.c_custkey,
+           x.c_nationkey,
+           CAST(ROUND(CAST(st.n * x.cents - st.s AS DOUBLE)
+                      / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS z_micro
+    FROM x JOIN st ON x.c_nationkey = st.c_nationkey
+    """,
+)
+def x_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-SCORE STANDARDIZATION per group — the classic feature scaler,
+    beside `x_quantile_normalize`'s rank form: every customer's account
+    balance standardized against its nation's population mean/stddev as
+    (n·x − S)/√(nQ − S²) in micro-units.  The three moment sums are
+    exact integers (cents; Q caps int64 around 10⁵ balance · 10⁹ rows
+    per group — switch to decimal(38,0) accumulation past that), then
+    ONE fixed IEEE chain (sub, sqrt, div, round) per row — transcendental-
+    free and bit-identical cross-engine.  One groupBy to ≤25 stat rows,
+    explicitly broadcast back (constant-bounded dimension) — the scan is
+    the only data-sized pass."""
+    x = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+    )
+    st = x.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    j = x.join(F.broadcast(st), "c_nationkey")
+    num = (F.col("n") * F.col("cents") - F.col("s")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double"))
+    return j.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(num / den * 1000000.0, 0).cast("long").alias("z_micro"),
+    )
+
+
+@register(
+    "t_stream_late_drop",
+    """
+    WITH wm AS (
+      SELECT MAX(epoch_ms(ts)) - 172800000 AS wm FROM events
+    ), a AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events WHERE event_id % 5 != 0
+    ), g AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM a GROUP BY day
+    )
+    SELECT CAST(day * 86400000 AS BIGINT) AS window_start_ms,
+           n_events,
+           CAST(s AS DOUBLE) AS sum_cents
+    FROM g CROSS JOIN wm WHERE (day + 1) * 86400000 <= wm
+    """,
+)
+def t_stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP, witnessed by the driver: the events
+    table is staged into THREE arrival batches — (0) all on-time rows
+    (event_id % 5 != 0), (1) a single watermark-advancer (the latest
+    straggler), (2) every remaining straggler — and drained availableNow
+    with ``maxFilesPerTrigger=1`` through a 2-day watermark + 1-day
+    tumbling aggregate in APPEND mode.  Batch 0 sets the watermark,
+    batch 1's commit evicts-and-emits every closed window, so batch 2's
+    stragglers arrive at evicted state and are DROPPED (verified:
+    ``numRowsDroppedByWatermark > 0`` in the query progress; drop this
+    stage and the sums include straggler cents, failing the hash).  The
+    oracle computes the exact fixpoint analytically: on-time rows only,
+    over windows whose end ≤ max(event time) − 2 days — the append-mode
+    emission rule.  The streaming-witness family's missing semantics:
+    tumbling/sliding/session/dedup/interval-join showed the engine
+    AGGREGATES like batch; this shows it DISCARDS like the contract
+    says.  Day-grain windows + integer cents keep state bounded and
+    sums order-free."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_late_drop_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        ontime = ev.filter(F.col("event_id") % 5 != 0).select("ts", "cents")
+        stragglers = ev.filter(F.col("event_id") % 5 == 0)
+        advancer = stragglers.orderBy(
+            F.col("ts").desc(), F.col("event_id").asc()
+        ).limit(1)
+        rest = stragglers.join(
+            advancer.select("event_id"), "event_id", "left_anti"
+        )
+        for i, df in enumerate(
+            [ontime, advancer.select("ts", "cents"), rest.select("ts", "cents")]
+        ):
+            df.coalesce(1).write.parquet(f"{build}/p{i}")
+            part = glob.glob(f"{build}/p{i}/*.parquet")[0]
+            shutil.copy(part, f"{build}/src/f{i}.parquet")
+            os.utime(f"{build}/src/f{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(f"{build}/p{i}")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("cents", LongType())]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        raw.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("__s"))
+    )
+    sink = f"t_stream_late_drop_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n_events",
+        F.col("__s").cast("double").alias("sum_cents"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -11669,7 +11926,7 @@ def x_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
 # x_rolling_median, x_id_completeness_audit, x_langid_confusion,
 # x_gini_impurity, x_l_diversity, x_degree_histogram, x_assortativity,
 # x_pair_distance_hist, x_trade_flow_imbalance, x_weighted_shortest_path,
-# x_feature_hashing,
+# x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -231,6 +231,7 @@ _CARTESIAN_ALLOWED = {
     "x_chi2_independence",     # r×c marginal grid (≤125 rows) + 1-row total
     "x_bitmap_rollup",         # window min-day: 1-row broadcast scalar join
     "x_decile_lift",           # corpus totals: 1-row broadcast scalar joins
+    "x_modularity",            # edge-count m: 1-row broadcast scalar join
 }
 
 
@@ -780,3 +781,24 @@ def test_feature_hashing_single_aggregate_pruned_scan(spark):
     line = read_schema_with(plan, "doc_id")
     assert "lang" not in line and "source" not in line
     assert "LessThan(doc_id,200)" in plan
+
+
+def test_modularity_pairs_cached_one_row_broadcast_only(spark):
+    """The modularity build must cache the distinct edge list (it feeds
+    the m scalar AND the labeling chain); the only nested-loop join is
+    the 1-row m broadcast; everything else is a key equi-join."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
+    plan = plan_of(spark, "x_modularity")
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # the 1-row m
+
+
+def test_zscore_normalize_broadcast_stats_single_shuffle(spark):
+    """Standardization must broadcast the ≤25-row nation stats back to
+    the fan-out join (never shuffle the customer side for it) and keep
+    the stats aggregate's map-side partial phase."""
+    plan = plan_of(spark, "x_zscore_normalize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
