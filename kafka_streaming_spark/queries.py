@@ -11905,6 +11905,289 @@ def t_stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_roc_auc",
+    """
+    WITH sc AS (
+      SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+    ), g AS (
+      SELECT s, CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(1 - p) AS BIGINT) AS nn
+      FROM sc GROUP BY s
+    ), w AS (
+      SELECT s, np, nn,
+             SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nn
+               AS cum_nn_prev
+      FROM g
+    ), t AS (
+      SELECT CAST(SUM(np * (2 * cum_nn_prev + nn)) AS HUGEINT) AS u2,
+             CAST(SUM(np) AS HUGEINT) AS npos,
+             CAST(SUM(nn) AS HUGEINT) AS nneg
+      FROM w
+    )
+    SELECT CAST(npos AS BIGINT) AS npos,
+           CAST(nneg AS BIGINT) AS nneg,
+           CAST(u2 AS BIGINT) AS u2,
+           CAST(u2 * 1000000 // (2 * npos * nneg) AS BIGINT) AS auc_micro
+    FROM t
+    """,
+)
+def x_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank identity — the binary-
+    classifier evaluation metric, computed with NO per-pair work and NO
+    floats: AUC = U/(n₊n₋) where 2U = Σ over distinct scores of
+    n₊(s)·(2·[negatives strictly below s] + [negatives at s]) — the
+    tie-aware (½-credit) form, doubled to stay integer.  Label =
+    purchase events, score = integer cents.  Scale shape: one grouped
+    reduction to ≤|distinct scores| rows, ONE global running-sum window
+    over that bounded spine (never over raw events), one scalar reduce;
+    the 10⁶ product runs in decimal(38,0)/HUGEINT so n₊n₋ can exceed
+    int64/10⁶ safely.  Completes the eval family: confusion matrix
+    (classification), decile lift (ranking), AUC (discrimination)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    sc = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    g = sc.groupBy("s").agg(
+        F.sum("p").alias("np"), F.sum(1 - F.col("p")).alias("nn")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine = g.select(
+        "np",
+        "nn",
+        (F.sum("nn").over(w) - F.col("nn")).alias("cum_nn_prev"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = spine.agg(
+        dec(F.sum(F.col("np") * (2 * F.col("cum_nn_prev") + F.col("nn")))).alias("u2"),
+        dec(F.sum("np")).alias("npos"),
+        dec(F.sum("nn")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").cast("long").alias("npos"),
+        F.col("nneg").cast("long").alias("nneg"),
+        F.col("u2").cast("long").alias("u2"),
+        (F.col("u2") * 1000000 / (2 * F.col("npos") * F.col("nneg")))
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+@register(
+    "x_regression_metrics",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+      FROM sums
+    ), res AS (
+      SELECT p.event_type, f.n, f.b,
+             CAST(y AS DOUBLE) - (f.b * CAST(x AS DOUBLE) + f.a) AS e
+      FROM pts p JOIN fit f ON p.event_type = f.event_type
+    ), acc AS (
+      SELECT event_type, n, b,
+             CAST(SUM(CAST(floor(abs(e) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sae_u,
+             CAST(SUM(CAST(floor(e * e * 100.0) AS BIGINT)) AS BIGINT) AS sse_c
+      FROM res GROUP BY event_type, n, b
+    )
+    SELECT event_type,
+           n,
+           CAST(ROUND(b * 1000000.0) AS BIGINT) AS slope_micro,
+           CAST(sae_u // n AS BIGINT) AS mae_micro,
+           CAST(ROUND(sqrt(CAST(sse_c AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+                      * 1000000.0) AS BIGINT) AS rmse_micro
+    FROM acc
+    """,
+)
+def x_regression_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """REGRESSION EVALUATION (MAE / RMSE / slope) for the per-group OLS
+    fit of value-over-time — the residual-diagnostics half
+    `x_trend_slope` stops short of.  Determinism discipline: the fit
+    (b, a) comes from exact integer power sums through one fixed IEEE
+    chain; each residual e = y − (b·x + a) is the same fixed chain per
+    row, then FLOORED to integer units (micro for |e|, centi for e²) so
+    the per-group SUM is order-independent — the chi²/ACF trick.  MAE is
+    pure integer division; RMSE is one final sqrt chain on the exact
+    centi-sum.  Shape: one stats pass (5 rows, broadcast back), one
+    residual pass, no window; e²·100 keeps the sum under int64 through
+    ~10⁸ rows per group."""
+    e = load_table(spark, sf, "events")
+    pts = e.select(
+        "event_type",
+        (
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+            - 19723
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    fit = sums.select(
+        "event_type",
+        "n",
+        b.alias("b"),
+        (
+            (F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    res = pts.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "n",
+        "b",
+        (
+            F.col("y").cast("double")
+            - (F.col("b") * F.col("x").cast("double") + F.col("a"))
+        ).alias("e"),
+    )
+    acc = res.groupBy("event_type", "n", "b").agg(
+        F.sum(F.floor(F.abs(F.col("e")) * 1000000.0).cast("long")).alias("sae_u"),
+        F.sum(F.floor(F.col("e") * F.col("e") * 100.0).cast("long")).alias("sse_c"),
+    )
+    return acc.select(
+        "event_type",
+        "n",
+        F.round(F.col("b") * 1000000.0, 0).cast("long").alias("slope_micro"),
+        F.expr("sae_u DIV n").cast("long").alias("mae_micro"),
+        F.round(
+            F.sqrt(F.col("sse_c").cast("double") / F.col("n").cast("double") / 100.0)
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("rmse_micro"),
+    )
+
+
+@register(
+    "x_knn_classify",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS true_label, vec AS qv
+      FROM v WHERE vec_id < 30
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS n_label, vec AS cv
+      FROM v WHERE vec_id >= 30
+    ), scored AS (
+      SELECT query_id, true_label, neighbor_id, n_label,
+             CAST(ROUND(list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(cv, cv)))
+                        * 1000000.0) AS BIGINT) AS cos_u
+      FROM q, c
+    ), topk AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_u DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, true_label, n_label, COUNT(*) AS cnt
+      FROM topk GROUP BY query_id, true_label, n_label
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(n_label AS BIGINT) AS pred_label,
+           CAST(CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cnt DESC, n_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def x_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """K-NN CLASSIFICATION (k=5, majority vote): the bounded query set
+    (vec_id < 30) classified against the held-out corpus by cosine
+    neighbors' labels — the eval harness that grades an embedding
+    space's label coherence (and, swapped onto an ANN index, the
+    production retrieval-classify pattern; this registered form uses
+    the exact broadcast baseline).  Vote argmax is an aggregate (max of
+    (count, −label) struct — highest count, smallest label on ties),
+    not a second window.  Ranking uses micro-rounded cosine with
+    neighbor-id tiebreak so top-5 membership is engine-stable."""
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("vec"))
+    q = v.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("qv"),
+    )
+    c = v.filter(F.col("vec_id") >= 30).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("vec").alias("cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "n_label",
+        (_round_fixed(S.cosine(F.col("qv"), F.col("cv")), 6) * 1000000.0)
+        .cast("long")
+        .alias("cos_u"),
+    )
+    topk = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_u").desc(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="__rn",
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = votes.groupBy("query_id", "true_label").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("n_label")).alias("neg_label"))).alias(
+            "__b"
+        )
+    )
+    return best.select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        (-F.col("__b.neg_label")).cast("long").alias("pred_label"),
+        (F.col("__b.neg_label") == -F.col("true_label"))
+        .cast("long")
+        .alias("correct"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -11927,6 +12210,7 @@ def t_stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
 # x_gini_impurity, x_l_diversity, x_degree_histogram, x_assortativity,
 # x_pair_distance_hist, x_trade_flow_imbalance, x_weighted_shortest_path,
 # x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
+# x_roc_auc, x_regression_metrics, x_knn_classify,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

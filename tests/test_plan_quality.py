@@ -232,6 +232,7 @@ _CARTESIAN_ALLOWED = {
     "x_bitmap_rollup",         # window min-day: 1-row broadcast scalar join
     "x_decile_lift",           # corpus totals: 1-row broadcast scalar joins
     "x_modularity",            # edge-count m: 1-row broadcast scalar join
+    "x_knn_classify",          # bounded query set x corpus (broadcast)
 }
 
 
@@ -802,3 +803,33 @@ def test_zscore_normalize_broadcast_stats_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_roc_auc_window_on_reduced_spine_only(spark):
+    """The Mann-Whitney running sum must run over the grouped distinct-
+    score spine, NOT raw events: the plan has exactly one Window, fed by
+    a hash aggregate (the score reduction), and no joins at all."""
+    plan = plan_of(spark, "x_roc_auc")
+    assert n_nodes(plan, "Window") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_regression_metrics_broadcast_fit_two_phase(spark):
+    """Residual scoring must broadcast the 5-row fit back to the events
+    fan-out (never shuffle events for the join), keep the stats pass's
+    map-side partials, and use no window at all."""
+    plan = plan_of(spark, "x_regression_metrics")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Window") == 0
+    assert "partial_sum" in plan
+
+
+def test_knn_classify_argmax_is_aggregate(spark):
+    """The vote argmax must be a struct-max AGGREGATE, not a second
+    ranking window — exactly one Window (the top-k neighbor rank) in the
+    whole plan, and the query-set product is the allow-listed broadcast."""
+    plan = plan_of(spark, "x_knn_classify")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
