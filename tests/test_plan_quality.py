@@ -233,6 +233,8 @@ _CARTESIAN_ALLOWED = {
     "x_decile_lift",           # corpus totals: 1-row broadcast scalar joins
     "x_modularity",            # edge-count m: 1-row broadcast scalar join
     "x_knn_classify",          # bounded query set x corpus (broadcast)
+    "x_ndcg_eval",             # 3-row query-term broadcast x corpus
+    "x_silhouette",            # k-row label-centroid broadcast x corpus
 }
 
 
@@ -832,4 +834,23 @@ def test_knn_classify_argmax_is_aggregate(spark):
     whole plan, and the query-set product is the allow-listed broadcast."""
     plan = plan_of(spark, "x_knn_classify")
     assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_ndcg_windows_on_pruned_postings(spark):
+    """Both nDCG rank windows must run on tf>0 postings (the filter sits
+    below the windows), and the discount application is pure projection —
+    exactly two Windows, no extra."""
+    plan = plan_of(spark, "x_ndcg_eval")
+    assert n_nodes(plan, "Window") == 2
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_silhouette_broadcast_centroids_no_window(spark):
+    """Silhouette scoring must broadcast the k-row centroid table (never
+    shuffle the corpus against it) and use aggregates only — zero Windows;
+    the dimension-exploded centroid pass keeps its map-side partial."""
+    plan = plan_of(spark, "x_silhouette")
+    assert n_nodes(plan, "Window") == 0
+    assert "partial_sum" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
