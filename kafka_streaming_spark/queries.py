@@ -11967,13 +11967,16 @@ def x_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
         dec(F.sum("np")).alias("npos"),
         dec(F.sum("nn")).alias("nneg"),
     )
-    return t.select(
-        F.col("npos").cast("long").alias("npos"),
-        F.col("nneg").cast("long").alias("nneg"),
-        F.col("u2").cast("long").alias("u2"),
-        (F.col("u2") * 1000000 / (2 * F.col("npos") * F.col("nneg")))
-        .cast("long")
-        .alias("auc_micro"),
+    # exact long DIV for the final ratio: Spark decimal division ROUNDS at
+    # its result scale while DuckDB `//` truncates — long arithmetic keeps
+    # both engines on truncation (u2·10⁶ fits int64 through n₊n₋ ≲ 4.6e12)
+    return t.selectExpr(
+        "CAST(npos AS BIGINT) AS npos",
+        "CAST(nneg AS BIGINT) AS nneg",
+        "CAST(u2 AS BIGINT) AS u2",
+        "CAST(CAST(u2 AS BIGINT) * 1000000"
+        "     DIV (2 * CAST(npos AS BIGINT) * CAST(nneg AS BIGINT)) AS BIGINT)"
+        " AS auc_micro",
     )
 
 
@@ -12401,6 +12404,160 @@ def x_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_ks_test",
+    """
+    WITH sc AS (
+      SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+    ), g AS (
+      SELECT s, CAST(SUM(p) AS BIGINT) AS na_i, CAST(SUM(1 - p) AS BIGINT) AS nb_i
+      FROM sc GROUP BY s
+    ), w AS (
+      SELECT s,
+             SUM(na_i) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb_i) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    ), tot AS (
+      SELECT CAST(SUM(na_i) AS BIGINT) AS na, CAST(SUM(nb_i) AS BIGINT) AS nb
+      FROM g
+    ), dev AS (
+      SELECT w.s, abs(w.ca * t.nb - w.cb * t.na) AS dev, t.na, t.nb
+      FROM w CROSS JOIN tot t
+    )
+    SELECT na, nb,
+           CAST(MIN(CASE WHEN dev = md THEN s END) AS BIGINT) AS argmax_cents,
+           CAST(CAST(md AS HUGEINT) * 1000000 // (CAST(na AS HUGEINT) * nb)
+                AS BIGINT) AS d_micro
+    FROM (SELECT *, MAX(dev) OVER () AS md FROM dev)
+    GROUP BY na, nb, md
+    """,
+)
+def x_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic, exactly: D = max over the
+    merged value spine of |ECDF₁ − ECDF₂|, kept integer by cross-
+    multiplying the cumulative counts (|c₁·n₂ − c₂·n₁|, divided out to
+    micro only at the end, decimal/HUGEINT headroom) — the
+    distribution-shift test completing the drift family next to
+    `x_distribution_drift` (categorical) and `x_chi2_independence`
+    (contingency).  Samples: purchase vs non-purchase value
+    distributions.  The argmax location (smallest cents hitting the max
+    deviation) makes the witness value-specific, not just the scalar.
+    Shape: one grouped reduction to the distinct-cents spine, one
+    running-sum window + one scalar max over that bounded spine, never
+    raw events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    sc = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    g = sc.groupBy("s").agg(
+        F.sum("p").alias("na_i"), F.sum(1 - F.col("p")).alias("nb_i")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "s",
+        F.sum("na_i").over(w).alias("ca"),
+        F.sum("nb_i").over(w).alias("cb"),
+    )
+    tot = g.agg(F.sum("na_i").alias("na"), F.sum("nb_i").alias("nb"))
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("dev"),
+    )
+    md = dev.select(F.col("s"), F.col("na"), F.col("nb"), F.col("dev"),
+                    F.max("dev").over(Window.partitionBy()).alias("md"))
+    return (
+        md.groupBy("na", "nb", "md")
+        .agg(F.min(F.when(F.col("dev") == F.col("md"), F.col("s"))).alias("argmax_cents"))
+        .select(
+            "na",
+            "nb",
+            F.col("argmax_cents").cast("long").alias("argmax_cents"),
+            # exact long DIV (truncation matches DuckDB's `//`); md·10⁶
+            # stays inside int64 through n₁·n₂ ≲ 9·10¹² (~sf20) — cross
+            # the HUGEINT/decimal bridge only past that
+            F.expr("md * 1000000 DIV (na * nb)").cast("long").alias("d_micro"),
+        )
+    )
+
+
+@register(
+    "x_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1000 // (b.x - a.x) AS slope_milli
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ), ranked AS (
+      SELECT event_type, slope_milli,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_milli) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(slope_milli AS BIGINT) AS theil_sen_milli
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def x_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND: the median of all pairwise slopes of the
+    per-group DAILY series — the outlier-proof alternative to the OLS
+    `x_trend_slope` (one wild day cannot move it).  The critical scale
+    move: events reduce to the (group, day) grain FIRST, so the pairwise
+    slope join is over the bounded calendar spine (≤31 points → ≤465
+    pairs per group), never raw rows — the same pre-reduction discipline
+    as `x_rolling_median`.  Slopes are exact integer milli-cents/day
+    (truncating division, identical both engines); the lower median by
+    deterministic rank."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+            - 19723
+        ).alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            F.expr("((yb - ya) * 1000) DIV (xb - xa)").alias("slope_milli"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("event_type").orderBy("slope_milli")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_milli",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope_milli").cast("long").alias("theil_sen_milli"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -12424,7 +12581,7 @@ def x_silhouette(spark: SparkSession, sf: str) -> DataFrame:
 # x_pair_distance_hist, x_trade_flow_imbalance, x_weighted_shortest_path,
 # x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
 # x_roc_auc, x_regression_metrics, x_knn_classify, x_ndcg_eval,
-# x_silhouette,
+# x_silhouette, x_ks_test, x_theil_sen,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -235,6 +235,7 @@ _CARTESIAN_ALLOWED = {
     "x_knn_classify",          # bounded query set x corpus (broadcast)
     "x_ndcg_eval",             # 3-row query-term broadcast x corpus
     "x_silhouette",            # k-row label-centroid broadcast x corpus
+    "x_ks_test",               # sample-total scalar: 1-row broadcast join
 }
 
 
@@ -854,3 +855,24 @@ def test_silhouette_broadcast_centroids_no_window(spark):
     assert n_nodes(plan, "Window") == 0
     assert "partial_sum" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_ks_test_windows_on_reduced_spine(spark):
+    """Both KS windows (running ECDFs, global max) must run on the grouped
+    distinct-score spine — the plan's only data-sized pass is the score
+    reduction with its map-side partial."""
+    plan = plan_of(spark, "x_ks_test")
+    assert n_nodes(plan, "Window") == 2
+    assert "partial_sum" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_theil_sen_pairs_on_daily_grain_only(spark):
+    """The pairwise-slope join must take the DAY-GRAIN aggregate as both
+    inputs (bounded ≤31 rows per group), never raw events: the day
+    reduction keeps its partial phase below the self-join, and no
+    cartesian appears (the event_type equi-key bounds the pair fan-out)."""
+    plan = plan_of(spark, "x_theil_sen")
+    assert "partial_sum" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Window") == 2  # rank + per-group count
