@@ -12558,6 +12558,127 @@ def x_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_collocations",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), bc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+    ), t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM bc
+    ), lc AS (
+      SELECT split_part(bigram, ' ', 1) AS w, CAST(SUM(c) AS BIGINT) AS c
+      FROM bc GROUP BY 1
+    ), rc AS (
+      SELECT split_part(bigram, ' ', 2) AS w, CAST(SUM(c) AS BIGINT) AS c
+      FROM bc GROUP BY 1
+    )
+    SELECT b.bigram, b.c AS cnt,
+           CAST(b.c * t.n * 1000000 // (l.c * r.c) AS BIGINT) AS lift_micro
+    FROM bc b
+    CROSS JOIN t
+    JOIN lc l ON l.w = split_part(b.bigram, ' ', 1)
+    JOIN rc r ON r.w = split_part(b.bigram, ' ', 2)
+    WHERE b.c >= 5
+    ORDER BY lift_micro DESC, b.bigram LIMIT 20
+    """,
+)
+def x_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """COLLOCATION MINING: the top word pairs by LIFT — P(ab) /
+    (P(a as left)·P(b as right)) over bigram occurrences, the PMI
+    ranking in exact integer form (lift ∝ exp(PMI), order-identical, so
+    no log is ever taken; min support 5 suppresses the rare-pair noise
+    PMI is notorious for).  The multiword-expression extractor of an
+    NLP pipeline (phrase vocabularies, tokenizer merges, stopword-pair
+    screens).  Shape: one bigram explode, then everything operates on
+    the bigram COUNT table — the left/right marginals are two more
+    vocab-bounded aggregates joined back, and the top-20 is a partial
+    TakeOrdered.  c·N·10⁶ needs headroom past ~10¹² bigrams — switch
+    the product to decimal(38,0)/HUGEINT there."""
+    d = spread(load_table(spark, sf, "documents"))
+    bc = (
+        d.select(F.explode(T.bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bc = bc.cache()  # feeds total, both marginals, and the scored join
+    t = bc.agg(F.sum("c").alias("n"))
+    lc = bc.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w")).agg(
+        F.sum("c").alias("lc")
+    )
+    rc = bc.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w")).agg(
+        F.sum("c").alias("rc")
+    )
+    scored = (
+        bc.filter(F.col("c") >= 5)
+        .crossJoin(F.broadcast(t))
+        .join(lc, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == lc["w"])
+        .join(rc, F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == rc["w"])
+        .select(
+            "bigram",
+            F.col("c").alias("cnt"),
+            F.expr("c * n * 1000000 DIV (lc * rc)").alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(F.col("lift_micro").desc(), F.col("bigram").asc()).limit(20)
+
+
+@register(
+    "f_schema_merge_scan",
+    """
+    SELECT event_id, value,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+    FROM events WHERE event_id < 2000
+    """,
+)
+def f_schema_merge_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """SCHEMA-EVOLUTION SCAN (`mergeSchema`): two parquet generations of
+    the same table — v1 written before an `event_type` column existed
+    (even ids), v2 after (odd ids) — read back as ONE unified relation
+    with NULLs filling the missing column, the day-one ingestion
+    reality every long-lived lake table hits.  The staged generations
+    are content-deterministic (rebuilt from the events table, reused
+    across runs); the oracle states the unified result analytically.
+    Completes the source-format family: csv, jsonl, orc, bucketed
+    parquet, and now heterogeneous-schema parquet."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/f_schema_merge_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+        v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "value", "event_type"
+        )
+        for i, df in enumerate([v1, v2]):
+            df.coalesce(1).write.parquet(f"{build}/p{i}")
+            part = glob.glob(f"{build}/p{i}/*.parquet")[0]
+            shutil.copy(part, f"{build}/src/gen{i}.parquet")
+            shutil.rmtree(f"{build}/p{i}")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename
+        shutil.rmtree(build, ignore_errors=True)
+    return spark.read.option("mergeSchema", "true").parquet(src).select(
+        "event_id", "value", "event_type"
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -12581,7 +12702,8 @@ def x_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
 # x_pair_distance_hist, x_trade_flow_imbalance, x_weighted_shortest_path,
 # x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
 # x_roc_auc, x_regression_metrics, x_knn_classify, x_ndcg_eval,
-# x_silhouette, x_ks_test, x_theil_sen,
+# x_silhouette, x_ks_test, x_theil_sen, x_collocations,
+# f_schema_merge_scan,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -236,6 +236,7 @@ _CARTESIAN_ALLOWED = {
     "x_ndcg_eval",             # 3-row query-term broadcast x corpus
     "x_silhouette",            # k-row label-centroid broadcast x corpus
     "x_ks_test",               # sample-total scalar: 1-row broadcast join
+    "x_collocations",          # bigram-total scalar: 1-row broadcast join
 }
 
 
@@ -876,3 +877,23 @@ def test_theil_sen_pairs_on_daily_grain_only(spark):
     assert "partial_sum" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "Window") == 2  # rank + per-group count
+
+
+def test_collocations_cached_counts_partial_topk(spark):
+    """The bigram count table must be cached (it feeds the total, both
+    marginals, and the scored join) and the top-20 must stay a partial
+    TakeOrdered, never a global sort."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
+    plan = plan_of(spark, "x_collocations")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "Sort") == 0 or "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_schema_merge_scan_is_single_unified_scan(spark):
+    """mergeSchema must produce ONE unified parquet scan over both
+    generations — no join, no union node stitching the schemas by hand."""
+    plan = plan_of(spark, "f_schema_merge_scan")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan and n_nodes(plan, "Union") == 0
