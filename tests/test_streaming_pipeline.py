@@ -751,3 +751,81 @@ def test_silver_prune_reaches_parquet_scan_and_skips_row_groups(spark, tmp_path_
 
     # metrics: the filtered count reads only the probed bucket's rows
     assert pruned.count() == 500
+
+
+def test_late_drop_witness_mechanism(spark, tmp_path):
+    """`t_stream_late_drop`'s oracle certifies the OUTPUT; this pins the
+    MECHANISM: the staged drain runs as three micro-batches, the straggler
+    batch records numRowsDroppedByWatermark > 0, and the emitted windows
+    equal the analytic on-time-only fixpoint row-for-row."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from kafka_streaming_spark.schemas import load_table
+
+    SF = SF_SMALL
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ontime = ev.filter(F.col("event_id") % 5 != 0).select("ts", "cents")
+    stragglers = ev.filter(F.col("event_id") % 5 == 0)
+    advancer = stragglers.orderBy(F.col("ts").desc(), F.col("event_id").asc()).limit(1)
+    rest = stragglers.join(advancer.select("event_id"), "event_id", "left_anti")
+    for i, df in enumerate([ontime, advancer.select("ts", "cents"), rest.select("ts", "cents")]):
+        out = str(tmp_path / f"p{i}")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(f"{out}/*.parquet")[0]
+        shutil.copy(part, f"{src}/f{i}.parquet")
+        os.utime(f"{src}/f{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+    schema = StructType([StructField("ts", TimestampType()), StructField("cents", LongType())])
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        raw.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("s"))
+    )
+    sink = "late_drop_mech_" + uuid.uuid4().hex[:6]
+    q = (
+        agg.writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) == 3, [p["numInputRows"] for p in progress]
+    dropped_last = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for op in batches[-1].get("stateOperators", [])
+    )
+    assert dropped_last > 0  # stragglers really hit evicted state
+
+    got = {
+        (r.ws, r.n_events, r.s)
+        for r in spark.table(sink)
+        .select(F.unix_millis("window.start").alias("ws"), "n_events", "s")
+        .collect()
+    }
+    wm = ev.agg((F.max(F.unix_millis("ts")) - 2 * 86400000).alias("wm"))
+    ref = {
+        (r.ws, r.n, r.s)
+        for r in ev.filter(F.col("event_id") % 5 != 0)
+        .select(
+            F.floor(F.unix_millis("ts") / 86400000.0).cast("long").alias("day"),
+            "cents",
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .crossJoin(wm)
+        .filter((F.col("day") + 1) * 86400000 <= F.col("wm"))
+        .select((F.col("day") * 86400000).alias("ws"), "n", "s")
+        .collect()
+    }
+    assert got == ref and len(got) > 0
