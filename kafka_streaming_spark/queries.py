@@ -12679,6 +12679,110 @@ def f_schema_merge_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_hits_rank",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), a1 AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS a FROM pairs GROUP BY c
+    ), a1m AS (
+      SELECT MAX(a) AS m FROM a1
+    ), a1n AS (
+      SELECT c, a * 1000000 // m AS an FROM a1 CROSS JOIN a1m
+    ), h1 AS (
+      SELECT p.s, CAST(SUM(n.an) AS BIGINT) AS h
+      FROM pairs p JOIN a1n n ON p.c = n.c GROUP BY p.s
+    ), h1m AS (
+      SELECT MAX(h) AS m FROM h1
+    ), h1n AS (
+      SELECT s, h * 1000000 // m AS hn FROM h1 CROSS JOIN h1m
+    ), a2 AS (
+      SELECT p.c, CAST(SUM(n.hn) AS BIGINT) AS a
+      FROM pairs p JOIN h1n n ON p.s = n.s GROUP BY p.c
+    ), a2m AS (
+      SELECT MAX(a) AS m FROM a2
+    ), a2n AS (
+      SELECT c, a * 1000000 // m AS an FROM a2 CROSS JOIN a2m
+    ), h2 AS (
+      SELECT p.s, CAST(SUM(n.an) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM pairs p JOIN a2n n ON p.c = n.c GROUP BY p.s
+    ), h2m AS (
+      SELECT MAX(h) AS m FROM h2
+    )
+    SELECT CAST(s AS BIGINT) AS supplier,
+           CAST(h * 1000000 // m AS BIGINT) AS hub_micro,
+           n_customers
+    FROM h2 CROSS JOIN h2m
+    ORDER BY hub_micro DESC, supplier LIMIT 20
+    """,
+)
+def x_hits_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS HUBS-AND-AUTHORITIES on the bipartite trade graph (2
+    synchronous rounds): suppliers are hubs, customers authorities —
+    a hub is strong when its customers are strong authorities and vice
+    versa, the mutual-reinforcement ranking that separates "many weak
+    buyers" from "few influential buyers" where raw degree (and even
+    PageRank's single score) cannot.  Normalization divides by the
+    1-row max (broadcast, the k-core-k pattern) instead of the L2 norm,
+    keeping every iterate an exact integer micro value — order-
+    independent and overflow-safe (h ≤ max_degree·10⁶).  Per round: one
+    pairs⋈scores co-keyed join + one groupBy; the distinct pair list is
+    cached across all four half-rounds.  Output: top-20 hubs via
+    partial TakeOrdered.  Second member of the iterative-ranking family
+    beside `x_pagerank_trade` (which it complements: PageRank is
+    endorsement flow, HITS is role duality)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .cache()  # feeds all four half-rounds
+    )
+
+    def normalize(df: DataFrame, key: str, val: str) -> DataFrame:
+        # CACHE each node-bounded score table: it feeds BOTH the 1-row max
+        # branch and the normalized output — uncached, every level's max
+        # re-executes its whole upstream subtree and the pair list gets
+        # scanned 2^rounds times (measured: 9-24s → ~1s at sf0.1)
+        df = df.cache()
+        m = df.agg(F.max(val).alias("m"))
+        return df.crossJoin(F.broadcast(m)).selectExpr(
+            key, f"{val} * 1000000 DIV m AS {val}n"
+        )
+
+    a1 = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("a"))
+    a1n = normalize(a1, "c", "a")
+    h1 = (
+        pairs.join(a1n, "c")
+        .groupBy("s")
+        .agg(F.sum("an").alias("h"))
+    )
+    h1n = normalize(h1, "s", "h")
+    a2 = (
+        pairs.join(h1n, "s")
+        .groupBy("c")
+        .agg(F.sum("hn").alias("a"))
+    )
+    a2n = normalize(a2, "c", "a")
+    h2 = (
+        pairs.join(a2n, "c")
+        .groupBy("s")
+        .agg(F.sum("an").alias("h"), F.count(F.lit(1)).alias("n_customers"))
+        .cache()  # same two-consumer shape as the normalize levels
+    )
+    m2 = h2.agg(F.max("h").alias("m"))
+    out = h2.crossJoin(F.broadcast(m2)).selectExpr(
+        "CAST(s AS BIGINT) AS supplier",
+        "CAST(h * 1000000 DIV m AS BIGINT) AS hub_micro",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+    )
+    return out.orderBy(F.col("hub_micro").desc(), F.col("supplier").asc()).limit(20)
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -12703,7 +12807,7 @@ def f_schema_merge_scan(spark: SparkSession, sf: str) -> DataFrame:
 # x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
 # x_roc_auc, x_regression_metrics, x_knn_classify, x_ndcg_eval,
 # x_silhouette, x_ks_test, x_theil_sen, x_collocations,
-# f_schema_merge_scan,
+# f_schema_merge_scan, x_hits_rank,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -237,6 +237,7 @@ _CARTESIAN_ALLOWED = {
     "x_silhouette",            # k-row label-centroid broadcast x corpus
     "x_ks_test",               # sample-total scalar: 1-row broadcast join
     "x_collocations",          # bigram-total scalar: 1-row broadcast join
+    "x_hits_rank",             # per-round 1-row max-normalizer broadcasts
 }
 
 
@@ -897,3 +898,17 @@ def test_schema_merge_scan_is_single_unified_scan(spark):
     plan = plan_of(spark, "f_schema_merge_scan")
     assert n_nodes(plan, "Scan parquet") == 1
     assert "Join" not in plan and n_nodes(plan, "Union") == 0
+
+
+def test_hits_rank_levels_cached_and_bounded(spark):
+    """HITS: the pair list AND every node-bounded score level must be
+    cached (each level feeds its 1-row max branch plus the normalized
+    output — uncached, the pair list re-scans 2^rounds times), the only
+    nested loops are the 1-row max broadcasts, and the top-20 is a
+    partial TakeOrdered."""
+    spark.catalog.clearCache()  # cold plan — see pagerank gate note
+    plan = plan_of(spark, "x_hits_rank")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 5  # 1-row maxes only
