@@ -12791,6 +12791,115 @@ def x_hits_rank(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy(F.col("hub_micro").desc(), F.col("supplier").asc()).limit(20)
 
 
+#: Binomial(8, 1/8) ≈ Poisson(1) resample weight from 24 hash bits: 8
+#: trials, each succeeding when its 3-bit slice is 0.  Shared text-builder
+#: so Spark and DuckDB evaluate the IDENTICAL expression over the portable
+#: 60-bit hash column `h`.
+_POISSON_W = " + ".join(
+    f"(CASE WHEN (h >> {3 * t}) & 7 = 0 THEN 1 ELSE 0 END)" for t in range(8)
+)
+
+
+@register(
+    "x_bootstrap_ci",
+    f"""
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, cents, b,
+             CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
+                                                 '_', CAST(b AS VARCHAR))),
+                                      1, 15)) AS BIGINT) AS h
+      FROM x, unnest(generate_series(0, 31)) AS t(b)
+    ), w AS (
+      SELECT event_type, b, cents, {_POISSON_W} AS wt FROM r
+    ), means AS (
+      SELECT event_type, b,
+             CAST(SUM(wt * cents) * 1000000 // SUM(wt) AS BIGINT) AS mean_b
+      FROM w GROUP BY event_type, b
+    ), ranked AS (
+      SELECT event_type, mean_b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_b, b) AS rn
+      FROM means
+    ), pt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT) AS mean_micro
+      FROM x GROUP BY event_type
+    )
+    SELECT p.event_type, p.n, p.mean_micro,
+           CAST(MIN(CASE WHEN rn = 2 THEN mean_b END) AS BIGINT) AS ci_lo_micro,
+           CAST(MIN(CASE WHEN rn = 31 THEN mean_b END) AS BIGINT) AS ci_hi_micro
+    FROM pt p JOIN ranked k ON p.event_type = k.event_type
+    GROUP BY p.event_type, p.n, p.mean_micro
+    """,
+)
+def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the per-group mean — the
+    distributed-bootstrap construction (each of 32 resamples weights
+    every row by an independent ~Poisson(1) count, so no resample ever
+    materializes or shuffles the data twice), made DETERMINISTIC by
+    deriving each weight from 24 bits of the portable hash of
+    (row id, resample id): Binomial(8, 1/8), mean 1, the classic
+    Poisson approximation.  CI = the 2nd/31st order statistics of the
+    32 resample means (~93.75% coverage).  The uncertainty-
+    quantification operator the eval suite reports around: a mean
+    without an interval is not a measurement.  Shape: one ×32 explode
+    (map-side), one (group, b) reduction, one rank window over the
+    32-row-per-group spine, exact integer micro arithmetic throughout."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    x = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = x.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "cents",
+        "b",
+        D.portable_hash60(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("b").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = r.withColumn("wt", F.expr(_POISSON_W))
+    means = w.groupBy("event_type", "b").agg(
+        F.expr("CAST(SUM(wt * cents) * 1000000 DIV SUM(wt) AS BIGINT)").alias(
+            "mean_b"
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ranked = means.select("event_type", "mean_b", rn.alias("rn"))
+    pt = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(cents) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    )
+    return (
+        pt.join(ranked, "event_type")
+        .groupBy("event_type", "n", "mean_micro")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo_micro"),
+            F.min(F.when(F.col("rn") == 31, F.col("mean_b"))).alias("ci_hi_micro"),
+        )
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -12815,7 +12924,7 @@ def x_hits_rank(spark: SparkSession, sf: str) -> DataFrame:
 # x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
 # x_roc_auc, x_regression_metrics, x_knn_classify, x_ndcg_eval,
 # x_silhouette, x_ks_test, x_theil_sen, x_collocations,
-# f_schema_merge_scan, x_hits_rank,
+# f_schema_merge_scan, x_hits_rank, x_bootstrap_ci,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -912,3 +912,14 @@ def test_hits_rank_levels_cached_and_bounded(spark):
     assert "TakeOrderedAndProject" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 5  # 1-row maxes only
+
+
+def test_bootstrap_ci_rank_on_resample_spine_only(spark):
+    """The bootstrap's only window must rank the 32-row-per-group resample
+    means, never raw rows: one Window, fed by the (group, b) hash
+    aggregate with its map-side partial; the x32 explode is pure map-side
+    (no extra exchange for it)."""
+    plan = plan_of(spark, "x_bootstrap_ci")
+    assert n_nodes(plan, "Window") == 1
+    assert "partial_sum" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
