@@ -12900,6 +12900,810 @@ def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-5 late batch: partition-pruned scans, bitwise surface, exact
+# covariance, non-parametric tests, series repair, winsorizing, containment
+# dedup, outer-join / multi-source streaming witnesses
+# ===========================================================================
+
+
+@register(
+    "x_join_size_estimate",
+    """
+    WITH ok AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 16 = 0
+    ), lk AS (
+      SELECT l_orderkey AS k FROM lineitem
+      WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 16 = 0
+    ), s AS (
+      SELECT COUNT(*) AS sc FROM ok JOIN lk USING (k)
+    ), e AS (
+      SELECT COUNT(*) AS ec FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(16 * s.sc AS BIGINT) AS est_rows,
+           CAST(e.ec AS BIGINT) AS exact_rows,
+           CAST(abs(16 * s.sc - e.ec) * 1000000 // e.ec AS BIGINT) AS abs_err_micro
+    FROM s CROSS JOIN e
+    """,
+)
+def x_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation by KEY-SYNCHRONIZED hash sampling — the
+    optimizer-statistics primitive: keep the 1/16 of JOIN KEYS whose
+    portable hash lands in bucket 0 (the same keys survive on BOTH sides,
+    so sampled pairs join exactly as they would in full), run the small
+    join, scale by 16.  Row-Bernoulli sampling would estimate p²·|J| and
+    be useless; key-synchronized sampling is unbiased for equi-joins.  The
+    estimate, the exact count, and the relative error are all emitted so
+    the driver hash-checks the whole identity; the two 1-row scalar counts
+    merge via a broadcast cross join (allow-listed)."""
+    o = load_table(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+    li = load_table(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+
+    def _keep(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.pmod(D.portable_hash60(F.col("k").cast("string")), F.lit(16)) == 0
+        )
+
+    s = _keep(o).join(_keep(li), "k").agg(F.count(F.lit(1)).alias("sc"))
+    e = o.join(li, "k").agg(F.count(F.lit(1)).alias("ec"))
+    return s.crossJoin(e).select(
+        (16 * F.col("sc")).cast("long").alias("est_rows"),
+        F.col("ec").cast("long").alias("exact_rows"),
+        F.expr("CAST(abs(16 * sc - ec) * 1000000 div ec AS BIGINT)").alias(
+            "abs_err_micro"
+        ),
+    )
+
+
+@register(
+    "t_stream_left_outer",
+    """
+    WITH s AS (
+      SELECT user_id, event_id AS signup_event_id, ts AS s_ts
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_event_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.signup_event_id, p.purchase_event_id,
+           epoch_ms(s.s_ts) - epoch_ms(p.p_ts) AS gap_ms
+    FROM s LEFT JOIN p
+      ON s.user_id = p.user_id
+     AND p.p_ts <= s.s_ts
+     AND p.p_ts >= s.s_ts - INTERVAL 1 HOUR
+    """,
+)
+def t_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, null-emission semantics
+    witnessed end to end: unmatched signups may only emit their
+    null-padded row once the watermark proves no purchase can still
+    arrive, and Spark performs that eviction at the START of the batch
+    AFTER the watermark advances.  So the source is staged into three
+    arrival batches under ``maxFilesPerTrigger=1``: (0) every real
+    signup/purchase row, (1) a non-matching advancer pair (+10 days, on
+    BOTH sides — the watermark is the min across the two streams), (2) a
+    second advancer pair (+20 days) whose batch evicts-and-emits the
+    stragglers the first advancer's watermark covers.  After the drain
+    the emitted set must equal the plain batch left-outer interval join
+    the oracle runs (advancer keys are negative and filtered out)."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from kafka_streaming_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_left_outer_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        real = ev.filter(F.col("event_type").isin("signup", "purchase"))
+        mx = real.agg(F.max("ts").alias("mx"))
+
+        def _adv(days: int) -> DataFrame:
+            shifted = F.col("mx") + F.expr(f"INTERVAL {days} DAYS")
+            return mx.select(
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit("purchase").alias("event_type"),
+                shifted.alias("ts"),
+            ).union(
+                mx.select(
+                    F.lit(-2).cast("long").alias("user_id"),
+                    F.lit(-2).cast("long").alias("event_id"),
+                    F.lit("signup").alias("event_type"),
+                    shifted.alias("ts"),
+                )
+            )
+
+        for i, df in enumerate([real, _adv(10), _adv(20)]):
+            df.coalesce(1).write.parquet(f"{build}/p{i}")
+            part = glob.glob(f"{build}/p{i}/*.parquet")[0]
+            shutil.copy(part, f"{build}/src/f{i}.parquet")
+            os.utime(f"{build}/src/f{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(f"{build}/p{i}")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    signups = raw.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join(
+        signups,
+        purchases,
+        left_key="s_user",
+        right_key="p_user",
+        left_ts="s_ts",
+        right_ts="p_ts",
+        watermark="30 seconds",
+        lookback="1 hour",
+        how="left_outer",
+    )
+    sink = f"t_stream_left_outer_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .filter(F.col("s_user") >= 0)
+        .select(
+            F.col("s_user").alias("user_id"),
+            "signup_event_id",
+            "purchase_event_id",
+            (F.unix_millis(F.col("s_ts")) - F.unix_millis(F.col("p_ts"))).alias(
+                "gap_ms"
+            ),
+        )
+    )
+
+
+@register(
+    "t_stream_union",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS window_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def t_stream_union(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTI-SOURCE streaming: two independent file-stream sources (the
+    events table staged into disjoint halves by event_id parity — the
+    two-topic shape of a real ingest fan-in) unioned INSIDE one streaming
+    query, through a tumbling day aggregate in complete mode.  The union
+    of two streams must behave exactly like one stream of the union: the
+    windowed sums equal the single-source batch oracle, cent-exact."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    ev = load_table(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents"), "event_id"
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_union_{slug}"
+    if not os.path.isdir(f"{base}/a"):  # deterministic content → reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        for half, pred in (("a", 0), ("b", 1)):
+            os.makedirs(f"{build}/{half}")
+            df = ev.filter(F.col("event_id") % 2 == pred).select("ts", "cents")
+            df.coalesce(1).write.parquet(f"{build}/p")
+            part = glob.glob(f"{build}/p/*.parquet")[0]
+            shutil.copy(part, f"{build}/{half}/data.parquet")
+            shutil.rmtree(f"{build}/p")
+        os.makedirs(base, exist_ok=True)
+        for half in ("a", "b"):
+            try:
+                os.rename(f"{build}/{half}", f"{base}/{half}")
+            except OSError:
+                pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("cents", LongType())]
+    )
+    stream_a = spark.readStream.schema(schema).parquet(f"{base}/a")
+    stream_b = spark.readStream.schema(schema).parquet(f"{base}/b")
+    agg = (
+        stream_a.union(stream_b)
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
+    )
+    sink = f"t_stream_union_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n_events",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+_PARTSCAN_READY: set[str] = set()
+
+
+def ensure_partitioned_copy(spark: SparkSession, sf: str) -> str:
+    """Once-per-sf hive-partitioned events copy (``event_type=<v>/`` dirs)
+    for :func:`f_partitioned_scan`: the physical layout every large-scale
+    ingest lands on (reference bronze tables cluster on the stream key the
+    same way).  Idempotent; timestamps travel as epoch millis so the copy
+    is encoding-stable across testdata generations."""
+    import os as _os
+
+    dest = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"events_hivepart_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    if dest in _PARTSCAN_READY:
+        return dest
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            "value",
+            "event_type",
+        )
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(dest)
+    _PARTSCAN_READY.add(dest)
+    return dest
+
+
+@register(
+    "f_partitioned_scan",
+    """
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day_num,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / 100.0 AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def f_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned source scan with PARTITION PRUNING: the predicate on
+    the partition column never touches a data file — Spark resolves it
+    against directory names alone (plan shows ``PartitionFilters``, and the
+    pruning gate in tests/test_plan_quality.py pins it).  At 100 TB this is
+    the difference between reading 2/5 of the table and all of it; values
+    must equal the unpartitioned oracle scan exactly."""
+    part = spark.read.parquet(ensure_partitioned_copy(spark, sf))
+    return (
+        part.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            (F.col("ts_ms") / F.lit(86400000)).cast("long").alias("day_num"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@register(
+    "f_bitwise_pack",
+    """
+    WITH b AS (
+      SELECT event_type,
+             event_id & user_id AS band,
+             event_id | user_id AS bor,
+             xor(event_id, user_id) AS bxor,
+             (user_id % 16) << 3 AS shl,
+             CAST(bit_count(event_id) AS BIGINT) AS pc
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(bit_or(band) AS BIGINT) AS or_of_and,
+           CAST(bit_and(bor) AS BIGINT) AS and_of_or,
+           CAST(bit_xor(bxor) AS BIGINT) AS xor_of_xor,
+           CAST(SUM(shl) AS BIGINT) AS sum_shl,
+           CAST(SUM(pc) AS BIGINT) AS sum_popcount
+    FROM b GROUP BY event_type
+    """,
+)
+def f_bitwise_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise expression + aggregate surface (&, |, ^, <<, popcount and the
+    bit_or/bit_and/bit_xor aggregates): the id-mask/bitmap toolbox that
+    bitmap-index and bloom-style ops build on.  Everything is exact BIGINT
+    arithmetic — identical in both engines by construction."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "event_type")
+    b = ev.select(
+        "event_type",
+        F.expr("event_id & user_id").alias("band"),
+        F.expr("event_id | user_id").alias("bor"),
+        F.expr("event_id ^ user_id").alias("bxor"),
+        F.expr("shiftleft(user_id % 16, 3)").alias("shl"),
+        F.expr("CAST(bit_count(event_id) AS BIGINT)").alias("pc"),
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_or(band)").cast("long").alias("or_of_and"),
+        F.expr("bit_and(bor)").cast("long").alias("and_of_or"),
+        F.expr("bit_xor(bxor)").cast("long").alias("xor_of_xor"),
+        F.sum("shl").cast("long").alias("sum_shl"),
+        F.sum("pc").cast("long").alias("sum_popcount"),
+    )
+
+
+@register(
+    "x_covariance_matrix",
+    """
+    WITH m AS (
+      SELECT list_transform(embedding[1:8],
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS m
+      FROM embeddings
+    ), p AS (
+      SELECT unnest(flatten(list_transform(generate_series(1, 8), i ->
+               list_transform(generate_series(i, 8), j ->
+                 {'i': i - 1, 'j': j - 1, 'x': m[i], 'y': m[j]})))) AS s
+      FROM m
+    )
+    SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s.x) AS BIGINT) AS sx,
+           CAST(SUM(s.y) AS BIGINT) AS sy,
+           CAST(SUM(s.x * s.y) AS BIGINT) AS sxy,
+           CAST(COUNT(*) * CAST(SUM(s.x * s.y) AS BIGINT)
+                - CAST(SUM(s.x) AS BIGINT) * CAST(SUM(s.y) AS BIGINT)
+                AS BIGINT) AS cov_num
+    FROM p GROUP BY 1, 2
+    """,
+)
+def x_covariance_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact pairwise covariance (upper triangle) of the first 8 embedding
+    dims — the feature-correlation pass before whitening/PCA in an
+    embedding pipeline.  Dims are quantized to exact milli integers, so the
+    co-moment sums and the covariance numerator n*Σxy − ΣxΣy are exact
+    BIGINTs in both engines (no float accumulation order anywhere).  One
+    explode + one groupBy on (i, j): 36 output groups regardless of row
+    count — map-side partial aggregation does almost all the work."""
+    emb = load_table(spark, sf, "embeddings")
+    m = emb.select(
+        F.expr(
+            "transform(slice(embedding, 1, 8),"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+        ).alias("m")
+    )
+    pairs = m.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (x, i) -> transform(m, (y, j) ->"
+                " named_struct('i', i, 'j', j, 'x', x, 'y', y))))"
+            )
+        ).alias("s")
+    ).filter(F.col("s.i") <= F.col("s.j"))
+    agg = pairs.groupBy(
+        F.col("s.i").cast("long").alias("i"), F.col("s.j").cast("long").alias("j")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s.x").cast("long").alias("sx"),
+        F.sum("s.y").cast("long").alias("sy"),
+        F.sum(F.col("s.x") * F.col("s.y")).cast("long").alias("sxy"),
+    )
+    return agg.withColumn(
+        "cov_num", (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    )
+
+
+@register(
+    "x_mann_whitney",
+    """
+    WITH v AS (
+      SELECT event_type AS grp, value FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY value)
+               + COUNT(*) OVER (PARTITION BY value) - 1 AS two_r
+      FROM v
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(two_r) AS BIGINT) AS two_rank_sum,
+           CAST(SUM(two_r) - COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS two_u
+    FROM r GROUP BY grp
+    """,
+)
+def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (two-sample rank test) on click vs purchase values,
+    kept fully exact: tied observations take the average rank, so DOUBLED
+    rank sums (2R = 2*rank + ties − 1) stay integers — two_u = 2U = 2R −
+    n(n+1).  Significance is a table lookup on (n, U) downstream; the
+    distributed part is ranking, which the oracle replays rank-for-rank.
+    Global-order rank = one total sort; at 100 TB swap in the partitioned
+    rank composition used by x_ntile_quartiles (sort within range
+    partitions + cumulative offsets)."""
+    from pyspark.sql import Window as W
+
+    v = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(F.col("event_type").alias("grp"), "value")
+    r = v.select(
+        "grp",
+        (
+            2 * F.rank().over(W.orderBy("value"))
+            + F.count(F.lit(1)).over(W.partitionBy("value"))
+            - 1
+        ).alias("two_r"),
+    )
+    return (
+        r.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("two_r").cast("long").alias("two_rank_sum"))
+        .select(
+            "grp",
+            "n",
+            "two_rank_sum",
+            (F.col("two_rank_sum") - F.col("n") * (F.col("n") + 1))
+            .cast("long")
+            .alias("two_u"),
+        )
+    )
+
+
+@register(
+    "x_runs_test",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day_num,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v100
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), rk AS (
+      SELECT day_num, v100,
+             ROW_NUMBER() OVER (ORDER BY v100, day_num) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d
+    ), md AS (
+      SELECT day_num, v100,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN v100 END) OVER () AS med
+      FROM rk
+    ), s AS (
+      SELECT day_num, CASE WHEN v100 > med THEN 1 ELSE 0 END AS sgn FROM md
+    ), runs AS (
+      SELECT sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY day_num) IS NULL
+                    OR LAG(sgn) OVER (ORDER BY day_num) <> sgn
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(sgn) AS BIGINT) AS n_above,
+           CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_below,
+           CAST(SUM(brk) AS BIGINT) AS n_runs,
+           CAST(1000000 + 2000000 * SUM(sgn) * (COUNT(*) - SUM(sgn))
+                  // COUNT(*) AS BIGINT) AS expected_runs_micro
+    FROM runs
+    """,
+)
+def x_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily click-revenue
+    series: sign each day against the (lower) median, count sign runs, and
+    emit the exact expected-run count 1 + 2·n₁n₂/N in micro units.  The
+    median is resolved as a window scalar (no cross join) and ties sign
+    'below', so every count is integer-exact in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "click")
+    d = ev.groupBy(
+        (F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long").alias("day_num")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("v100")
+    )
+    rk = d.select(
+        "day_num",
+        "v100",
+        F.row_number().over(W.orderBy("v100", "day_num")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    md = rk.select(
+        "day_num",
+        "v100",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v100"))
+        ).over(W.partitionBy()).alias("med"),
+    )
+    s = md.select(
+        "day_num", F.when(F.col("v100") > F.col("med"), 1).otherwise(0).alias("sgn")
+    )
+    lagged = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(W.orderBy("day_num")).isNull()
+            | (F.lag("sgn").over(W.orderBy("day_num")) != F.col("sgn")),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("sgn").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n_below"),
+        F.sum("brk").cast("long").alias("n_runs"),
+        (
+            F.lit(1000000)
+            + F.expr("2000000 * sum(sgn) * (count(1) - sum(sgn)) div count(1)")
+        ).cast("long").alias("expected_runs_micro"),
+    )
+
+
+@register(
+    "x_linear_interp_fill",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day_num,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v100
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), k AS (
+      SELECT * FROM d WHERE day_num % 3 = 0
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT MIN(day_num) FROM k),
+                                    (SELECT MAX(day_num) FROM k))) AS day_num
+    ), j AS (
+      SELECT s.day_num, k.v100 FROM spine s LEFT JOIN k USING (day_num)
+    ), f AS (
+      SELECT day_num, v100,
+        last_value(v100 IGNORE NULLS) OVER
+          (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v100 IS NOT NULL THEN day_num END IGNORE NULLS) OVER
+          (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v100 IGNORE NULLS) OVER
+          (ORDER BY day_num ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v100 IS NOT NULL THEN day_num END IGNORE NULLS) OVER
+          (ORDER BY day_num ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT day_num,
+           CAST(CASE WHEN v100 IS NOT NULL THEN v100
+                     ELSE pv + (nv - pv) * (day_num - pd) // (nd - pd)
+                END AS BIGINT) AS filled_v100,
+           CASE WHEN v100 IS NOT NULL THEN 1 ELSE 0 END AS is_known
+    FROM f
+    """,
+)
+def x_linear_interp_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap repair by linear interpolation: keep every 3rd day of the daily
+    purchase series as 'known', rebuild the full calendar spine between the
+    known endpoints, and fill each gap day with the integer-truncated
+    linear blend pv + (nv−pv)·(t−pd)/(nd−pd) on exact cent values (both
+    engines truncate toward zero, negatives included).  The
+    forward/backward known-neighbor scan is two ignore-nulls window passes
+    — the standard distributed fill (sort within day ranges at scale, no
+    self-join)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    d = ev.groupBy(
+        (F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long").alias("day_num")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("v100")
+    )
+    k = d.filter(F.col("day_num") % 3 == 0)
+    spine = k.agg(
+        F.min("day_num").alias("mn"), F.max("day_num").alias("mx")
+    ).select(F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day_num"))
+    j = spine.join(k, "day_num", "left")
+    wp = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.orderBy("day_num").rowsBetween(W.currentRow, W.unboundedFollowing)
+    known_day = F.when(F.col("v100").isNotNull(), F.col("day_num"))
+    f = j.select(
+        "day_num",
+        "v100",
+        F.last("v100", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v100", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    return f.select(
+        "day_num",
+        F.when(F.col("v100").isNotNull(), F.col("v100"))
+        .otherwise(
+            F.col("pv")
+            + F.expr("(nv - pv) * (day_num - pd) div (nd - pd)")
+        )
+        .cast("long")
+        .alias("filled_v100"),
+        F.when(F.col("v100").isNotNull(), 1).otherwise(0).alias("is_known"),
+    )
+
+
+@register(
+    "x_winsorize",
+    """
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ), p AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS p05_cents,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95_cents
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(p.n AS BIGINT) AS n,
+           CAST(p.p05_cents AS BIGINT) AS p05_cents,
+           CAST(p.p95_cents AS BIGINT) AS p95_cents,
+           CAST(CAST(SUM(GREATEST(p.p05_cents, LEAST(p.p95_cents, r.cents))) AS BIGINT)
+                  * 10000 // p.n AS BIGINT) AS mean_wins_micro
+    FROM r JOIN p USING (event_type)
+    GROUP BY r.event_type, p.n, p.p05_cents, p.p95_cents
+    """,
+)
+def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values into the [p05, p95]
+    DISCRETE percentile band before averaging — the outlier-robust
+    normalization step of a quality-score pipeline.  Percentiles are
+    defined explicitly as the value at sorted position ceil(q·n) (pure
+    integer arithmetic, no engine-specific quantile semantics), values are
+    exact cents, and the mean is emitted as truncated micro units."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(W.partitionBy("event_type").orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    p = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("cents"))).alias("p05_cents"),
+        F.min(F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("cents"))).alias("p95_cents"),
+    )
+    joined = r.select("event_type", "cents").join(F.broadcast(p), "event_type")
+    return (
+        joined.groupBy("event_type", "n", "p05_cents", "p95_cents")
+        .agg(
+            F.sum(
+                F.greatest(F.col("p05_cents"), F.least(F.col("p95_cents"), F.col("cents")))
+            ).cast("long").alias("clamped_sum")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("p05_cents").cast("long").alias("p05_cents"),
+            F.col("p95_cents").cast("long").alias("p95_cents"),
+            F.expr("clamped_sum * 10000 div n").cast("long").alias("mean_wins_micro"),
+        )
+    )
+
+
+@register(
+    "x_containment_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 40) AS blk,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 4, 0)),
+               i -> array_to_string(w[i:i+4], ' '))) AS sh
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.sh) AS BIGINT) AS n_a,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) AS BIGINT)
+             AS containment_micro
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0
+    ORDER BY containment_micro DESC, id_a, id_b
+    LIMIT 40
+    """,
+)
+def x_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup |shingles(A) ∩ shingles(B)| / |A| — the
+    truncation/quote detector Jaccard systematically misses (a doc fully
+    contained in a longer one scores 1.0 here but low Jaccard).  Word
+    5-gram shingle sets, candidate pairs blocked on the 40-char text prefix
+    (testdata's natural collision key), so the pair join is a bounded
+    equijoin — never all-pairs.  Top 40 by (containment, id) is a total
+    order, so both engines pick identical rows."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 40).alias("blk"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    )
+    t = docs.select(
+        "doc_id",
+        "blk",
+        F.expr(
+            "CASE WHEN size(w) >= 5 THEN array_distinct(transform("
+            " sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' ')))"
+            " ELSE array() END"
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = t.select(
+        F.col("doc_id").alias("id_a"), F.col("blk").alias("blk"), F.col("sh").alias("sh_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), F.col("blk").alias("blk"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+        F.expr("CAST(size(array_intersect(sh_a, sh_b)) * 1000000 div size(sh_a) AS BIGINT)")
+        .alias("containment_micro"),
+    )
+    return scored.orderBy(
+        F.col("containment_micro").desc(), "id_a", "id_b"
+    ).limit(40)
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -12925,6 +13729,8 @@ def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
 # x_roc_auc, x_regression_metrics, x_knn_classify, x_ndcg_eval,
 # x_silhouette, x_ks_test, x_theil_sen, x_collocations,
 # f_schema_merge_scan, x_hits_rank, x_bootstrap_ci,
+# f_partitioned_scan, f_bitwise_pack, x_covariance_matrix, x_mann_whitney,
+# x_runs_test, x_linear_interp_fill, x_winsorize, x_containment_dedup,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

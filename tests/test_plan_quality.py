@@ -205,6 +205,7 @@ _CARTESIAN_ALLOWED = {
     "x_bm25_search",           # corpus stats: 1-row broadcast scalar join
     "x_dsir_weights",          # corpus totals: 1-row broadcast scalar join
     "x_doc_sample_weighted",   # corpus max: 1-row broadcast scalar join
+    "x_join_size_estimate",    # sampled-count x exact-count: 1-row scalar join
     "x_quantile_binning",      # quartile cutpoints: 1-row broadcast join
     "x_robust_outliers",       # per-group median/MAD: bounded broadcast joins
     "x_market_basket",         # order-count scalar: 1-row broadcast join
@@ -923,3 +924,47 @@ def test_bootstrap_ci_rank_on_resample_spine_only(spark):
     assert n_nodes(plan, "Window") == 1
     assert "partial_sum" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """f_partitioned_scan: the event_type predicate must resolve against
+    hive partition DIRECTORIES (PartitionFilters on the scan node), never
+    as a data filter — and the pruned scan must not read the partition
+    column from data files (it comes from the path)."""
+    plan = plan_of(spark, "f_partitioned_scan")
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf_line and "in(click,purchase)" in pf_line.replace(" ", "").lower()
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "event_type" not in read_schema  # partition col served from dirs
+    assert "props" not in read_schema
+
+
+def test_covariance_matrix_single_partial_agg_no_joins(spark):
+    """x_covariance_matrix: one explode + one 36-group hash aggregate with
+    its map-side partial — no join, no window, exactly one agg exchange."""
+    plan = plan_of(spark, "x_covariance_matrix")
+    assert "Join" not in plan
+    assert "partial_" in plan
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_winsorize_percentile_dims_broadcast(spark):
+    """x_winsorize: the 5-row per-type percentile table joins back as a
+    BroadcastHashJoin; the clamp aggregation keeps its map-side partial."""
+    plan = plan_of(spark, "x_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "partial_" in plan
+
+
+def test_containment_dedup_blocked_equijoin_topk(spark):
+    """x_containment_dedup: pair generation must be an equijoin on the
+    prefix block key (shuffle or broadcast hash — NEVER nested loop), and
+    the top-40 a TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "x_containment_dedup")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "TakeOrderedAndProject" in plan
