@@ -12908,6 +12908,236 @@ def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_rendezvous_shards",
+    """
+    WITH docs AS (
+      SELECT doc_id FROM documents
+    ), h AS (
+      SELECT doc_id, s,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                    CAST(s AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+      FROM docs, unnest(generate_series(0, 8)) AS t(s)
+    ), mx8 AS (
+      SELECT doc_id, MAX(hv) AS mh FROM h WHERE s < 8 GROUP BY doc_id
+    ), mx9 AS (
+      SELECT doc_id, MAX(hv) AS mh FROM h GROUP BY doc_id
+    ), a8 AS (
+      SELECT h.doc_id, MIN(s) AS shard8
+      FROM h JOIN mx8 ON h.doc_id = mx8.doc_id AND h.hv = mx8.mh
+      WHERE s < 8 GROUP BY h.doc_id
+    ), a9 AS (
+      SELECT h.doc_id, MIN(s) AS shard9
+      FROM h JOIN mx9 ON h.doc_id = mx9.doc_id AND h.hv = mx9.mh
+      GROUP BY h.doc_id
+    )
+    SELECT CAST(shard9 AS BIGINT) AS shard,
+           COUNT(*) AS n_after,
+           CAST(SUM(CASE WHEN shard8 = shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stayed,
+           CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_arrived
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def x_rendezvous_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the consistent-
+    placement primitive under shard scale-out: each doc goes to the shard
+    with the max portable hash of (doc, shard), and when an 9th shard
+    joins, ONLY docs whose new shard wins the hash race move (~1/9 of the
+    corpus, vs 8/9 under mod-N).  Emits the post-scale-out occupancy and
+    stayed/arrived counts per shard; ties (astronomically unlikely but
+    determinism is the contract) break to the lowest shard id via the
+    max-then-min-matching construction the oracle replays."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    h = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        D.portable_hash60(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("s").cast("string"))
+        ).alias("hv"),
+    )
+    mx8 = h.filter(F.col("s") < 8).groupBy("doc_id").agg(F.max("hv").alias("mh"))
+    mx9 = h.groupBy("doc_id").agg(F.max("hv").alias("mh"))
+    a8 = (
+        h.filter(F.col("s") < 8)
+        .join(mx8, ["doc_id"])
+        .filter(F.col("hv") == F.col("mh"))
+        .groupBy("doc_id")
+        .agg(F.min("s").alias("shard8"))
+    )
+    a9 = (
+        h.join(mx9, ["doc_id"])
+        .filter(F.col("hv") == F.col("mh"))
+        .groupBy("doc_id")
+        .agg(F.min("s").alias("shard9"))
+    )
+    return (
+        a8.join(a9, "doc_id")
+        .groupBy(F.col("shard9").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum(F.when(F.col("shard8") == F.col("shard9"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stayed"),
+            F.sum(F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_arrived"),
+        )
+    )
+
+
+@register(
+    "x_mutual_best_match",
+    """
+    WITH ue AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), best_type AS (
+      SELECT user_id, event_type, c FROM (
+        SELECT user_id, event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM ue) WHERE rn = 1
+    ), best_user AS (
+      SELECT user_id, event_type, c FROM (
+        SELECT user_id, event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, user_id) AS rn
+        FROM ue) WHERE rn = 1
+    )
+    SELECT t.user_id, t.event_type, CAST(t.c AS BIGINT) AS n_events
+    FROM best_type t JOIN best_user u
+      ON t.user_id = u.user_id AND t.event_type = u.event_type
+    """,
+)
+def x_mutual_best_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MUTUAL-argmax matching (the reciprocal-best-hit rule from entity
+    linkage / bioinformatics): keep (user, event_type) pairs where the
+    type is that user's most frequent AND the user is that type's heaviest
+    user.  Two windowed argmaxes over the same pre-aggregated count table
+    (computed once — the shuffles rank 150-row relations, not raw events)
+    joined on double equality; ties break deterministically by key."""
+    from pyspark.sql import Window as W
+
+    ue = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    best_type = (
+        ue.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    best_user = (
+        ue.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    return best_type.join(best_user, ["user_id", "event_type"]).select(
+        "user_id", "event_type", F.col("c").cast("long").alias("n_events")
+    )
+
+
+@register(
+    "x_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day_num,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  // GREATEST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 1)
+                  // 100 AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  // GREATEST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 1)
+                  // 100 AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), w AS (
+      SELECT day_num,
+        COUNT(*) OVER f AS n,
+        SUM(x) OVER f AS sx, SUM(y) OVER f AS sy,
+        SUM(x*y) OVER f AS sxy, SUM(x*x) OVER f AS sxx, SUM(y*y) OVER f AS syy
+      FROM daily
+      WINDOW f AS (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day_num, CAST(n AS BIGINT) AS n_days,
+      CASE WHEN n < 7 OR (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+           ELSE CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000.0)
+                AS BIGINT)
+      END AS corr_micro
+    FROM w
+    """,
+)
+def x_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the daily mean click and
+    purchase values: every co-moment (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    EXACT integer over truncated-dollar daily means, and the correlation
+    itself is one fixed IEEE chain (int→double exact below 2^53, one
+    sqrt·sqrt product, one division, one round) — bit-identical across
+    engines, the float-determinism pattern from x_zscore_normalize.
+    Incomplete leading windows emit NULL."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        (F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long").alias("day_num")
+    ).agg(
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN event_type = 'click'"
+            " THEN CAST(round(value * 100) AS BIGINT) END), 0)"
+            " div greatest(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 1)"
+            " div 100 AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(round(value * 100) AS BIGINT) END), 0)"
+            " div greatest(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 1)"
+            " div 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    f = W.orderBy("day_num").rowsBetween(-6, 0)
+    w = daily.select(
+        "day_num",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+    )
+    return w.select(
+        "day_num",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CASE WHEN n < 7 OR (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL"
+            " ELSE CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)"
+            "   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+            "      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000.0)"
+            " AS BIGINT) END"
+        ).alias("corr_micro"),
+    )
+
+
+@register(
     "x_join_size_estimate",
     """
     WITH ok AS (
@@ -13731,6 +13961,8 @@ def x_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # f_schema_merge_scan, x_hits_rank, x_bootstrap_ci,
 # f_partitioned_scan, f_bitwise_pack, x_covariance_matrix, x_mann_whitney,
 # x_runs_test, x_linear_interp_fill, x_winsorize, x_containment_dedup,
+# t_stream_left_outer, t_stream_union, x_join_size_estimate,
+# x_rendezvous_shards, x_mutual_best_match, x_rolling_corr,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -968,3 +968,30 @@ def test_containment_dedup_blocked_equijoin_topk(spark):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rendezvous_shards_no_cartesian_bounded_explode(spark):
+    """x_rendezvous_shards: the 9x shard explode is map-side; argmax
+    resolution is equijoins on doc_id — no nested loop anywhere."""
+    plan = plan_of(spark, "x_rendezvous_shards")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_mutual_best_match_windows_over_preagg_only(spark):
+    """x_mutual_best_match: both argmax windows must rank the (user, type)
+    PRE-AGGREGATE (with its map-side partial), never raw events — the agg
+    exchange comes before every window."""
+    plan = plan_of(spark, "x_mutual_best_match")
+    assert n_nodes(plan, "Window") == 2
+    assert "partial_count" in plan or "partial_" in plan
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_rolling_corr_single_window_pass(spark):
+    """x_rolling_corr: all six co-moment frames share ONE Window node over
+    the daily pre-aggregate (Spark fuses same-frame window functions);
+    no join, no cartesian."""
+    plan = plan_of(spark, "x_rolling_corr")
+    assert n_nodes(plan, "Window") == 1
+    assert "Join" not in plan
