@@ -12908,6 +12908,105 @@ def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_stream_update",
+    """
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id % 3 AS b
+      FROM events
+    )
+    SELECT epoch_ms(w) AS window_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_emissions
+    FROM e GROUP BY 1
+    """,
+)
+def t_stream_update(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE output mode witnessed end to end — the one emission contract
+    the streaming family didn't yet pin (complete re-emits everything,
+    append emits once-and-final; update re-emits a window EACH batch it
+    changes).  Events are staged into three arrival batches by
+    ``event_id % 3`` under ``maxFilesPerTrigger=1``; the memory sink then
+    holds one row per (window, updating batch).  Per window, the FINAL
+    state is the emission with the highest running count (counts grow
+    strictly within a window), and the number of emissions must equal the
+    number of distinct staging buckets that window received rows from —
+    both reconstructed analytically by the oracle from the raw table, so
+    the hash check pins emission CARDINALITY, not just final values."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    ev = load_table(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents"), "event_id"
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_update_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        for i in range(3):
+            df = ev.filter(F.col("event_id") % 3 == i).select("ts", "cents")
+            df.coalesce(1).write.parquet(f"{build}/p{i}")
+            part = glob.glob(f"{build}/p{i}/*.parquet")[0]
+            shutil.copy(part, f"{build}/src/f{i}.parquet")
+            os.utime(f"{build}/src/f{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(f"{build}/p{i}")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("cents", LongType())]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = raw.groupBy(F.window("ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    sink = f"t_stream_update_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.table(sink)
+    return (
+        emitted.groupBy(F.unix_millis(F.col("window.start")).alias("window_start_ms"))
+        .agg(
+            F.max(F.struct("n_events", "sum_cents")).alias("final"),
+            F.count(F.lit(1)).alias("n_emissions"),
+        )
+        .select(
+            "window_start_ms",
+            F.col("final.n_events").alias("n_events"),
+            F.col("final.sum_cents").cast("long").alias("sum_cents"),
+            F.col("n_emissions").cast("long").alias("n_emissions"),
+        )
+    )
+
+
+@register(
     "x_rendezvous_shards",
     """
     WITH docs AS (
@@ -12959,24 +13058,21 @@ def x_rendezvous_shards(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(":", F.col("doc_id").cast("string"), F.col("s").cast("string"))
         ).alias("hv"),
     )
-    mx8 = h.filter(F.col("s") < 8).groupBy("doc_id").agg(F.max("hv").alias("mh"))
-    mx9 = h.groupBy("doc_id").agg(F.max("hv").alias("mh"))
-    a8 = (
-        h.filter(F.col("s") < 8)
-        .join(mx8, ["doc_id"])
-        .filter(F.col("hv") == F.col("mh"))
-        .groupBy("doc_id")
-        .agg(F.min("s").alias("shard8"))
+    # Both argmaxes resolve in ONE doc-keyed aggregation: max(struct(hv,
+    # -s)) picks the highest hash and breaks (impossible-in-practice) ties
+    # to the LOWEST shard id — exactly the max-then-min-matching
+    # construction the oracle replays with joins.  No self-joins, two
+    # shuffles total (doc agg + shard rollup).
+    pair = F.struct(F.col("hv").alias("h"), (-F.col("s")).alias("ns"))
+    agg = h.groupBy("doc_id").agg(
+        F.max(F.when(F.col("s") < 8, pair)).alias("m8"),
+        F.max(pair).alias("m9"),
     )
-    a9 = (
-        h.join(mx9, ["doc_id"])
-        .filter(F.col("hv") == F.col("mh"))
-        .groupBy("doc_id")
-        .agg(F.min("s").alias("shard9"))
+    assigned = agg.select(
+        (-F.col("m8.ns")).alias("shard8"), (-F.col("m9.ns")).alias("shard9")
     )
     return (
-        a8.join(a9, "doc_id")
-        .groupBy(F.col("shard9").cast("long").alias("shard"))
+        assigned.groupBy(F.col("shard9").cast("long").alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_after"),
             F.sum(F.when(F.col("shard8") == F.col("shard9"), 1).otherwise(0))
@@ -13020,33 +13116,31 @@ def x_mutual_best_match(spark: SparkSession, sf: str) -> DataFrame:
     user.  Two windowed argmaxes over the same pre-aggregated count table
     (computed once — the shuffles rank 150-row relations, not raw events)
     joined on double equality; ties break deterministically by key."""
-    from pyspark.sql import Window as W
-
+    # Both argmaxes are struct-min AGGREGATES (min(struct(-c, key)) = max
+    # count, ties to the smallest key — the x_preference_pairs sign trick),
+    # never windows: a per-event_type window collapses to 5 partitions and
+    # single-threads the sort at scale, while the aggregate keeps its
+    # map-side partial at any cardinality.
     ue = (
         load_table(spark, sf, "events")
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
-    best_type = (
-        ue.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    best_user = (
-        ue.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type")
-    )
+    best_type = ue.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"),
+                F.col("event_type").alias("et"),
+                F.col("c").alias("c"),
+            )
+        ).alias("m")
+    ).select("user_id", F.col("m.et").alias("event_type"), F.col("m.c").alias("c"))
+    best_user = ue.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("user_id").alias("uid"))
+        ).alias("m")
+    ).select(F.col("m.uid").alias("user_id"), "event_type")
     return best_type.join(best_user, ["user_id", "event_type"]).select(
         "user_id", "event_type", F.col("c").cast("long").alias("n_events")
     )
@@ -13178,7 +13272,13 @@ def x_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     s = _keep(o).join(_keep(li), "k").agg(F.count(F.lit(1)).alias("sc"))
-    e = o.join(li, "k").agg(F.count(F.lit(1)).alias("ec"))
+    # The exact count never materializes the join: |A ⋈ B| = Σ_k cntA(k)·
+    # cntB(k), two map-side-combined groupBys + a key-count join — at 10x
+    # this is 3x cheaper than counting the physical join rows, and at
+    # 100 TB it is the only shape that doesn't shuffle the fact table twice.
+    oc = o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    lc = li.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    e = oc.join(lc, "k").agg(F.sum(F.col("ca") * F.col("cb")).alias("ec"))
     return s.crossJoin(e).select(
         (16 * F.col("sc")).cast("long").alias("est_rows"),
         F.col("ec").cast("long").alias("exact_rows"),
@@ -13613,25 +13713,48 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     v = load_table(spark, sf, "events").filter(
         F.col("event_type").isin("click", "purchase")
     ).select(F.col("event_type").alias("grp"), "value")
-    r = v.select(
-        "grp",
-        (
-            2 * F.rank().over(W.orderBy("value"))
-            + F.count(F.lit(1)).over(W.partitionBy("value"))
-            - 1
-        ).alias("two_r"),
+    # Rank over the DISTINCT-VALUE spine, not raw rows (the x_roc_auc
+    # trick): every row at value v shares two_r(v) = 2·rank(v) + t(v) − 1
+    # = 2·cum(v) − t(v) + 1, so one cumulative window over the bounded
+    # price-granularity spine replaces a full-data global sort.
+    h = v.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("grp") == "purchase", 1).otherwise(0)).alias("np"),
     )
-    return (
-        r.groupBy("grp")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("two_r").cast("long").alias("two_rank_sum"))
-        .select(
-            "grp",
-            "n",
-            "two_rank_sum",
-            (F.col("two_rank_sum") - F.col("n") * (F.col("n") + 1))
-            .cast("long")
-            .alias("two_u"),
-        )
+    cum = F.sum("t").over(W.orderBy("value").rowsBetween(W.unboundedPreceding, 0))
+    h2 = h.select(
+        "nc", "np", (2 * cum - F.col("t") + 1).alias("two_r")
+    )
+    one = h2.agg(
+        F.sum("nc").cast("long").alias("n_c"),
+        F.sum(F.col("nc") * F.col("two_r")).cast("long").alias("r_c"),
+        F.sum("np").cast("long").alias("n_p"),
+        F.sum(F.col("np") * F.col("two_r")).cast("long").alias("r_p"),
+    )
+    stacked = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("grp"),
+                    F.col("n_c").alias("n"),
+                    F.col("r_c").alias("two_rank_sum"),
+                ),
+                F.struct(
+                    F.lit("purchase").alias("grp"),
+                    F.col("n_p").alias("n"),
+                    F.col("r_p").alias("two_rank_sum"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stacked.select(
+        F.col("s.grp").alias("grp"),
+        F.col("s.n").alias("n"),
+        F.col("s.two_rank_sum").alias("two_rank_sum"),
+        (F.col("s.two_rank_sum") - F.col("s.n") * (F.col("s.n") + 1))
+        .cast("long")
+        .alias("two_u"),
     )
 
 
@@ -13835,28 +13958,43 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     exact cents, and the mean is emitted as truncated micro units."""
     from pyspark.sql import Window as W
 
+    # Everything runs on the bounded (event_type, cents) HISTOGRAM — the
+    # decile_lift pattern: the value at sorted position k is the smallest
+    # cents whose cumulative count reaches k, so no per-row ranking window
+    # ever touches raw events (measured 12s → ~1s at the 10x replica).
     c = load_table(spark, sf, "events").select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
     )
-    r = c.select(
+    hist = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = hist.select(
         "event_type",
         "cents",
-        F.row_number().over(W.partitionBy("event_type").orderBy("cents", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
-    )
-    p = r.groupBy("event_type").agg(
+        "cnt",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("event_type").orderBy("cents").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    ).cache()
+    p = hist.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.min(F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("cents"))).alias("p05_cents"),
-        F.min(F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("cents"))).alias("p95_cents"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 5 + 99) div 100"), F.col("cents"))
+        ).alias("p05_cents"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 95 + 99) div 100"), F.col("cents"))
+        ).alias("p95_cents"),
     )
-    joined = r.select("event_type", "cents").join(F.broadcast(p), "event_type")
+    joined = hist.select("event_type", "cents", "cnt").join(F.broadcast(p), "event_type")
     return (
         joined.groupBy("event_type", "n", "p05_cents", "p95_cents")
         .agg(
             F.sum(
                 F.greatest(F.col("p05_cents"), F.least(F.col("p95_cents"), F.col("cents")))
+                * F.col("cnt")
             ).cast("long").alias("clamped_sum")
         )
         .select(
@@ -13900,10 +14038,23 @@ def x_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     (testdata's natural collision key), so the pair join is a bounded
     equijoin — never all-pairs.  Top 40 by (containment, id) is a total
     order, so both engines pick identical rows."""
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id",
-        F.substring(F.col("text"), 1, 40).alias("blk"),
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    docs0 = load_table(spark, sf, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, 40).alias("blk"), "text"
+    )
+    # Prune to COLLIDING blocks before any shingling: singleton blocks can
+    # never pair, and they are ~95% of the corpus — without this the block
+    # equijoin shuffles every doc's full shingle array (measured 8s → 1.4s
+    # at sf0.1; at 100 TB it is the difference between shuffling the corpus
+    # and shuffling the collision set).  No broadcast hint: the multi-block
+    # list is data-derived and SF-scaled (header policy).
+    multi = (
+        docs0.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("blk")
+    )
+    docs = docs0.join(multi, "blk", "left_semi").select(
+        "doc_id", "blk", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
     t = docs.select(
         "doc_id",
@@ -13934,6 +14085,465 @@ def x_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(40)
 
 
+@register(
+    "t_stream_static_join",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def t_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STATIC join witnessed end to end — the enrichment shape every
+    production pipeline runs (facts stream in, a small dimension sits
+    still) and the one join family the streaming witnesses didn't yet
+    cover: unlike stream-stream joins it needs NO watermark and keeps no
+    join state, because the static side is simply broadcast into every
+    micro-batch.  The events parquet is drained with ``availableNow``,
+    joined INSIDE the streaming query to the 25-row nation dim (broadcast
+    — constant-bounded, header policy) on ``user_id % 25``, and aggregated
+    per nation in complete mode (state = 25 groups, bounded at any SF).
+    The emitted table must equal the oracle's batch join byte for byte."""
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    nation = F.broadcast(
+        load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    # Raw-encoding probe (see t_stream_tumbling): the stream schema must
+    # match what the files physically store.
+    load_table(spark, sf, "events")
+    ts_dtype = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+    ts_field = {
+        "bigint": StructField("ts", LongType()),
+        "timestamp_ntz": StructField("ts", TimestampNTZType()),
+    }.get(ts_dtype, StructField("ts", TimestampType()))
+    src_schema = StructType(
+        [ts_field, StructField("value", DoubleType()), StructField("user_id", LongType())]
+    )
+    raw = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    stream = raw.select(
+        F.col("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = stream.join(
+        nation, stream["user_id"] % 25 == nation["n_nationkey"]
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    sink = f"t_stream_static_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "n_name", "n_events", F.col("sum_cents").cast("long").alias("sum_cents")
+    )
+
+
+@register(
+    "f_url_pack",
+    """
+    WITH u AS (
+      SELECT 'https://s' || (user_id % 7) || '.example.com/cat/' || event_type
+               || '/item?uid=' || user_id || '&eid=' || event_id
+               || '#f' || (event_id % 5) AS url
+      FROM events
+    ), p AS (
+      SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]uid=([^&#]+)', 1) AS uid,
+             regexp_extract(url, '#(.*)$', 1) AS frag
+      FROM u
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(SUM(CAST(uid AS BIGINT)) AS BIGINT) AS sum_uid,
+           CAST(COUNT(DISTINCT frag) AS BIGINT) AS n_frags
+    FROM p GROUP BY host
+    """,
+)
+def f_url_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """URL component extraction — the log-analytics scalar surface
+    (clickstream hosts, canonical paths, tracking params) via Spark's
+    JVM-side ``parse_url`` (HOST / PATH / QUERY-param / REF), which the
+    oracle replays with pure regexes: a pass proves the builtin's
+    component grammar agrees with RFC-style splitting on every generated
+    URL.  URLs are synthesized deterministically from events columns, and
+    the round-trip is pinned by summing the ``uid`` query param BACK as a
+    BIGINT — any mis-extraction breaks the sum.  Whole-stage codegen
+    end to end; one aggregation exchange over 7 bounded host groups."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "event_type")
+    url = F.concat(
+        F.lit("https://s"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".example.com/cat/"),
+        F.col("event_type"),
+        F.lit("/item?uid="),
+        F.col("user_id").cast("string"),
+        F.lit("&eid="),
+        F.col("event_id").cast("string"),
+        F.lit("#f"),
+        (F.col("event_id") % 5).cast("string"),
+    )
+    parsed = ev.select(url.alias("url")).select(
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'uid')").alias("uid"),
+        F.expr("parse_url(url, 'REF')").alias("frag"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("path").alias("n_paths"),
+        F.sum(F.col("uid").cast("long")).cast("long").alias("sum_uid"),
+        F.countDistinct("frag").alias("n_frags"),
+    )
+
+
+@register(
+    "x_gopher_rules",
+    """
+    WITH d AS (
+      SELECT source,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+      FROM documents
+    ), r AS (
+      SELECT source,
+             CASE WHEN len(w) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+             CASE WHEN 3 * len(w) <= word_chars AND word_chars <= 10 * len(w)
+                  THEN 1 ELSE 0 END AS r_mwl,
+             CASE WHEN 10 * (n_hash + n_ellipsis) <= len(w) THEN 1 ELSE 0 END
+               AS r_sym,
+             CASE WHEN 5 * len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                       >= 4 * len(w) THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN len(list_filter(w, x -> lower(x) IN
+                       ('the','be','to','of','and','that','have','with'))) >= 2
+                  THEN 1 ELSE 0 END AS r_stop
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_words) AS BIGINT) AS pass_words,
+           CAST(SUM(r_mwl) AS BIGINT) AS pass_mwl,
+           CAST(SUM(r_sym) AS BIGINT) AS pass_sym,
+           CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha,
+           CAST(SUM(r_stop) AS BIGINT) AS pass_stop,
+           CAST(SUM(r_words * r_mwl * r_sym * r_alpha * r_stop) AS BIGINT)
+             AS pass_all
+    FROM r GROUP BY source
+    """,
+)
+def x_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style heuristic quality GATES (Rae et al. 2021 §A1.1, public)
+    as per-rule diagnostics — the pre-training corpus filter every LLM
+    pipeline runs before dedup, and deliberately different from
+    ``x_doc_quality``'s single composite score: each rule is a HARD gate
+    and the per-source pass counts show WHICH rule kills a source's
+    documents.  Rules (all exact integer inequalities — ratio thresholds
+    cross-multiplied so no division ever happens): word count in
+    [50, 100000]; mean word length in [3, 10] (3n ≤ chars ≤ 10n);
+    symbol-to-word ratio ≤ 0.1 (hash marks + ellipses); ≥ 80% of words
+    contain a letter; ≥ 2 stopword hits from the 8-word probe set.  Pure
+    column expressions over one split — no explode, no join, no shuffle
+    except the final bounded per-source aggregation."""
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select(
+        "source",
+        F.size(w).alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("word_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+        ).alias("n_hash"),
+        (
+            (F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit(""))))
+            / F.lit(3)
+        ).cast("long").alias("n_ellipsis"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("alpha_words"),
+        F.size(F.filter(w, lambda x: F.lower(x).isin(*stops))).alias("stop_hits"),
+    )
+    r = d.select(
+        "source",
+        F.when(F.col("n_words").between(50, 100000), 1).otherwise(0).alias("r_words"),
+        F.when(
+            (3 * F.col("n_words") <= F.col("word_chars"))
+            & (F.col("word_chars") <= 10 * F.col("n_words")),
+            1,
+        ).otherwise(0).alias("r_mwl"),
+        F.when(10 * (F.col("n_hash") + F.col("n_ellipsis")) <= F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_sym"),
+        F.when(5 * F.col("alpha_words") >= 4 * F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("stop_hits") >= 2, 1).otherwise(0).alias("r_stop"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("r_words").cast("long").alias("pass_words"),
+        F.sum("r_mwl").cast("long").alias("pass_mwl"),
+        F.sum("r_sym").cast("long").alias("pass_sym"),
+        F.sum("r_alpha").cast("long").alias("pass_alpha"),
+        F.sum("r_stop").cast("long").alias("pass_stop"),
+        F.sum(
+            F.col("r_words") * F.col("r_mwl") * F.col("r_sym") * F.col("r_alpha")
+            * F.col("r_stop")
+        )
+        .cast("long")
+        .alias("pass_all"),
+    )
+
+
+@register(
+    "f_bad_records_scan",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad,
+           CAST(SUM(CASE WHEN event_id % 37 <> 0
+                         THEN CAST(ROUND(value * 100.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def f_bad_records_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-record tolerance — the ingest reality every 100 TB text
+    pipeline faces: a CSV copy of events is staged with every 37th row's
+    numeric field deliberately corrupted to a non-numeric token, then read
+    back under PERMISSIVE mode with an explicit schema and a
+    ``columnNameOfCorruptRecord`` sidecar.  The typed column parses to
+    NULL exactly on the corrupted rows and the raw line is preserved in
+    the sidecar for quarantine — per-type good/bad counts and the
+    good-row sum must match the oracle's analytic replay (it knows which
+    rows were corrupted by construction).  No inferSchema (which would
+    double-scan at scale); one bounded aggregation."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 37 == 0, F.lit("oops")).otherwise(
+            F.round(F.col("value") * 100).cast("long").cast("string")
+        ).alias("cents_str"),
+    )
+    slug = sf.replace("/", "_").strip("_")
+    base = f"/root/repo/.tmp/f_bad_records_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        ev.write.mode("overwrite").csv(f"{build}/src")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(src)
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "x_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), v AS (
+      SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 500
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 1 ELSE 0 END)
+                AS BIGINT) AS in_vocab,
+           CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS coverage_micro
+    FROM toks GROUP BY source
+    """,
+)
+def x_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per source — the go/no-go check run
+    before committing a vocab to a 100 TB tokenization pass (a source
+    whose OOV rate is high will shred into per-byte fallbacks and blow the
+    token budget).  Vocab = top-500 whitespace tokens by global count
+    under a TOTAL order (count desc, token asc — the rank-500 tie is
+    deterministic on both engines); per-source coverage = in-vocab tokens
+    / all tokens in integer micro.  The vocab is a bounded top-k
+    (TakeOrdered, never a global sort) and is broadcast into the probe —
+    constant-bounded at every SF per the header policy; token counting is
+    one explode + two key-partitioned aggregations."""
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(500)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    probe = toks.join(F.broadcast(vocab), "tok", "left")
+    return probe.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("in_v"), F.lit(0))).cast("long").alias("in_vocab"),
+        F.expr(
+            "CAST(sum(coalesce(in_v, 0)) * 1000000 div count(1) AS BIGINT)"
+        ).alias("coverage_micro"),
+    )
+
+
+@register(
+    "s_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 set ops, BAG semantics: INTERSECT ALL keeps min(multiplicity)
+    copies per value — the half of the set-op surface the round-2 distinct
+    forms left open.  Spark plans it as a left-semi-style join over
+    per-side counts, never an Expand of the raw rows."""
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "s_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 set ops, BAG semantics: EXCEPT ALL keeps max(0, m_left −
+    m_right) copies per value (multiset difference)."""
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "f_text_scan",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY source
+    """,
+)
+def f_text_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-oriented TEXT source end to end — the last uncovered file
+    format in the source matrix (csv / jsonl / orc / parquet / bucketed /
+    hive-partitioned / mergeSchema are all witnessed): a delimited dump of
+    documents metadata is staged as one-record-per-line text, read back
+    with ``spark.read.text`` (each line a single ``value`` string — the
+    raw-log ingest shape), parsed with a split projection, and aggregated;
+    the oracle reads the original parquet, so a pass proves the
+    write → line → parse round trip drops and damages nothing."""
+    import os
+    import shutil
+    import uuid
+
+    d = load_table(spark, sf, "documents").select(
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    slug = sf.replace("/", "_").strip("_")
+    base = f"/root/repo/.tmp/f_text_scan_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        d.write.mode("overwrite").text(f"{build}/src")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    lines = spark.read.text(src)
+    parts = F.split(F.col("value"), r"\|")
+    parsed = lines.select(
+        parts.getItem(0).alias("source"),
+        parts.getItem(1).cast("long").alias("doc_id"),
+        parts.getItem(2).cast("long").alias("n_chars"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -13962,7 +14572,9 @@ def x_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # f_partitioned_scan, f_bitwise_pack, x_covariance_matrix, x_mann_whitney,
 # x_runs_test, x_linear_interp_fill, x_winsorize, x_containment_dedup,
 # t_stream_left_outer, t_stream_union, x_join_size_estimate,
-# x_rendezvous_shards, x_mutual_best_match, x_rolling_corr,
+# x_rendezvous_shards, x_mutual_best_match, x_rolling_corr, t_stream_update,
+# t_stream_static_join, f_url_pack, x_gopher_rules, f_bad_records_scan,
+# x_vocab_coverage, s_intersect_all, s_except_all, f_text_scan,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

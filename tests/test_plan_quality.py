@@ -978,12 +978,13 @@ def test_rendezvous_shards_no_cartesian_bounded_explode(spark):
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
 
 
-def test_mutual_best_match_windows_over_preagg_only(spark):
-    """x_mutual_best_match: both argmax windows must rank the (user, type)
-    PRE-AGGREGATE (with its map-side partial), never raw events — the agg
-    exchange comes before every window."""
+def test_mutual_best_match_aggregate_argmax_no_windows(spark):
+    """x_mutual_best_match: both argmaxes must be struct-min AGGREGATES
+    over the cached (user, type) pre-aggregate — zero Window nodes (a
+    per-event_type window would collapse to 5 partitions), partials kept."""
+    spark.catalog.clearCache()  # cold plan
     plan = plan_of(spark, "x_mutual_best_match")
-    assert n_nodes(plan, "Window") == 2
+    assert n_nodes(plan, "Window") == 0
     assert "partial_count" in plan or "partial_" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
 
@@ -995,3 +996,65 @@ def test_rolling_corr_single_window_pass(spark):
     plan = plan_of(spark, "x_rolling_corr")
     assert n_nodes(plan, "Window") == 1
     assert "Join" not in plan
+
+
+def test_url_pack_codegen_no_joins(spark):
+    """f_url_pack: URL synthesis + parse_url must stay pure column
+    expressions — no join, no cartesian, no Python fallback; the only
+    shuffles are the distinct-aggregate Expand rollup over 7 bounded
+    host groups."""
+    plan = plan_of(spark, "f_url_pack")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Expand") == 1
+    assert n_nodes(plan, "Exchange") <= 3
+    assert n_nodes(plan, "Generate") == 0
+
+
+def test_gopher_rules_single_exchange_no_explode(spark):
+    """x_gopher_rules: all five gates are per-row column expressions over
+    one split — no Generate (explode) node ever appears, no join, and the
+    ONLY exchange is the final bounded per-source aggregation (with its
+    map-side partial)."""
+    plan = plan_of(spark, "x_gopher_rules")
+    assert n_nodes(plan, "Generate") == 0
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+    assert "partial_" in plan
+
+
+def test_bad_records_scan_single_exchange(spark):
+    """f_bad_records_scan: PERMISSIVE parse is scan-side — no join, the
+    only exchange is the bounded per-type aggregation."""
+    plan = plan_of(spark, "f_bad_records_scan")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_vocab_coverage_broadcast_probe(spark):
+    """x_vocab_coverage: the 500-row vocab must reach the probe as a
+    BROADCAST (bounded top-k — TakeOrdered, never a global Sort+Exchange
+    of the token stream for ranking), and the probe side joins without a
+    shuffle of its own."""
+    plan = plan_of(spark, "x_vocab_coverage")
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_scan_single_exchange_no_join(spark):
+    """f_text_scan: line parse is a map-side projection over the text
+    scan; the only exchange is the bounded per-source aggregation."""
+    plan = plan_of(spark, "f_text_scan")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_bag_set_ops_no_cartesian(spark):
+    """s_intersect_all / s_except_all: Spark's replicate-rows rewrite must
+    stay a keyed join over per-side counts — no cartesian, no
+    nested-loop."""
+    for name in ("s_intersect_all", "s_except_all"):
+        plan = plan_of(spark, name)
+        assert n_nodes(plan, "CartesianProduct") == 0, name
+        assert "NestedLoop" not in plan, name
