@@ -14544,6 +14544,1844 @@ def f_text_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "j_full_outer",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 7000
+    ), o AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS spent_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_mktsegment AS segment,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(spent_cents, 0) AS spent_cents,
+           CASE WHEN c_custkey IS NULL THEN 'right_only'
+                WHEN o_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS side
+    FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+    """,
+)
+def j_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join witness — the reconciliation join (ledger vs
+    statements, CRM vs billing): rich customers on the left, 1997 buyer
+    activity on the right, and BOTH unmatched sides survive with a
+    provenance flag.  The key is COALESCEd into one column (the classic
+    full-outer footgun: selecting either side's key alone nulls out the
+    other side's rows) and measures are null-filled to 0 so downstream
+    arithmetic is total.  Scale shape: both sides pre-reduced before the
+    join (the right side is an aggregate, not raw orders), then one
+    shuffle on the join key; full-outer cannot broadcast, so hash
+    partitioning both sides on custkey is the plan at any SF."""
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("long")
+            .alias("spent_cents"),
+        )
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(c["c_custkey"], o["o_custkey"]).alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("spent_cents"), F.lit(0)).cast("long").alias("spent_cents"),
+        F.when(c["c_custkey"].isNull(), "right_only")
+        .when(o["o_custkey"].isNull(), "left_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@register(
+    "x_vwap",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS qty_centi,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS vwap_cents
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def x_vwap(spark: SparkSession, sf: str) -> DataFrame:
+    """VOLUME-WEIGHTED average price (VWAP — execution-quality benchmark
+    in trading, unit-economics price in retail) per ship-month and return
+    flag: Σ(price·qty)/Σ(qty), where a 500-unit line moves the average
+    500× more than a single-unit line (plain AVG(price) is the classic
+    wrong answer this operator exists to correct).  Price and quantity
+    are both exact centi-units via the DECIMAL(18,2) bridge, so the
+    weighted sum and the final floor-division are pure BIGINT arithmetic
+    — hash-identical across engines.  Scale shape: a single two-phase
+    aggregate keyed on (month, flag) — map-side partials reduce 100 TB of
+    lineitem to ~months×flags rows before the one shuffle."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_returnflag",
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("q"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "p"
+        ),
+    )
+    return (
+        li.groupBy("ship_month", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("q").cast("long").alias("qty_centi"),
+            F.sum(F.col("p") * F.col("q")).alias("__pq"),
+        )
+        .select(
+            "ship_month",
+            "l_returnflag",
+            "n_lines",
+            "qty_centi",
+            F.expr("__pq DIV qty_centi").alias("vwap_cents"),
+        )
+    )
+
+
+@register(
+    "x_ohlc_bars",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             epoch_ms(ts) AS ms, event_id,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT user_id, day_num, cents,
+             first_value(cents) OVER (PARTITION BY user_id, day_num
+                                      ORDER BY ms, event_id) AS open_cents,
+             first_value(cents) OVER (PARTITION BY user_id, day_num
+                                      ORDER BY ms DESC, event_id DESC)
+               AS close_cents
+      FROM e
+    )
+    SELECT user_id, day_num, open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id, day_num, open_cents, close_cents
+    """,
+)
+def x_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC BAR aggregation (candlestick resampling — the first operator
+    every market-data and metrics pipeline runs): per (user, day), the
+    first/highest/lowest/last observed value in cents.  Open/close are
+    order-statistics, not extrema, so they ride struct-min/struct-max
+    aggregates keyed (ms, event_id, cents) — a pure two-phase aggregate
+    with deterministic event-id tie-breaks, NO window sort (the windowed
+    first_value formulation the oracle uses would shuffle+sort the full
+    event stream; the struct-argmin form is map-side combinable).  Scale
+    shape: one shuffle on (user, day), partial aggregation upstream."""
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    first = F.min(
+        F.struct(F.col("ms").alias("t"), F.col("event_id").alias("e"), F.col("cents").alias("v"))
+    )
+    last = F.max(
+        F.struct(F.col("ms").alias("t"), F.col("event_id").alias("e"), F.col("cents").alias("v"))
+    )
+    return (
+        e.groupBy("user_id", "day_num")
+        .agg(
+            first.alias("__o"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            last.alias("__c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "day_num",
+            F.col("__o.v").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("__c.v").alias("close_cents"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "x_drawdown",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), c AS (
+      SELECT user_id, ms, event_id,
+             CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_sum
+      FROM e
+    ), p AS (
+      SELECT user_id, run_sum,
+             CAST(MAX(run_sum) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS peak
+      FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(peak - run_sum) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM p GROUP BY user_id
+    """,
+)
+def x_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """MAX DRAWDOWN per user (the risk metric: worst peak-to-trough fall
+    of the running balance — portfolio risk, battery-drain analysis, SLA
+    burn-down): cumulative sum of event cents in time order, running max
+    of that equity curve, drawdown = peak − current, maximized per user.
+    Exact BIGINT throughout.  Scale shape: ONE window shuffle on user_id
+    serves both running aggregates (same partition + order), then the
+    final per-user reduce reuses the partitioning — AQE plans a single
+    exchange end-to-end."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = e.withColumn("run_sum", F.sum("cents").over(wo).cast("long")).withColumn(
+        "peak", F.max(F.sum("cents").over(wo)).over(wo).cast("long")
+    )
+    return curve.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("run_sum")).cast("long").alias("max_drawdown_cents"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "x_rsi_indicator",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), d AS (
+      SELECT nat, day, x - lag(x) OVER (PARTITION BY nat ORDER BY day) AS dx,
+             row_number() OVER (PARTITION BY nat ORDER BY day) AS rn
+      FROM daily
+    ), g AS (
+      SELECT nat, day, rn,
+             CAST(SUM(CASE WHEN dx > 0 THEN dx ELSE 0 END)
+                  OVER (PARTITION BY nat ORDER BY day
+                        ROWS 13 PRECEDING) AS BIGINT) AS gain,
+             CAST(SUM(CASE WHEN dx < 0 THEN -dx ELSE 0 END)
+                  OVER (PARTITION BY nat ORDER BY day
+                        ROWS 13 PRECEDING) AS BIGINT) AS loss
+      FROM d
+    )
+    SELECT nat AS n_name, day, gain AS gain_cents, loss AS loss_cents,
+           CAST(gain * 1000000 // (gain + loss) AS BIGINT) AS rsi_micro
+    FROM g
+    WHERE rn >= 15 AND gain + loss > 0
+    """,
+)
+def x_rsi_indicator(spark: SparkSession, sf: str) -> DataFrame:
+    """RSI-14 (relative strength index, simple-average Cutler variant —
+    the momentum oscillator): over each nation's daily revenue series,
+    the trailing-14-day sum of up-moves vs down-moves, RSI = gain/(gain+
+    loss) in micro-units.  Day-over-day deltas are exact cents, rolling
+    sums are BIGINT row-frame windows, and the micro ratio is a single
+    floor division — no float forms anywhere.  Rows need a full 14-delta
+    history (rn ≥ 15).  Scale shape: raw orders collapse to the
+    ~nation×2400-row daily series first (`_nation_daily_cents`); ALL
+    windows then share one (nation)-partitioned sort — one shuffle of a
+    tiny series table regardless of order volume."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    wo = Window.partitionBy("nat").orderBy("day")
+    w14 = wo.rowsBetween(-13, 0)
+    d = daily.withColumn("dx", F.col("x") - F.lag("x").over(wo)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    g = d.withColumn(
+        "gain",
+        F.sum(F.when(F.col("dx") > 0, F.col("dx")).otherwise(0)).over(w14).cast("long"),
+    ).withColumn(
+        "loss",
+        F.sum(F.when(F.col("dx") < 0, -F.col("dx")).otherwise(0)).over(w14).cast("long"),
+    )
+    return (
+        g.filter((F.col("rn") >= 15) & (F.col("gain") + F.col("loss") > 0))
+        .select(
+            F.col("nat").alias("n_name"),
+            "day",
+            F.col("gain").alias("gain_cents"),
+            F.col("loss").alias("loss_cents"),
+            F.expr("gain * 1000000 DIV (gain + loss)").alias("rsi_micro"),
+        )
+    )
+
+
+@register(
+    "x_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item
+      FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), item_cnt AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS ante, b.item AS cons,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.ante, p.cons, p.n_ab,
+           (p.n_ab * 1000000) // n_orders.n AS support_micro,
+           (p.n_ab * 1000000) // ca.c AS confidence_micro,
+           (p.n_ab * n_orders.n * 1000000) // (ca.c * cb.c) AS lift_micro
+    FROM pairs p
+    JOIN item_cnt ca ON p.ante = ca.item
+    JOIN item_cnt cb ON p.cons = cb.item
+    CROSS JOIN n_orders
+    WHERE p.n_ab >= 3
+    ORDER BY confidence_micro DESC, p.ante, p.cons LIMIT 30
+    """,
+)
+def x_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """ASSOCIATION RULES (directional a→b, the step beyond
+    `x_market_basket`'s symmetric lift): support P(ab), confidence
+    P(b|a), and lift P(ab)/(P(a)P(b)) for every co-purchased item pair
+    with ≥3 joint baskets, all in exact integer micro-units.  Confidence
+    is the asymmetric measure — beer→diapers and diapers→beer differ —
+    so pairs are emitted in BOTH directions and ranked by confidence.
+    Scale shape identical to the basket miner: the pair join stays
+    WITHIN l_orderkey (basket² per order, never catalog²), pair counts
+    partial-aggregate map-side, and the item-count/total tables join
+    broadcast (constant-bounded: 200 items, 1 scalar row)."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey"), F.col("item").alias("ante"))
+    b = items.select(F.col("l_orderkey"), F.col("item").alias("cons"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = item_cnt.select(F.col("item").alias("ante"), F.col("c").alias("__ca"))
+    cb = item_cnt.select(F.col("item").alias("cons"), F.col("c").alias("__cb"))
+    return (
+        pairs.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.expr("(n_ab * 1000000) DIV n").alias("support_micro"),
+            F.expr("(n_ab * 1000000) DIV __ca").alias("confidence_micro"),
+            F.expr("(n_ab * n * 1000000) DIV (__ca * __cb)").alias("lift_micro"),
+        )
+        .orderBy(F.col("confidence_micro").desc(), "ante", "cons")
+        .limit(30)
+    )
+
+
+@register(
+    "x_link_prediction",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), common AS (
+      SELECT a.u AS u1, b.u AS u2, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM edges a JOIN edges b ON a.c = b.c AND a.u < b.u
+      GROUP BY a.u, b.u
+    )
+    SELECT c.u1, c.u2, c.cn AS common_neighbors,
+           CAST(c.cn * 1000000 // (d1.d + d2.d - c.cn) AS BIGINT)
+             AS jaccard_micro
+    FROM common c
+    JOIN deg d1 ON c.u1 = d1.u
+    JOIN deg d2 ON c.u2 = d2.u
+    ORDER BY jaccard_micro DESC, c.u1, c.u2 LIMIT 25
+    """,
+)
+def x_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """LINK PREDICTION by neighborhood overlap (common-neighbors +
+    Jaccard — the classic unsupervised recommender for 'who should trade
+    with whom'): suppliers sharing many customers are likely future
+    partners.  Candidate pairs are generated WITHIN each shared customer
+    (the within-key self-join pattern — work bounded by per-customer
+    supplier count², never |suppliers|²), counted, then normalized by the
+    union of neighborhoods via exact integer micro-division.  Degree
+    tables join broadcast (supplier-bounded).  Top-25 by (jaccard, pair)
+    total order; at 100 TB the same plan holds with per-key caps exactly
+    as the LSH bucket miner bounds its fan-out."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("u"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select(F.col("c"), F.col("u").alias("u1"))
+    b = edges.select(F.col("c"), F.col("u").alias("u2"))
+    common = (
+        a.join(b, "c")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    d1 = deg.select(F.col("u").alias("u1"), F.col("d").alias("__d1"))
+    d2 = deg.select(F.col("u").alias("u2"), F.col("d").alias("__d2"))
+    return (
+        common.join(F.broadcast(d1), "u1")
+        .join(F.broadcast(d2), "u2")
+        .select(
+            "u1",
+            "u2",
+            F.col("cn").alias("common_neighbors"),
+            F.expr("cn * 1000000 DIV (__d1 + __d2 - cn)").alias("jaccard_micro"),
+        )
+        .orderBy(F.col("jaccard_micro").desc(), "u1", "u2")
+        .limit(25)
+    )
+
+
+@register(
+    "x_chi2_feature_select",
+    """
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang = 'en' AS pos,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), margins AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS r0
+      FROM documents
+    ), cnt AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM pres GROUP BY tok
+    ), scored AS (
+      SELECT tok, a, b, a + b AS df,
+             CAST(FLOOR(
+               CAST(r1 + r0 AS DOUBLE)
+               * CAST(a * r0 - b * r1 AS DOUBLE)
+               * CAST(a * r0 - b * r1 AS DOUBLE)
+               / (CAST(a + b AS DOUBLE)
+                  * CAST(r1 + r0 - a - b AS DOUBLE)
+                  * CAST(r1 AS DOUBLE) * CAST(r0 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS chi2_micro
+      FROM cnt CROSS JOIN margins
+      WHERE a + b >= 20 AND r1 + r0 - a - b > 0
+    )
+    SELECT tok AS token, df, a AS df_pos, b AS df_neg, chi2_micro
+    FROM scored ORDER BY chi2_micro DESC, tok LIMIT 25
+    """,
+)
+def x_chi2_feature_select(spark: SparkSession, sf: str) -> DataFrame:
+    """CHI-SQUARE FEATURE SELECTION (the supervised vocabulary filter for
+    text classifiers): for every token present in ≥20 documents, the 2×2
+    chi² between token presence and the lang='en' label, top-25 features.
+    The 2×2 statistic collapses to N·(a·d−b·c)²/((a+b)(c+d)(r₁)(r₀)) with
+    d = r₀−b and c = r₁−a substituted so only EXACT BIGINT margins enter;
+    the value flows through one fixed IEEE double chain and floors to
+    micro-units — hash-identical cross-engine (`x_chi2_independence`
+    pioneered the trick; this is its per-feature one-vs-rest form).
+    Scale shape: doc-level presence dedups map-side, one groupBy on
+    token, the 1-row margin table joins broadcast, ranking is bounded
+    top-k (TakeOrdered, no global sort)."""
+    d = load_table(spark, sf, "documents")
+    pres = (
+        spread(d)
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("pos"),
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .distinct()
+    )
+    margins = d.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast("long").alias("r0"),
+    )
+    cnt = pres.groupBy("tok").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("b"),
+    )
+    scored = (
+        cnt.crossJoin(F.broadcast(margins))
+        .filter((F.col("a") + F.col("b") >= 20) & (F.col("r1") + F.col("r0") - F.col("a") - F.col("b") > 0))
+        .select(
+            F.col("tok").alias("token"),
+            (F.col("a") + F.col("b")).alias("df"),
+            F.col("a").alias("df_pos"),
+            F.col("b").alias("df_neg"),
+            F.expr(
+                "CAST(FLOOR(CAST(r1 + r0 AS DOUBLE)"
+                " * CAST(a * r0 - b * r1 AS DOUBLE)"
+                " * CAST(a * r0 - b * r1 AS DOUBLE)"
+                " / (CAST(a + b AS DOUBLE) * CAST(r1 + r0 - a - b AS DOUBLE)"
+                "    * CAST(r1 AS DOUBLE) * CAST(r0 AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("chi2_micro"),
+        )
+    )
+    return scored.orderBy(F.col("chi2_micro").desc(), "token").limit(25)
+
+
+@register(
+    "x_holt_linear",
+    """
+    WITH RECURSIVE mon AS (
+      SELECT n_name AS nat, strftime(o_orderdate, '%Y-%m') AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT nat, mon, x,
+             row_number() OVER (PARTITION BY nat ORDER BY mon) AS rn
+      FROM mon
+    ), h AS (
+      SELECT nat, mon, rn, x, x AS l, CAST(0 AS BIGINT) AS b
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.nat, m.mon, m.rn, m.x,
+             (2*m.x + 8*(h.l+h.b)) // 10 AS l,
+             ((((2*m.x + 8*(h.l+h.b)) // 10) - h.l) + 9*h.b) // 10 AS b
+      FROM h JOIN m ON m.nat = h.nat AND m.rn = h.rn + 1
+    )
+    SELECT nat AS n_name, mon, x AS revenue_cents,
+           l AS level_cents, b AS trend_cents,
+           l + b AS forecast_cents
+    FROM h
+    """,
+)
+def x_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """HOLT'S LINEAR TREND smoothing (double exponential smoothing, α=0.2
+    β=0.1 — the forecasting workhorse one step above EWMA, which
+    `x_ewma_smooth` covers): per nation-month revenue, a SEQUENTIAL
+    recurrence lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    emitting level, trend, and the 1-step-ahead forecast for every month.
+    The recurrence runs in EXACT integer cents (rational coefficients,
+    truncating DIV at every step — bit-identical to the oracle's unrolled
+    recursive CTE).  Spark-first trick for ordered folds: each nation's
+    ~84-month series collects into ONE array and folds through the
+    `aggregate` higher-order function with an append accumulator — the
+    recurrence parallelizes ACROSS nations while staying sequential
+    WITHIN one, with no driver loop and no Python.  Scale shape: raw
+    orders reduce to the nation-month table first (one shuffle); the
+    fold state is bounded by series length (calendar-bounded, ~100
+    entries), never by order volume."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nat"), "mon")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    arr = monthly.groupBy("nat").agg(
+        F.sort_array(F.collect_list(F.struct("mon", "x"))).alias("arr")
+    )
+    folded = arr.select(
+        "nat",
+        F.expr(
+            """
+            aggregate(
+              slice(arr, 2, greatest(size(arr) - 1, 0)),
+              array(named_struct('mon', arr[0].mon, 'x', arr[0].x,
+                                 'l', arr[0].x, 'b', CAST(0 AS BIGINT))),
+              (acc, e) -> array_append(acc, named_struct(
+                'mon', e.mon, 'x', e.x,
+                'l', (2*e.x + 8*(element_at(acc,-1).l + element_at(acc,-1).b))
+                     DIV 10,
+                'b', (((2*e.x + 8*(element_at(acc,-1).l
+                                   + element_at(acc,-1).b)) DIV 10)
+                      - element_at(acc,-1).l + 9*element_at(acc,-1).b) DIV 10))
+            ) AS h
+            """
+        ),
+    )
+    return (
+        folded.select("nat", F.explode("h").alias("s"))
+        .select(
+            F.col("nat").alias("n_name"),
+            F.col("s.mon").alias("mon"),
+            F.col("s.x").alias("revenue_cents"),
+            F.col("s.l").alias("level_cents"),
+            F.col("s.b").alias("trend_cents"),
+            (F.col("s.l") + F.col("s.b")).alias("forecast_cents"),
+        )
+    )
+
+
+@register(
+    "x_kaplan_meier",
+    """
+    WITH RECURSIVE dur AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(epoch_ms(MIN(l_shipdate)) / 86400000.0) AS BIGINT)
+               - CAST(floor(epoch_ms(MIN(o_orderdate)) / 86400000.0) AS BIGINT)
+               AS t,
+             CASE WHEN MIN(o_orderstatus) = 'F' THEN 1 ELSE 0 END AS evt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderpriority
+    ), grp AS (
+      SELECT prio, t,
+             CAST(SUM(evt) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM dur GROUP BY prio, t
+    ), risk AS (
+      SELECT prio, t, d,
+             CAST(SUM(tot) OVER (PARTITION BY prio) AS BIGINT)
+               - CAST(COALESCE(SUM(tot) OVER (PARTITION BY prio ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS n
+      FROM grp
+    ), ev AS (
+      SELECT prio, t, d, n,
+             row_number() OVER (PARTITION BY prio ORDER BY t) AS rn
+      FROM risk WHERE d > 0
+    ), km AS (
+      SELECT prio, t, d, n, rn,
+             CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.prio, e.t, e.d, e.n, e.rn,
+             km.s * (CAST(e.n - e.d AS DOUBLE) / CAST(e.n AS DOUBLE)) AS s
+      FROM km JOIN ev e ON e.prio = km.prio AND e.rn = km.rn + 1
+    )
+    SELECT prio AS o_orderpriority, t AS duration_days,
+           n AS n_at_risk, d AS d_events,
+           CAST(FLOOR(s * 1000000000.0) AS BIGINT) AS survival_nano
+    FROM km
+    """,
+)
+def x_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """KAPLAN-MEIER survival curves (the censoring-aware time-to-event
+    estimator — order-fulfillment SLAs here, churn/retention curves in
+    product analytics): duration = days from order to first shipment,
+    with non-finalized orders (status ≠ 'F') treated as RIGHT-CENSORED —
+    they keep inflating the at-risk denominator but never count as
+    events, which is exactly what a naive AVG(duration) gets wrong.
+    Ŝ(t) = Π over event times ≤ t of (1 − dᵢ/nᵢ); the ordered product
+    folds through the same array-`aggregate` pattern as `x_holt_linear`,
+    each step one correctly-rounded IEEE divide + multiply from exact
+    BIGINT (d, n) — bit-identical to the oracle's recursive-CTE unroll,
+    emitted as a floored nano-unit integer.  Scale shape: order volume
+    reduces to per-(priority, day) counts in two shuffles; the at-risk
+    window and the fold run on the ≤ priorities × duration-range rows
+    (calendar-bounded constant)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    dur = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            (
+                F.expr("CAST(floor(unix_millis(MIN(l_shipdate)) / 86400000.0) AS BIGINT)")
+                - F.expr(
+                    "CAST(floor(unix_millis(MIN(o_orderdate)) / 86400000.0) AS BIGINT)"
+                )
+            ).alias("t"),
+            F.when(F.min("o_orderstatus") == "F", 1).otherwise(0).alias("evt"),
+        )
+        .select(F.col("o_orderpriority").alias("prio"), "t", "evt")
+    )
+    grp = dur.groupBy("prio", "t").agg(
+        F.sum("evt").cast("long").alias("d"), F.count(F.lit(1)).alias("tot")
+    )
+    wp = Window.partitionBy("prio")
+    wb = Window.partitionBy("prio").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grp.select(
+        "prio",
+        "t",
+        "d",
+        (
+            F.sum("tot").over(wp).cast("long")
+            - F.coalesce(F.sum("tot").over(wb), F.lit(0)).cast("long")
+        ).alias("n"),
+    ).filter(F.col("d") > 0)
+    arr = risk.groupBy("prio").agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias("arr")
+    )
+    folded = arr.select(
+        "prio",
+        F.expr(
+            """
+            aggregate(
+              slice(arr, 2, greatest(size(arr) - 1, 0)),
+              array(named_struct('t', arr[0].t, 'd', arr[0].d, 'n', arr[0].n,
+                    's', CAST(arr[0].n - arr[0].d AS DOUBLE)
+                         / CAST(arr[0].n AS DOUBLE))),
+              (acc, e) -> array_append(acc, named_struct(
+                't', e.t, 'd', e.d, 'n', e.n,
+                's', element_at(acc,-1).s
+                     * (CAST(e.n - e.d AS DOUBLE) / CAST(e.n AS DOUBLE))))
+            ) AS km
+            """
+        ),
+    )
+    return (
+        folded.select("prio", F.explode("km").alias("s"))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("s.t").alias("duration_days"),
+            F.col("s.n").alias("n_at_risk"),
+            F.col("s.d").alias("d_events"),
+            F.expr("CAST(FLOOR(s.s * 1000000000.0) AS BIGINT)").alias("survival_nano"),
+        )
+    )
+
+
+@register(
+    "x_lttb_downsample",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT day // 40 AS bk, day, y FROM daily
+    ), st AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM b GROUP BY bk
+    ), cand AS (
+      SELECT p.bk, p.day, p.y,
+             ABS( (l.sx - l.n * p.day) * (r.sy - r.n * p.y)
+                - (r.sx - r.n * p.day) * (l.sy - l.n * p.y) ) AS area2
+      FROM b p
+      JOIN st l ON l.bk = p.bk - 1
+      JOIN st r ON r.bk = p.bk + 1
+    ), rk AS (
+      SELECT bk, day, y, area2,
+             row_number() OVER (PARTITION BY bk
+                                ORDER BY area2 DESC, day) AS rn
+      FROM cand
+    )
+    SELECT bk AS bucket, day AS day_num, y AS cents, area2
+    FROM rk WHERE rn = 1
+    """,
+)
+def x_lttb_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """LTTB DOWNSAMPLING (largest-triangle-three-buckets — the standard
+    visual decimation for monitoring dashboards: keep the ~60 points that
+    preserve the SHAPE of a 2,400-point series, not a blind every-Nth
+    sample): the daily revenue series buckets into 40-day windows and
+    each interior bucket keeps the point forming the largest triangle
+    against its neighbor buckets' centroids (the parallel mean-anchor
+    LTTB variant — anchoring on the previous bucket's MEAN instead of its
+    selected point removes the sequential dependency, the documented
+    trade-off that makes it distributable).  Triangle areas compare in
+    EXACT integers: the two centroid divisions are cleared by
+    cross-multiplying both terms with n_left·n_right (same positive
+    factor within a bucket ⇒ same argmax), so area2 is pure BIGINT and
+    the per-bucket winner is a deterministic (area DESC, day) struct-max
+    AGGREGATE — no window sort.  Scale shape: orders reduce to the
+    calendar-bounded daily table; bucket stats (~60 rows) broadcast back;
+    one aggregate per bucket."""
+    daily = (
+        load_table(spark, sf, "orders")
+        .select(
+            F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
+                "day"
+            ),
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    # the bucketed daily series feeds three consumers (stats twice via the
+    # left/right neighbor views + the candidate probe): cache the
+    # calendar-bounded table once instead of re-reducing orders per branch
+    b = daily.select(F.expr("day DIV 40").alias("bk"), "day", "y").cache()
+    st = b.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    ).cache()
+    # bucket-stat table is calendar-bounded (~days/40 rows at ANY SF)
+    left = F.broadcast(
+        st.select(
+            (F.col("bk") + 1).alias("bk"),
+            F.col("n").alias("ln"),
+            F.col("sx").alias("lsx"),
+            F.col("sy").alias("lsy"),
+        )
+    )
+    right = F.broadcast(
+        st.select(
+            (F.col("bk") - 1).alias("bk"),
+            F.col("n").alias("rn_"),
+            F.col("sx").alias("rsx"),
+            F.col("sy").alias("rsy"),
+        )
+    )
+    cand = (
+        b.join(left, "bk")
+        .join(right, "bk")
+        .select(
+            "bk",
+            "day",
+            "y",
+            F.abs(
+                (F.col("lsx") - F.col("ln") * F.col("day"))
+                * (F.col("rsy") - F.col("rn_") * F.col("y"))
+                - (F.col("rsx") - F.col("rn_") * F.col("day"))
+                * (F.col("lsy") - F.col("ln") * F.col("y"))
+            ).alias("area2"),
+        )
+    )
+    return (
+        cand.groupBy("bk")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("area2")).alias("neg"),
+                    F.col("day").alias("d"),
+                    F.col("y").alias("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("bk").alias("bucket"),
+            F.col("m.d").alias("day_num"),
+            F.col("m.v").alias("cents"),
+            (-F.col("m.neg")).alias("area2"),
+        )
+    )
+
+
+def _textrank_oracle(iters: int = 2) -> str:
+    """DuckDB replica of integer PageRank over the word co-occurrence
+    graph (adjacent alphabetic tokens within a document, canonicalized
+    undirected) — same unrolled-round arithmetic as
+    :func:`_pagerank_oracle`, different edge builder."""
+    parts = [
+        """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> regexp_matches(t, '^[a-z]{3,}$')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+      FROM toks,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> struct_pack(a := w[i], b := w[i+1]))) AS t(p)
+      WHERE p.a <> p.b
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(f""", r{i + 1} AS (
+      SELECT e.dst AS node,
+             150000 + (85 * CAST(SUM(r.r // d.degree) AS BIGINT)) // 100 AS r
+      FROM edges e
+      JOIN r{i} r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    )""")
+    parts.append(f"""
+    SELECT r.node AS token, r.r AS rank_micro, d.degree
+    FROM r{iters} r JOIN deg d ON r.node = d.node
+    ORDER BY rank_micro DESC, token LIMIT 25
+    """)
+    return "".join(parts)
+
+
+@register("x_textrank_keywords", _textrank_oracle())
+def x_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau's unsupervised
+    keyword ranker — PageRank over the word co-occurrence graph instead
+    of the citation graph): adjacent alphabetic tokens (≥3 chars) within
+    each document become canonical undirected edges, and 2 damped
+    iterations of the SAME exact-integer PageRank used by
+    `x_pagerank_trade` (`functions/graph.py:pagerank`) rank the
+    vocabulary; top-25 keywords.  Demonstrates the graph engine is
+    generic over node type (string tokens here, BIGINT entity keys
+    there).  Scale shape: edge building is a map-side array transform +
+    one distinct; each round is one broadcast-rank join + one inbound
+    groupBy on the token key; ranking is bounded top-k."""
+    d = load_table(spark, sf, "documents")
+    toks = spread(d).select(
+        F.expr(
+            "filter(split(trim(lower(text)), '\\\\s+'), t -> t rlike '^[a-z]{3,}$')"
+        ).alias("w")
+    )
+    pairs = (
+        toks.filter(F.expr("size(w) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> named_struct('a', w[i], 'b', w[i+1]))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(
+            F.least("p.a", "p.b").alias("u"), F.greatest("p.a", "p.b").alias("v")
+        )
+        .distinct()
+    )
+    ranks = G.pagerank(G.undirect(pairs), iters=2, broadcast_ranks=True)
+    return (
+        ranks.select(F.col("node").alias("token"), "rank_micro", "degree")
+        .orderBy(F.col("rank_micro").desc(), "token")
+        .limit(25)
+    )
+
+
+_RAKE_STOPWORDS = (
+    "the,a,an,and,or,but,of,to,in,on,for,with,is,are,was,were,be,as,at,by,"
+    "it,its,this,that,from,has,have,had,not,no,we,you,they,he,she,i"
+)
+
+
+@register(
+    "x_rake_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, p.i AS i, p.tok AS tok
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents
+      ), unnest(list_transform(generate_series(1, len(w)),
+               i -> struct_pack(i := i, tok := w[i]))) AS t(p)
+    ), flagged AS (
+      SELECT doc_id, tok, i,
+             CASE WHEN list_contains(string_split('{_RAKE_STOPWORDS}', ','),
+                                     tok)
+                    OR NOT regexp_matches(tok, '^[a-z]+$')
+                  THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ), seg AS (
+      SELECT doc_id, tok, stop,
+             CAST(SUM(stop) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS pid
+      FROM flagged
+    ), phrase_words AS (
+      SELECT doc_id, pid, tok FROM seg WHERE stop = 0
+    ), plen AS (
+      SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS phrase_len
+      FROM phrase_words GROUP BY doc_id, pid
+    ), scored AS (
+      SELECT w.tok,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+      FROM phrase_words w
+      JOIN plen p ON w.doc_id = p.doc_id AND w.pid = p.pid
+      GROUP BY w.tok
+    )
+    SELECT tok AS token, freq, degree,
+           degree * 1000000 // freq AS score_micro
+    FROM scored
+    WHERE freq >= 5
+    ORDER BY score_micro DESC, token LIMIT 25
+    """,
+)
+def x_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction —
+    the degree/frequency heuristic): documents split into candidate
+    phrases at stopwords/non-alpha tokens (the phrase id is a running
+    count of delimiter tokens — one cumulative-sum window per document),
+    then each word scores degree/frequency where degree sums the lengths
+    of every phrase containing it — words that live in LONG multi-word
+    phrases outrank equally-frequent words that appear alone.  Exact
+    integer micro-score; ≥5 occurrences; top-25.  Scale shape: one
+    window pass per doc-token stream (partitioned by doc_id, bounded by
+    doc length), two keyed aggregates, bounded top-k — the stopword list
+    is a compile-time literal shared verbatim with the oracle."""
+    from pyspark.sql import Window
+
+    stops = _RAKE_STOPWORDS.split(",")
+    d = load_table(spark, sf, "documents")
+    toks = spread(d).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "i", "tok"
+        ),
+    )
+    flagged = toks.withColumn(
+        "stop",
+        F.when(
+            F.col("tok").isin(stops) | ~F.col("tok").rlike("^[a-z]+$"), 1
+        ).otherwise(0),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = flagged.withColumn("pid", F.sum("stop").over(wseg).cast("long"))
+    phrase_words = seg.filter(F.col("stop") == 0).select("doc_id", "pid", "tok")
+    plen = phrase_words.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    scored = (
+        phrase_words.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").cast("long").alias("degree"),
+        )
+        .filter(F.col("freq") >= 5)
+    )
+    return (
+        scored.select(
+            F.col("tok").alias("token"),
+            "freq",
+            "degree",
+            F.expr("degree * 1000000 DIV freq").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "token")
+        .limit(25)
+    )
+
+
+@register(
+    "x_readability",
+    """
+    WITH stats AS (
+      SELECT doc_id,
+             GREATEST(len(list_filter(
+               regexp_split_to_array(text, '[.!?]+'),
+               s -> trim(s) <> '')), 1) AS n_sents,
+             GREATEST(len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')), 1) AS n_words,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_sylls
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sylls AS BIGINT) AS n_sylls,
+           CAST(206835000
+                - (1015 * (n_words * 1000000 // n_sents)) // 1000
+                - (846 * (n_sylls * 1000000 // n_words)) // 10
+                AS BIGINT) AS flesch_micro
+    FROM stats
+    """,
+)
+def x_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """FLESCH READING-EASE scoring (the corpus-quality readability gate —
+    206.835 − 1.015·words/sentence − 84.6·syllables/word): sentences
+    split on terminal punctuation, syllables approximated by vowel-group
+    runs (the standard regex proxy), and the linear formula evaluated
+    ENTIRELY in integer micro-units — the transcendental-free cousin of
+    the Gopher/quality gates, with the constant coefficients embedded as
+    exact micro literals shared with the oracle.  GREATEST(·,1) guards
+    division on degenerate docs.  Scale shape: pure map-side column
+    expressions over one scan — no shuffle at all beyond the input
+    spread."""
+    d = load_table(spark, sf, "documents")
+    return spread(d).select(
+        "doc_id",
+        F.greatest(
+            F.expr(
+                "size(filter(split(text, '[.!?]+'), s -> trim(s) != ''))"
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sents"),
+        F.greatest(
+            F.expr("size(filter(split(trim(lower(text)), '\\\\s+'), t -> t != ''))"),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sylls"),
+    ).select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_sylls",
+        F.expr(
+            "CAST(206835000"
+            " - (1015 * (n_words * 1000000 DIV n_sents)) DIV 1000"
+            " - (846 * (n_sylls * 1000000 DIV n_words)) DIV 10 AS BIGINT)"
+        ).alias("flesch_micro"),
+    )
+
+
+def _dbscan_ctes(eps: int = 4000, min_nbrs: int = 3) -> str:
+    """Shared DuckDB CTE chain for grid-blocked DBSCAN over md5-derived
+    customer coordinates: ``nbrs`` (eps-ball pairs via 3×3 cell probe),
+    ``core`` (points with ≥ min_nbrs neighbors), ``cc`` (min-reachable-id
+    transitive closure over core-core edges)."""
+    return f"""pts AS (
+      SELECT c_custkey AS k,
+             CAST(concat('0x', substr(md5('dbx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 AS x,
+             CAST(concat('0x', substr(md5('dby' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 AS y
+      FROM customer
+    ), nbrs AS (
+      SELECT a.k AS k1, b.k AS k2
+      FROM pts a
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+      JOIN pts b ON b.x // {eps} = a.x // {eps} + ox.dx
+                AND b.y // {eps} = a.y // {eps} + oy.dy
+      WHERE a.k <> b.k
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {eps * eps}
+    ), core AS (
+      SELECT k1 AS k FROM nbrs GROUP BY k1 HAVING COUNT(*) >= {min_nbrs}
+    ), core_edges AS (
+      SELECT n.k1 AS a, n.k2 AS b FROM nbrs n
+      JOIN core c1 ON n.k1 = c1.k JOIN core c2 ON n.k2 = c2.k
+    ), reach(a, b) AS (
+      SELECT a, b FROM core_edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN core_edges e ON r.b = e.a
+    ), cc0 AS (
+      SELECT a AS k, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ), cc AS (
+      -- isolated cores (no core-core edge) are singleton clusters
+      SELECT c.k, COALESCE(cc0.cluster_id, c.k) AS cluster_id
+      FROM core c LEFT JOIN cc0 ON c.k = cc0.k
+    )"""
+
+
+@register(
+    "x_dbscan_clusters",
+    f"""
+    WITH RECURSIVE {_dbscan_ctes()}
+    SELECT k AS point_id, 'core' AS role, cluster_id
+    FROM cc
+    UNION ALL
+    SELECT n.k1 AS point_id, 'border' AS role,
+           MIN(c.cluster_id) AS cluster_id
+    FROM nbrs n
+    JOIN cc c ON n.k2 = c.k
+    LEFT JOIN core me ON n.k1 = me.k
+    WHERE me.k IS NULL
+    GROUP BY n.k1
+    """,
+)
+def x_dbscan_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """GRID-BLOCKED DBSCAN (density-based clustering with noise — the
+    spatial/embedding clustering that k-means can't do: arbitrary-shape
+    clusters, explicit outlier rejection): points on a 100k² integer
+    plane (portable md5 coordinates), eps-ball neighborhoods found by the
+    SAME 3×3 cell-probe blocking as `x_grid_nearest_join` (cell = eps ⇒
+    every true neighbor is in the 9-cell stencil — never a distance cross
+    join), core points have ≥3 neighbors, clusters are connected
+    components over core-core edges (the engine's pointer-jumping CC
+    solver, `functions/dedup.py:dedup_clusters`), and border points
+    attach to their minimum-id neighboring core cluster; noise is
+    absent.  Every stage is exact-integer and cross-engine (the oracle
+    re-runs the blocking and closes components by recursive transitive
+    closure).  Scale shape: the pair join is cell-keyed (density-bounded
+    fan-out), core detection is one count aggregate, CC is O(log n)
+    keyed rounds with checkpointed lineage."""
+    EPS, MIN_NBRS = 4000, 3
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        (D.portable_hash60(F.concat(F.lit("dbx"), F.col("c_custkey").cast("string"))) % 100000).alias("x"),
+        (D.portable_hash60(F.concat(F.lit("dby"), F.col("c_custkey").cast("string"))) % 100000).alias("y"),
+    ).cache()
+    offsets = spark.range(1).select(
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dx")
+    ).crossJoin(
+        spark.range(1).select(F.explode(F.expr("array(-1, 0, 1)")).alias("dy"))
+    )
+    a = pts.select(F.col("k").alias("k1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("k").alias("k2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    nbrs = (
+        a.crossJoin(F.broadcast(offsets))
+        .join(
+            b,
+            (F.expr(f"x2 DIV {EPS}") == F.expr(f"x1 DIV {EPS}") + F.col("dx"))
+            & (F.expr(f"y2 DIV {EPS}") == F.expr(f"y1 DIV {EPS}") + F.col("dy")),
+        )
+        .filter(
+            (F.col("k1") != F.col("k2"))
+            & (
+                (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2"))
+                + (F.col("y1") - F.col("y2")) * (F.col("y1") - F.col("y2"))
+                <= EPS * EPS
+            )
+        )
+        .select("k1", "k2")
+        .cache()
+    )
+    core = (
+        nbrs.groupBy("k1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_NBRS)
+        .select(F.col("k1").alias("k"))
+        .cache()
+    )
+    core_edges = (
+        nbrs.join(core.select(F.col("k").alias("k1")), "k1")
+        .join(core.select(F.col("k").alias("k2")), "k2")
+        .filter(F.col("k1") < F.col("k2"))
+        .select(F.col("k1").alias("id_a"), F.col("k2").alias("id_b"))
+    )
+    cc0 = D.dedup_clusters(core_edges).select(
+        F.col("doc_id").alias("k"), "cluster_id"
+    )
+    # isolated cores (no core-core edge) are singleton clusters
+    cc = core.join(cc0, "k", "left").select(
+        "k", F.coalesce("cluster_id", F.col("k")).alias("cluster_id")
+    )
+    cores_out = cc.select(
+        F.col("k").alias("point_id"), F.lit("core").alias("role"), "cluster_id"
+    )
+    borders_out = (
+        nbrs.join(core.select(F.col("k").alias("k1")), "k1", "left_anti")
+        .join(cc.select(F.col("k").alias("k2"), "cluster_id"), "k2")
+        .groupBy(F.col("k1").alias("point_id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select("point_id", F.lit("border").alias("role"), "cluster_id")
+    )
+    return cores_out.unionAll(borders_out)
+
+
+@register(
+    "x_image_histogram",
+    """
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ), vals AS (
+      SELECT doc_id,
+             unnest(flatten(list_transform(
+               generate_series(0, h*w - 1),
+               p -> list_transform([0, 1, 2],
+                      c -> ((p // w) + 2*(p % w) + 37*c + doc_id) % 256)
+             ))) AS v
+      FROM px
+    )
+    SELECT doc_id AS asset_id, CAST(v // 64 AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels
+    FROM vals GROUP BY doc_id, v // 64
+    """,
+)
+def x_image_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """PIXEL-INTENSITY HISTOGRAM over real decoded PNGs (the
+    brightness/contrast audit every vision-data pipeline runs before
+    training): the same deterministic gradient PNGs as
+    `x_image_pixel_stats` are decoded end-to-end and each image reduces
+    to its 4-bucket intensity histogram — the histogram is computed from
+    the DECODED BYTES inside the Arrow batch (numpy bincount over the
+    pixel tensor), while the oracle re-derives it from the generation
+    formula, so agreement witnesses the whole codec chain again but
+    through a different reduction.  Scale shape: decode stays in
+    `mapInPandas` at the binary boundary; the histogram rows (≤4 per
+    asset) aggregate map-side."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_png,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                i = np.arange(h).reshape(h, 1, 1)
+                j = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((i + 2 * j + 37 * c + d) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "media_type": "image/png", "payload": payloads}
+            )
+
+    decoded = decode_image_pixels(ids.mapInPandas(gen, gen_schema))
+    hist_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("bin", IntegerType(), False),
+            StructField("n_pixels", LongType(), False),
+        ]
+    )
+
+    def hist(batches):
+        for pdf in batches:
+            ids_, bins_, cnts_ = [], [], []
+            for asset_id, px in zip(pdf["asset_id"], pdf["pixels"]):
+                if px is None:
+                    continue
+                counts = np.bincount(
+                    np.frombuffer(px, np.uint8) >> 6, minlength=4
+                )
+                for bn in range(4):
+                    if counts[bn]:
+                        ids_.append(asset_id)
+                        bins_.append(bn)
+                        cnts_.append(int(counts[bn]))
+            yield pd.DataFrame({"asset_id": ids_, "bin": bins_, "n_pixels": cnts_})
+
+    return decoded.select("asset_id", "pixels").mapInPandas(hist, hist_schema)
+
+
+@register(
+    "x_video_shot_detect",
+    """
+    WITH a AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n, 8 + doc_id % 5 AS h, 8 + doc_id % 6 AS w
+      FROM documents WHERE doc_id < 120
+    ), fr AS (
+      SELECT doc_id, h, w, unnest(generate_series(0, n - 1)) AS f
+      FROM a
+    ), sums AS (
+      SELECT doc_id, f,
+             CAST(list_sum(flatten(list_transform(
+               generate_series(0, h*w - 1),
+               p -> list_transform([0, 1, 2],
+                      c -> (doc_id + 11*f + 3*(p // w) + 5*(p % w) + 29*c) % 256)
+             ))) AS BIGINT) AS s
+      FROM fr
+    ), d AS (
+      SELECT doc_id, f, s,
+             s - lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ds
+      FROM sums
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(ABS(ds) AS BIGINT) AS sum_diff,
+           CAST(CASE WHEN ABS(ds) > 2000 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_shot_boundary
+    FROM d WHERE ds IS NOT NULL
+    """,
+)
+def x_video_shot_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """SHOT-BOUNDARY DETECTION over real decoded AVI video (the temporal
+    segmentation step of video-training pipelines — split on hard cuts
+    before captioning/sampling): every frame of each deterministic AVI is
+    decoded (`sample_frames` with every_n=1 → real PNG per frame), each
+    frame reduces to its pixel sum, and consecutive-frame deltas above a
+    threshold flag a cut.  The oracle recomputes the per-frame sums from
+    the generation formula and applies the same lag — so the pass
+    witnesses codec + temporal ordering end-to-end.  Scale shape: decode
+    fans out inside `mapInPandas` (no frame-array shuffle); the lag
+    window partitions by asset (state bounded by frames-per-asset)."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from pyspark.sql import Window
+    from kafka_streaming_spark.functions.multimodal import (
+        decode_png,
+        encode_avi,
+        sample_frames,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, h, w = 4 + d % 5, 8 + d % 5, 8 + d % 6
+                f = np.arange(n).reshape(n, 1, 1, 1)
+                y = np.arange(h).reshape(1, h, 1, 1)
+                x = np.arange(w).reshape(1, 1, w, 1)
+                c = np.arange(3).reshape(1, 1, 1, 3)
+                px = ((d + 11 * f + 3 * y + 5 * x + 29 * c) % 256).astype(np.uint8)
+                payloads.append(encode_avi(px, fps=25))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "media_type": "video/avi", "payload": payloads}
+            )
+
+    frames = sample_frames(ids.mapInPandas(gen, gen_schema), every_n=1)
+
+    png_sum = F.pandas_udf(
+        lambda b: b.map(
+            lambda v: int(decode_png(v)[3].astype(np.int64).sum()) if v is not None else 0
+        ),
+        "long",
+    )
+    sums = frames.select(
+        "asset_id", "frame_idx", png_sum("frame").alias("s")
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    d = sums.withColumn("ds", F.col("s") - F.lag("s").over(w)).filter(
+        F.col("ds").isNotNull()
+    )
+    return d.select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.abs(F.col("ds")).cast("long").alias("sum_diff"),
+        F.when(F.abs(F.col("ds")) > 2000, 1).otherwise(0).cast("int").alias(
+            "is_shot_boundary"
+        ),
+    )
+
+
+@register(
+    "x_compaction_plan",
+    """
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             COALESCE(CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS BIGINT), 0) AS cum_before
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, n_chars, cum_before // 32768 AS target_file
+      FROM f
+    )
+    SELECT target_file,
+           CAST(COUNT(*) AS BIGINT) AS n_source_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(CASE WHEN SUM(n_chars) < 16384 THEN 1 ELSE 0 END AS INTEGER)
+             AS underfull
+    FROM assigned GROUP BY target_file
+    """,
+)
+def x_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLANNER (the OPTIMIZE bin-packing step every
+    lakehouse table needs: coalesce thousands of small files into
+    ~target-size outputs while preserving sort order): files (stand-in:
+    documents sized by n_chars) are packed by CUMULATIVE-SUM bucketing —
+    running total ÷ target (32 KiB) assigns each file to an output group,
+    which keeps doc_id order contiguous per output (range-readable
+    afterwards, unlike first-fit-decreasing which scrambles order and is
+    inherently sequential).  Emits per-target-file manifests with an
+    underfull flag (< half target).  Scale shape: ONE global running-sum
+    window + one aggregate; at 100 TB the window partitions by table
+    partition key first (per-partition compaction, embarrassingly
+    parallel) — the global form here is the single-partition case."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    assigned = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long")
+    ).select("doc_id", "n_chars", F.expr("cum_before DIV 32768").alias("target_file"))
+    return (
+        assigned.groupBy("target_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_source_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "target_file",
+            "n_source_files",
+            "total_bytes",
+            "first_doc",
+            "last_doc",
+            F.when(F.col("total_bytes") < 16384, 1).otherwise(0).cast("int").alias(
+                "underfull"
+            ),
+        )
+    )
+
+
+@register(
+    "f_xml_scan",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY source
+    """,
+)
+def f_xml_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Native XML source end to end (Spark 4's built-in ``xml`` format —
+    the spark-xml donation): documents metadata is staged as an XML
+    document per row (``rowTag``-delimited), read back through the XML
+    reader with an explicit schema, and aggregated; the oracle reads the
+    original parquet, so a pass proves the XML write → parse round trip
+    (escaping included) drops and damages nothing.  Completes the source
+    matrix: csv / jsonl / text / orc / parquet / hive-partitioned /
+    mergeSchema / bucketed / XML."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load_table(spark, sf, "documents").select("source", "doc_id", "n_chars")
+    slug = sf.replace("/", "_").strip("_")
+    base = f"/root/repo/.tmp/f_xml_scan_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        d.write.mode("overwrite").option("rowTag", "doc").format("xml").save(
+            f"{build}/src"
+        )
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("source", StringType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    back = (
+        spark.read.schema(schema).option("rowTag", "doc").format("xml").load(src)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+@register(
+    "x_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), tr AS (
+      SELECT nat, day, x,
+             CAST(SUM(x) OVER w AS BIGINT) // 7 AS trend,
+             COUNT(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (PARTITION BY nat ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT nat, day, x, trend, x - trend AS detr
+      FROM tr WHERE n7 = 7
+    ), seas AS (
+      SELECT nat, day % 7 AS dow,
+             CAST(SUM(detr) AS BIGINT) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS s_n
+      FROM det GROUP BY nat, day % 7
+    )
+    SELECT d.nat AS n_name, d.day, d.x AS revenue_cents,
+           d.trend AS trend_cents,
+           s.s_sum * 1000000 // s.s_n AS seasonal_micro,
+           d.detr * 1000000 - s.s_sum * 1000000 // s.s_n AS residual_micro
+    FROM det d JOIN seas s ON d.nat = s.nat AND d.day % 7 = s.dow
+    """,
+)
+def x_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """CLASSICAL ADDITIVE DECOMPOSITION (trend + seasonal + residual —
+    the STL-style diagnostic behind `x_seasonal_baseline`'s weekday
+    profile and `x_traffic_anomaly`'s spike monitor): per nation, trend =
+    centered 7-day moving average (full windows only), seasonal = each
+    weekday's mean of the detrended series, residual = what neither
+    explains.  Division appears exactly twice (trend DIV 7, seasonal
+    micro-mean) — both truncating integer DIV, so the whole decomposition
+    is BIGINT-exact cross-engine.  Weekday = epoch_day % 7
+    (locale-free).  Scale shape: orders reduce to the daily series
+    first; ONE (nation)-partitioned window sort serves the centered MA;
+    the 7-row-per-nation seasonal profile joins back broadcast."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    w7 = Window.partitionBy("nat").orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("trend", F.expr("CAST(1 AS BIGINT)") * F.sum("x").over(w7))
+        .withColumn("n7", F.count(F.lit(1)).over(w7))
+        .filter(F.col("n7") == 7)
+        .select(
+            "nat",
+            "day",
+            "x",
+            F.expr("trend DIV 7").alias("trend"),
+            (F.col("x") - F.expr("trend DIV 7")).alias("detr"),
+        )
+        # detrended series feeds BOTH the seasonal profile and the final
+        # join: cache the (nation×~2400)-row table instead of re-reducing
+        # raw orders per consumer
+        .cache()
+    )
+    seas = det.groupBy(
+        F.col("nat").alias("s_nat"), (F.col("day") % 7).alias("dow")
+    ).agg(
+        F.sum("detr").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).alias("s_n"),
+    )
+    j = det.join(
+        F.broadcast(seas),
+        (F.col("nat") == F.col("s_nat")) & ((F.col("day") % 7) == F.col("dow")),
+    )
+    return j.select(
+        F.col("nat").alias("n_name"),
+        "day",
+        F.col("x").alias("revenue_cents"),
+        F.col("trend").alias("trend_cents"),
+        F.expr("s_sum * 1000000 DIV s_n").alias("seasonal_micro"),
+        (F.col("detr") * 1000000 - F.expr("s_sum * 1000000 DIV s_n")).alias(
+            "residual_micro"
+        ),
+    )
+
+
+@register(
+    "x_decision_stump",
+    """
+    WITH pts AS (
+      SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 50000 AS bin,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS pos
+      FROM customer
+    ), bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM pts GROUP BY bin
+    ), cum AS (
+      SELECT bin, n, p,
+             CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cn,
+             CAST(SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cp,
+             CAST(SUM(n) OVER () AS BIGINT) AS tn,
+             CAST(SUM(p) OVER () AS BIGINT) AS tp
+      FROM bins
+    ), scored AS (
+      SELECT (bin + 1) * 50000 AS threshold_cents,
+             cn AS n_left, tn - cn AS n_right,
+             cp AS pos_left, tp - cp AS pos_right,
+             CAST(FLOOR(2000000.0 * CAST(cp AS DOUBLE)
+                        * CAST(cn - cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                  AS BIGINT)
+             + CAST(FLOOR(2000000.0 * CAST(tp - cp AS DOUBLE)
+                          * CAST((tn - cn) - (tp - cp) AS DOUBLE)
+                          / CAST(tn - cn AS DOUBLE)) AS BIGINT)
+               AS weighted_gini_scaled
+      FROM cum WHERE cn > 0 AND tn - cn > 0
+    )
+    SELECT threshold_cents, n_left, n_right, pos_left, pos_right,
+           weighted_gini_scaled
+    FROM scored ORDER BY weighted_gini_scaled, threshold_cents LIMIT 5
+    """,
+)
+def x_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """DECISION-STUMP SPLIT SEARCH (the inner loop of every tree/GBDT
+    trainer: scan candidate thresholds on a feature, pick the split
+    minimizing weighted Gini impurity): account balance (binned to $500
+    candidate cuts) vs the BUILDING-segment label.  The weighted impurity
+    N·Σ nₛ/N·giniₛ expands to 2·posL·negL/nL + 2·posR·negR/nR — each
+    term one fixed IEEE multiply/divide chain floored to a scaled BIGINT
+    (exact while pos·neg·2e6 < 2⁵³ — beyond that swap the chain for
+    DECIMAL accumulation), cumulative sums over the ordered bin table
+    give EVERY candidate split in one window pass (no per-threshold
+    rescan).  Top-5 splits.  Scale shape: rows reduce to ≤ #bins
+    immediately; the candidate scan is a window over the tiny bin table."""
+    from pyspark.sql import Window
+
+    pts = load_table(spark, sf, "customer").select(
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 50000"
+        ).alias("bin"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("pos"),
+    )
+    bins = pts.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (
+        bins.withColumn("cn", F.sum("n").over(wo).cast("long"))
+        .withColumn("cp", F.sum("p").over(wo).cast("long"))
+        .withColumn("tn", F.sum("n").over(wall).cast("long"))
+        .withColumn("tp", F.sum("p").over(wall).cast("long"))
+    )
+    scored = cum.filter((F.col("cn") > 0) & (F.col("tn") - F.col("cn") > 0)).select(
+        ((F.col("bin") + 1) * 50000).alias("threshold_cents"),
+        F.col("cn").alias("n_left"),
+        (F.col("tn") - F.col("cn")).alias("n_right"),
+        F.col("cp").alias("pos_left"),
+        (F.col("tp") - F.col("cp")).alias("pos_right"),
+        F.expr(
+            "CAST(FLOOR(2000000.0 * CAST(cp AS DOUBLE)"
+            " * CAST(cn - cp AS DOUBLE) / CAST(cn AS DOUBLE)) AS BIGINT)"
+            " + CAST(FLOOR(2000000.0 * CAST(tp - cp AS DOUBLE)"
+            " * CAST((tn - cn) - (tp - cp) AS DOUBLE)"
+            " / CAST(tn - cn AS DOUBLE)) AS BIGINT)"
+        ).alias("weighted_gini_scaled"),
+    )
+    return scored.orderBy("weighted_gini_scaled", "threshold_cents").limit(5)
+
+
+@register(
+    "x_inverted_index",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), idx AS (
+      SELECT t AS token,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             list_sort(list(DISTINCT doc_id))[1:10] AS postings_head
+      FROM tok GROUP BY t
+    )
+    SELECT token, df, cf, postings_head
+    FROM idx WHERE df >= 20
+    """,
+)
+def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """INVERTED-INDEX CONSTRUCTION (the data structure BEHIND
+    `x_bm25_search` — built here as an inspectable artifact, the search-
+    engine-build workload): per token, document frequency, collection
+    frequency, and the head of the sorted postings list (first 10 doc
+    ids).  One tokenize-explode + one aggregate; postings collect as a
+    set and sort INSIDE each group (bounded by df), never a global sort.
+    Array-valued output is hash-checked against the oracle element-wise.
+    Scale shape: classic map-side-combinable aggregation on the token
+    key; at 100 TB the posting heads stay bounded (10 ids) while full
+    postings would go to a bucketed sink instead of the driver."""
+    d = load_table(spark, sf, "documents")
+    tok = spread(d).select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    return (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("df") >= 20)
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -14575,6 +16413,13 @@ def f_text_scan(spark: SparkSession, sf: str) -> DataFrame:
 # x_rendezvous_shards, x_mutual_best_match, x_rolling_corr, t_stream_update,
 # t_stream_static_join, f_url_pack, x_gopher_rules, f_bad_records_scan,
 # x_vocab_coverage, s_intersect_all, s_except_all, f_text_scan,
+# j_full_outer, x_vwap, x_ohlc_bars, x_drawdown, x_rsi_indicator,
+# x_association_rules, x_link_prediction, x_chi2_feature_select,
+# x_holt_linear, x_kaplan_meier, x_lttb_downsample,
+# x_textrank_keywords, x_rake_keywords, x_readability,
+# x_dbscan_clusters, x_image_histogram, x_video_shot_detect,
+# x_compaction_plan, f_xml_scan, x_seasonal_decompose, x_decision_stump,
+# x_inverted_index,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -239,6 +239,9 @@ _CARTESIAN_ALLOWED = {
     "x_ks_test",               # sample-total scalar: 1-row broadcast join
     "x_collocations",          # bigram-total scalar: 1-row broadcast join
     "x_hits_rank",             # per-round 1-row max-normalizer broadcasts
+    "x_association_rules",     # order-count scalar: 1-row broadcast join
+    "x_chi2_feature_select",   # label margins: 1-row broadcast scalar join
+    "x_dbscan_clusters",       # 9-row cell-offset stencil broadcast
 }
 
 
@@ -1058,3 +1061,206 @@ def test_bag_set_ops_no_cartesian(spark):
         plan = plan_of(spark, name)
         assert n_nodes(plan, "CartesianProduct") == 0, name
         assert "NestedLoop" not in plan, name
+
+
+def test_full_outer_join_pre_reduced_two_exchanges(spark):
+    """j_full_outer: full-outer cannot broadcast, so the right shape is a
+    SortMergeJoin over two hash-partitioned sides — and the orders side
+    must arrive PRE-AGGREGATED (its groupBy exchange is also the join
+    exchange: 2 exchanges total, not 3)."""
+    plan = plan_of(spark, "j_full_outer")
+    assert n_nodes(plan, "SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert n_nodes(plan, "Exchange") == 2
+
+
+def test_vwap_single_exchange_no_window(spark):
+    """x_vwap: a weighted average is ONE two-phase aggregate — any window
+    or second exchange means the partial-aggregation path broke."""
+    plan = plan_of(spark, "x_vwap")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_ohlc_bars_aggregate_not_window(spark):
+    """x_ohlc_bars: open/close ride struct-min/max AGGREGATES (map-side
+    combinable) — the windowed first_value formulation would add a Window
+    node and a full sort of the event stream."""
+    plan = plan_of(spark, "x_ohlc_bars")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_drawdown_single_exchange(spark):
+    """x_drawdown: running sum, running max, and the per-user reduce all
+    share the user_id partitioning — exactly one exchange."""
+    plan = plan_of(spark, "x_drawdown")
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_rsi_windows_share_one_sort(spark):
+    """x_rsi_indicator: raw orders reduce to the daily series first
+    (broadcast dims), then ALL window passes share the single
+    (nat)-partitioned sort: 2 exchanges total (daily agg + series
+    window), 1 Sort."""
+    plan = plan_of(spark, "x_rsi_indicator")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Sort") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_association_rules_pair_join_within_order(spark):
+    """x_association_rules: the pair self-join must key on l_orderkey (a
+    shuffle/exchange join within baskets) — never a cartesian — and the
+    item-count + total-count sides join broadcast."""
+    plan = plan_of(spark, "x_association_rules")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_link_prediction_within_key_pair_join(spark):
+    """x_link_prediction: candidate pairs form within the shared-customer
+    key; degree tables broadcast; ranking is bounded top-k."""
+    plan = plan_of(spark, "x_link_prediction")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "NestedLoop" not in plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chi2_feature_select_bounded_topk(spark):
+    """x_chi2_feature_select: token ranking must be TakeOrdered (bounded
+    top-k), never a global Sort+Exchange of the vocabulary."""
+    plan = plan_of(spark, "x_chi2_feature_select")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_holt_fold_is_expression_no_python(spark):
+    """x_holt_linear: the sequential recurrence must run as a JVM-side
+    array-aggregate expression — no Python anywhere, dims broadcast, and
+    only the two aggregation exchanges (nation-month reduce + per-nation
+    collect)."""
+    plan = plan_of(spark, "x_holt_linear")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_nodes(plan, "Exchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_reduces_before_fold(spark):
+    """x_kaplan_meier: order volume must collapse to per-(priority, day)
+    counts BEFORE the window/fold stages — bounded exchanges, no
+    cartesian, no Python."""
+    plan = plan_of(spark, "x_kaplan_meier")
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Exchange") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_lttb_argmax_is_aggregate_with_cached_series(spark):
+    """x_lttb_downsample: the per-bucket winner is a struct-min AGGREGATE
+    (no Window sort); the shared daily series must come from cache
+    (InMemoryTableScan), not three re-reductions of orders; neighbor
+    stats join broadcast."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_lttb_downsample")
+    assert n_nodes(plan, "Window") == 0
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
+
+
+def test_textrank_bounded_topk_no_python(spark):
+    """x_textrank_keywords: string-keyed PageRank must stay JVM-side
+    (array transforms for edge building, no Python), rank with bounded
+    top-k, and never degrade to a cartesian."""
+    plan = plan_of(spark, "x_textrank_keywords")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_single_window_pass_bounded_exchanges(spark):
+    """x_rake_keywords: phrase segmentation is ONE cumulative-sum window
+    per document (partitioned by doc_id — state bounded by doc length);
+    everything downstream is keyed aggregates + bounded top-k."""
+    plan = plan_of(spark, "x_rake_keywords")
+    assert n_nodes(plan, "Exchange") <= 5
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_readability_is_map_only(spark):
+    """x_readability: pure column expressions — no join, no aggregate
+    shuffle; the only exchange is the input spread() repartition."""
+    plan = plan_of(spark, "x_readability")
+    assert n_nodes(plan, "Exchange") <= 1
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_dbscan_pair_join_is_cell_keyed(spark):
+    """x_dbscan_clusters: the eps-ball pair join must be keyed on grid
+    cells (hash/merge join against the 9-offset stencil), never an
+    all-pairs distance product; shared point/neighbor tables come from
+    cache."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_dbscan_clusters")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    # the only nested-loop is the 9-row offset stencil broadcast
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 4
+
+
+def test_video_shot_detect_single_window_arrow_decode(spark):
+    """x_video_shot_detect: decode stays Arrow-batched (mapInPandas /
+    scalar pandas UDF — never BatchEvalPython); one per-asset lag window
+    is the only exchange."""
+    plan = plan_of(spark, "x_video_shot_detect")
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_compaction_plan_one_window_one_aggregate(spark):
+    """x_compaction_plan: cumulative-sum assignment + manifest aggregate —
+    two stages, no joins."""
+    plan = plan_of(spark, "x_compaction_plan")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_xml_scan_single_aggregate(spark):
+    """f_xml_scan: the XML round trip reduces with one two-phase
+    aggregate — no joins, no window."""
+    plan = plan_of(spark, "f_xml_scan")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_seasonal_decompose_cached_detrended_series(spark):
+    """x_seasonal_decompose: the detrended series must come from cache
+    for its two consumers (seasonal profile + final join) — raw orders
+    reduce exactly once; the seasonal profile joins broadcast."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_seasonal_decompose")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decision_stump_scans_bins_not_rows(spark):
+    """x_decision_stump: the candidate-split scan must run on the binned
+    table (rows reduce to ≤#bins before any window) — one aggregate
+    exchange + one window exchange, bounded top-k."""
+    plan = plan_of(spark, "x_decision_stump")
+    assert n_nodes(plan, "Exchange") == 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_no_expand(spark):
+    """x_inverted_index: df/cf/postings aggregate without an Expand
+    (the countDistinct rewrite that would triple the token stream)."""
+    plan = plan_of(spark, "x_inverted_index")
+    assert n_nodes(plan, "Expand") == 0
+    assert n_nodes(plan, "Exchange") <= 3
