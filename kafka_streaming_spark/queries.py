@@ -16382,6 +16382,1070 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_local_clustering",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+    ), pairs0 AS (
+      SELECT a.item AS u, b.item AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    ), st AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS np
+      FROM pairs0
+    ), pairs AS (
+      SELECT u, v FROM pairs0 CROSS JOIN st WHERE c * st.np > st.tot
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), tri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT unnest([e1.u, e1.v, e2.v]) AS node
+        FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           COALESCE(tri.t, 0) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN COALESCE(tri.t, 0) * 2000000 // (deg.d * (deg.d - 1))
+                ELSE 0 END AS lcc_micro
+    FROM deg LEFT JOIN tri ON deg.node = tri.node
+    """,
+)
+def x_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT (per-node triangle density — 'are my
+    neighbors also neighbors of each other?', the community-tightness
+    diagnostic that global counts like `x_triangle_count` can't give):
+    on the same support-filtered co-purchase graph, each oriented
+    triangle (u<v<w) credits ALL THREE corners, and lcc = 2t/(d(d−1)) in
+    exact integer micro-units.  Scale shape: the oriented-edge triangle
+    join (two co-partitioned self-joins), one explode to corners, one
+    count — the per-node credit costs one extra aggregate over the
+    global version; isolated and degree-1 nodes report 0."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    a = items.select("l_orderkey", F.col("item").alias("u"))
+    b = items.select("l_orderkey", F.col("item").alias("v"))
+    pairs0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    st = pairs0.agg(F.sum("__c").alias("__tot"), F.count(F.lit(1)).alias("__np"))
+    pairs = (
+        pairs0.crossJoin(F.broadcast(st))
+        .filter(F.col("__c") * F.col("__np") > F.col("__tot"))
+        .select("u", "v")
+        .cache()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = pairs.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = pairs.select(F.col("u").alias("b1"), F.col("v").alias("c1"))
+    e3 = pairs.select(F.col("u").alias("a1"), F.col("v").alias("c1"))
+    tri = (
+        e1.join(e2, "b1")
+        .join(e3, ["a1", "c1"])
+        .select(F.explode(F.array("a1", "b1", "c1")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr(
+            "CASE WHEN degree >= 2"
+            " THEN coalesce(t, 0) * 2000000 DIV (degree * (degree - 1))"
+            " ELSE 0 END"
+        ).alias("lcc_micro"),
+    )
+
+
+@register(
+    "x_calibration_curve",
+    """
+    WITH scored AS (
+      SELECT lang = 'en' AS pos,
+             len(regexp_extract_all(lower(text), '[aeiou]')) * 1000000
+               // GREATEST(n_chars, 1) AS p_hat_micro
+      FROM documents
+    ), binned AS (
+      SELECT LEAST(p_hat_micro // 50000, 9) AS bin, pos, p_hat_micro
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p_hat_micro) // COUNT(*) AS BIGINT) AS mean_pred_micro,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS frac_pos_micro
+    FROM binned GROUP BY bin
+    """,
+)
+def x_calibration_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """CALIBRATION / RELIABILITY CURVE (the model-eval diagnostic ROC-AUC
+    can't give: 'when the model says 30%, does it happen 30% of the
+    time?'): a deterministic vowel-density score proxies the predicted
+    P(lang=en), predictions bucket into 10 bins, and each bin reports
+    mean prediction vs observed positive rate — perfectly calibrated
+    means the two columns track.  Everything exact integer micro-units.
+    Scale shape: pure map-side scoring + one bounded (≤10-row) aggregate
+    — the eval suite's fourth leg beside `x_roc_auc`,
+    `x_regression_metrics`, `x_ndcg_eval`."""
+    d = load_table(spark, sf, "documents")
+    scored = spread(d).select(
+        (F.col("lang") == "en").alias("pos"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[aeiou]', 0)) * 1000000"
+            " DIV greatest(n_chars, 1)"
+        ).alias("p_hat_micro"),
+    )
+    return (
+        scored.select(
+            F.least(F.expr("p_hat_micro DIV 50000"), F.lit(9)).alias("bin"),
+            "pos",
+            "p_hat_micro",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p_hat_micro").alias("__sp"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("__pp"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.expr("CAST(__sp DIV n_docs AS BIGINT)").alias("mean_pred_micro"),
+            F.expr("CAST(__pp * 1000000 DIV n_docs AS BIGINT)").alias(
+                "frac_pos_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "x_revenue_bridge",
+    """
+    WITH yr AS (
+      SELECT c_mktsegment AS seg, year(o_orderdate) AS y,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS q
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT seg,
+             MAX(CASE WHEN y = 1996 THEN r END) AS r1,
+             MAX(CASE WHEN y = 1996 THEN q END) AS q1,
+             MAX(CASE WHEN y = 1997 THEN r END) AS r2,
+             MAX(CASE WHEN y = 1997 THEN q END) AS q2
+      FROM yr GROUP BY seg
+    ), eff AS (
+      SELECT seg, r1, q1, r2, q2,
+             r1 * 1000000 // q1 AS avg1_micro,
+             r2 * 1000000 // q2 AS avg2_micro
+      FROM w WHERE q1 > 0 AND q2 > 0
+    )
+    SELECT seg AS c_mktsegment, r1 AS rev1_cents, r2 AS rev2_cents,
+           q1 AS n_orders1, q2 AS n_orders2,
+           r2 - r1 AS delta_cents,
+           (q2 - q1) * avg1_micro // 1000000 AS volume_effect_cents,
+           q2 * (avg2_micro - avg1_micro) // 1000000 AS price_effect_cents,
+           (r2 - r1) - (q2 - q1) * avg1_micro // 1000000
+             - q2 * (avg2_micro - avg1_micro) // 1000000 AS residual_cents
+    FROM eff
+    """,
+)
+def x_revenue_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """REVENUE BRIDGE / PRICE-VOLUME DECOMPOSITION (the FP&A waterfall:
+    'how much of the YoY revenue change came from selling MORE orders vs
+    BIGGER orders?'): per segment, ΔR splits into a Laspeyres volume
+    effect (order-count change at last year's average ticket) and a
+    price/mix effect (this year's volume times the average-ticket
+    change), plus the explicit truncation residual so the bridge
+    provably reconciles.  Exact integer cents with micro-unit average
+    tickets (truncating DIV both engines).  Scale shape: one aggregate
+    keyed (segment, year), then a ≤segments-row pivot and pure
+    arithmetic."""
+    o = load_table(spark, sf, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    yr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("r"),
+            F.count(F.lit(1)).alias("q"),
+        )
+    )
+    w = yr.groupBy("seg").agg(
+        F.max(F.when(F.col("y") == 1996, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("y") == 1996, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("y") == 1997, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("y") == 1997, F.col("q"))).alias("q2"),
+    )
+    eff = w.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "seg",
+        "r1",
+        "q1",
+        "r2",
+        "q2",
+        F.expr("r1 * 1000000 DIV q1").alias("avg1_micro"),
+        F.expr("r2 * 1000000 DIV q2").alias("avg2_micro"),
+    )
+    return eff.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("r1").alias("rev1_cents"),
+        F.col("r2").alias("rev2_cents"),
+        F.col("q1").alias("n_orders1"),
+        F.col("q2").alias("n_orders2"),
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        F.expr("(q2 - q1) * avg1_micro DIV 1000000").alias("volume_effect_cents"),
+        F.expr("q2 * (avg2_micro - avg1_micro) DIV 1000000").alias(
+            "price_effect_cents"
+        ),
+        F.expr(
+            "(r2 - r1) - (q2 - q1) * avg1_micro DIV 1000000"
+            " - q2 * (avg2_micro - avg1_micro) DIV 1000000"
+        ).alias("residual_cents"),
+    )
+
+
+@register(
+    "x_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM toks, unnest(list_transform(
+        generate_series(1, len(t) - 2),
+        i -> array_to_string(t[i:i+2], ' '))) AS u(g)
+    ), firsts AS (
+      SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams gr JOIN firsts f ON gr.g = f.g
+    GROUP BY gr.doc_id
+    """,
+)
+def x_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """N-GRAM NOVELTY SCORING (the data-curation 'how much of this
+    document is NEW?' signal — low-novelty docs are near-copies or
+    boilerplate, the soft sibling of hard dedup): each document's
+    distinct word trigrams, the corpus-wide first-seeing document per
+    trigram (min doc_id — deterministic, order-free), and novelty = the
+    fraction of a doc's trigrams it introduced.  Exact integers.  Scale
+    shape: one explode + distinct, one trigram-keyed min aggregate, one
+    join back on the trigram key, one per-doc count — all
+    map-side-combinable hash operations; no windows, no driver state."""
+    d = load_table(spark, sf, "documents")
+    grams = (
+        spread(d)
+        .select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+        .filter(F.expr("size(t) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', slice(t, i + 1, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_ngrams").alias("novelty_micro"),
+        )
+    )
+
+
+@register(
+    "x_source_similarity",
+    """
+    WITH big AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT source, g
+        FROM (
+          SELECT source,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+1], ' '))) AS u(g)
+      ) GROUP BY source, g
+    ), norms AS (
+      SELECT source, CAST(SUM(c * c) AS BIGINT) AS ssq FROM big GROUP BY source
+    ), dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM big a JOIN big b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT d.source_a, d.source_b, d.n_shared,
+           CAST(FLOOR(CAST(d.dot AS DOUBLE) * 1000000.0
+                      / (sqrt(CAST(na.ssq AS DOUBLE))
+                         * sqrt(CAST(nb.ssq AS DOUBLE)))) AS BIGINT)
+             AS cosine_micro
+    FROM dots d
+    JOIN norms na ON d.source_a = na.source
+    JOIN norms nb ON d.source_b = nb.source
+    """,
+)
+def x_source_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-SLICE SIMILARITY MATRIX (the diversity audit before mixing
+    training sources: two sources with cosine ≈ 1 over their bigram
+    distributions are redundant — `x_dataset_mix` decides proportions,
+    this measures OVERLAP): per-source bigram count vectors, pairwise
+    cosine via exact BIGINT dot products and sum-of-squares, one
+    fixed-chain sqrt·sqrt division floored to micro.  Scale shape: the
+    bigram profile is one explode + one (source, gram) aggregate; the
+    pair dot-product joins ON THE GRAM KEY (never a cross join of
+    documents), and norms are a ≤sources-row broadcast."""
+    d = load_table(spark, sf, "documents")
+    big = (
+        spread(d)
+        .select("source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+        .filter(F.expr("size(t) >= 2"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat_ws(' ', slice(t, i + 1, 2)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    norms = big.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("ssq"))
+    a = big.select(F.col("source").alias("source_a"), "g", F.col("c").alias("ca"))
+    b = big.select(F.col("source").alias("source_b"), "g", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("ssq").alias("__na"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("ssq").alias("__nb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr(
+                "CAST(FLOOR(CAST(dot AS DOUBLE) * 1000000.0"
+                " / (sqrt(CAST(__na AS DOUBLE)) * sqrt(CAST(__nb AS DOUBLE))))"
+                " AS BIGINT)"
+            ).alias("cosine_micro"),
+        )
+    )
+
+
+@register(
+    "x_did_estimate",
+    """
+    WITH cells AS (
+      SELECT c_mktsegment = 'BUILDING' AS treated,
+             year(o_orderdate) = 1997 AS post,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT MAX(CASE WHEN treated AND NOT post THEN r * 1000 // n END) AS t1,
+             MAX(CASE WHEN treated AND post THEN r * 1000 // n END) AS t2,
+             MAX(CASE WHEN NOT treated AND NOT post THEN r * 1000 // n END)
+               AS c1,
+             MAX(CASE WHEN NOT treated AND post THEN r * 1000 // n END) AS c2,
+             CAST(SUM(n) AS BIGINT) AS n_obs
+      FROM cells
+    )
+    SELECT t1 AS treated_pre_millicents, t2 AS treated_post_millicents,
+           c1 AS control_pre_millicents, c2 AS control_post_millicents,
+           (t2 - t1) - (c2 - c1) AS did_millicents, n_obs
+    FROM m
+    """,
+)
+def x_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES (the workhorse causal estimator for
+    'did the thing we changed for group T actually move the metric?'):
+    treated = BUILDING-segment customers, pre/post = 1996/1997, and the
+    DiD estimate subtracts the control group's trend from the treated
+    group's — the parallel-trends counterfactual a naive before/after
+    misses.  Four cell means in exact milli-cents (truncating DIV), one
+    arithmetic row out.  Scale shape: ONE aggregate over the fact join
+    keyed by the 2×2 cell, then constant-size algebra — the same shape
+    as `x_ab_test` but across time."""
+    o = load_table(spark, sf, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            (F.year("o_orderdate") == 1997).alias("post"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    m = cells.agg(
+        F.max(F.when(F.col("treated") & ~F.col("post"), F.expr("r * 1000 DIV n"))).alias("t1"),
+        F.max(F.when(F.col("treated") & F.col("post"), F.expr("r * 1000 DIV n"))).alias("t2"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), F.expr("r * 1000 DIV n"))).alias("c1"),
+        F.max(F.when(~F.col("treated") & F.col("post"), F.expr("r * 1000 DIV n"))).alias("c2"),
+        F.sum("n").cast("long").alias("n_obs"),
+    )
+    return m.select(
+        F.col("t1").alias("treated_pre_millicents"),
+        F.col("t2").alias("treated_post_millicents"),
+        F.col("c1").alias("control_pre_millicents"),
+        F.col("c2").alias("control_post_millicents"),
+        ((F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))).alias(
+            "did_millicents"
+        ),
+        "n_obs",
+    )
+
+
+@register(
+    "x_fifo_allocation",
+    """
+    WITH li AS (
+      SELECT l_partkey % 50 AS bucket,
+             strftime(l_shipdate, '%Y-%m') AS mon,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                  AS BIGINT) AS supplied,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                     AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS returned
+      FROM lineitem GROUP BY 1, 2
+    ), sup AS (
+      SELECT bucket, mon AS supply_mon, supplied,
+             CAST(SUM(supplied) OVER (PARTITION BY bucket ORDER BY mon
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_hi
+      FROM li WHERE supplied > 0
+    ), ret AS (
+      SELECT bucket, mon AS return_mon, returned,
+             CAST(SUM(returned) OVER (PARTITION BY bucket ORDER BY mon
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r_hi
+      FROM li WHERE returned > 0
+    )
+    SELECT s.bucket, s.supply_mon, r.return_mon,
+           LEAST(s.s_hi, r.r_hi)
+             - GREATEST(s.s_hi - s.supplied, r.r_hi - r.returned)
+             AS qty_allocated
+    FROM sup s JOIN ret r ON s.bucket = r.bucket
+    WHERE LEAST(s.s_hi, r.r_hi)
+          > GREATEST(s.s_hi - s.supplied, r.r_hi - r.returned)
+    """,
+)
+def x_fifo_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """FIFO LOT ALLOCATION (inventory costing / tax-lot matching: which
+    supply month does each returned unit consume, first-in-first-out?):
+    the classic sequential queue match becomes FULLY PARALLEL via the
+    cumulative-interval identity — supply month i owns the cumulative
+    range (S_{i-1}, S_i], return month j consumes (R_{j-1}, R_j], and the
+    FIFO allocation is exactly the overlap max(0, min(S_i,R_j) −
+    max(S_{i-1},R_{j-1})) — no loop, no state, bit-exact integers.
+    Scale shape: reduce to (bucket, month) first, two running-sum windows
+    share the bucket partitioning, and the allocation join stays WITHIN
+    the bucket key with the overlap predicate pruning non-touching
+    month pairs."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .groupBy(
+            (F.col("l_partkey") % 50).alias("bucket"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"))
+            .cast("long")
+            .alias("supplied"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("returned"),
+        )
+        .cache()
+    )
+    wb = Window.partitionBy("bucket").orderBy("mon").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sup = (
+        li.filter(F.col("supplied") > 0)
+        .withColumn("s_hi", F.sum("supplied").over(wb).cast("long"))
+        .select("bucket", F.col("mon").alias("supply_mon"), "supplied", "s_hi")
+    )
+    ret = (
+        li.filter(F.col("returned") > 0)
+        .withColumn("r_hi", F.sum("returned").over(wb).cast("long"))
+        .select("bucket", F.col("mon").alias("return_mon"), "returned", "r_hi")
+    )
+    j = sup.join(ret, "bucket")
+    alloc = F.least(F.col("s_hi"), F.col("r_hi")) - F.greatest(
+        F.col("s_hi") - F.col("supplied"), F.col("r_hi") - F.col("returned")
+    )
+    return (
+        j.filter(alloc > 0)
+        .select(
+            "bucket",
+            "supply_mon",
+            "return_mon",
+            alloc.alias("qty_allocated"),
+        )
+    )
+
+
+@register(
+    "x_cohort_ltv",
+    """
+    WITH first_mon AS (
+      SELECT o_custkey,
+             MIN(strftime(o_orderdate, '%Y-%m')) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), sized AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      FROM first_mon GROUP BY cohort
+    ), rev AS (
+      SELECT f.cohort,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (CAST(substr(f.cohort, 1, 4) AS BIGINT) * 12
+                  + CAST(substr(f.cohort, 6, 2) AS BIGINT)) AS age_months,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM orders o JOIN first_mon f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, age_months,
+             CAST(SUM(r) OVER (PARTITION BY cohort ORDER BY age_months
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort, c.age_months, s.cohort_n,
+           c.cum_cents,
+           c.cum_cents // s.cohort_n AS ltv_per_customer_cents
+    FROM cum c JOIN sized s ON c.cohort = s.cohort
+    WHERE c.age_months <= 12
+    """,
+)
+def x_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """COHORT LTV CURVES (the money-side twin of `x_cohort_retention`:
+    cumulative revenue per acquisition cohort by account age — the curve
+    that tells you when a cohort pays back CAC): customers cohorted by
+    first-order month, revenue bucketed by age-in-months, cumulated per
+    cohort, normalized per member in exact cents.  First 13 age points.
+    Scale shape: one per-customer min, one (cohort, age) aggregate, one
+    running-sum window over the calendar-bounded cohort×age grid, cohort
+    sizes broadcast back."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("abs_mon"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).cache()
+    first_mon = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort"))
+    sized = first_mon.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    rev = (
+        o.join(first_mon, "o_custkey")
+        .select(
+            "cohort",
+            (
+                F.col("abs_mon")
+                - (
+                    F.substring("cohort", 1, 4).cast("long") * 12
+                    + F.substring("cohort", 6, 2).cast("long")
+                )
+            ).alias("age_months"),
+            "cents",
+        )
+        .groupBy("cohort", "age_months")
+        .agg(F.sum("cents").cast("long").alias("r"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_cents", F.sum("r").over(wc).cast("long"))
+    return (
+        cum.filter(F.col("age_months") <= 12)
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "cohort_n",
+            "cum_cents",
+            F.expr("cum_cents DIV cohort_n").alias("ltv_per_customer_cents"),
+        )
+    )
+
+
+@register(
+    "x_concurrency_sweep",
+    """
+    WITH iv AS (
+      SELECT o.o_orderpriority AS prio,
+             CAST(floor(epoch_ms(o.o_orderdate) / 86400000.0) AS BIGINT)
+               AS d0,
+             CAST(floor(epoch_ms(MIN(l.l_shipdate)) / 86400000.0) AS BIGINT)
+               AS d1
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), deltas AS (
+      SELECT prio, d0 AS day, CAST(COUNT(*) AS BIGINT) AS delta
+      FROM iv GROUP BY prio, d0
+      UNION ALL
+      SELECT prio, d1 + 1 AS day, -CAST(COUNT(*) AS BIGINT) AS delta
+      FROM iv GROUP BY prio, d1
+    ), merged AS (
+      SELECT prio, day, CAST(SUM(delta) AS BIGINT) AS delta
+      FROM deltas GROUP BY prio, day
+    ), sweep AS (
+      SELECT prio, day,
+             CAST(SUM(delta) OVER (PARTITION BY prio ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+      FROM merged
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(MAX(open_orders) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_change_days
+    FROM sweep GROUP BY prio
+    """,
+)
+def x_concurrency_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """SWEEP-LINE CONCURRENCY (max simultaneous open intervals — 'how
+    many orders were in flight at once?', the capacity-planning question
+    behind connection pools, WIP limits, and licensing): every order
+    opens at order date and closes at first shipment; the sweep encodes
+    each interval as a +1/−1 delta pair, collapses deltas per day, and a
+    running sum over the day spine IS the concurrency curve — peak per
+    priority reported.  The naive day×interval explode (O(n·duration))
+    never happens; this is O(n) deltas + one bounded window.  Scale
+    shape: interval endpoints reduce per (priority, day) map-side, ONE
+    priority-partitioned window over the calendar-bounded change-day
+    spine."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(floor(unix_millis(MIN(o_orderdate)) / 86400000.0) AS BIGINT)"
+            ).alias("d0"),
+            F.expr(
+                "CAST(floor(unix_millis(MIN(l_shipdate)) / 86400000.0) AS BIGINT)"
+            ).alias("d1"),
+        )
+        .select(F.col("o_orderpriority").alias("prio"), "d0", "d1")
+        .cache()
+    )
+    opens = iv.groupBy("prio", F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    closes = iv.groupBy("prio", (F.col("d1") + 1).alias("day")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    merged = (
+        opens.unionAll(closes)
+        .groupBy("prio", "day")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    ws = Window.partitionBy("prio").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = merged.withColumn("open_orders", F.sum("delta").over(ws).cast("long"))
+    return sweep.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.max("open_orders").alias("peak_concurrency"),
+        F.count(F.lit(1)).alias("n_change_days"),
+    )
+
+
+@register(
+    "x_window_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), nxt AS (
+      SELECT user_id, event_type, ms, event_id,
+             first_value(CASE WHEN event_type = 'click' THEN ms END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nc_ms,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nc_eid,
+             first_value(CASE WHEN event_type = 'purchase' THEN ms END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS np_ms
+      FROM e
+    ), views AS (
+      SELECT v.user_id, v.ms AS v_ms, c.ms AS c_ms, c.np_ms AS p_ms
+      FROM (SELECT * FROM nxt WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM nxt WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND v.nc_ms = c.ms AND v.nc_eid = c.event_id
+    ), lv AS (
+      SELECT user_id,
+             CASE WHEN c_ms IS NOT NULL AND p_ms IS NOT NULL
+                    AND p_ms - v_ms <= 3600000 THEN 3
+                  WHEN c_ms IS NOT NULL AND c_ms - v_ms <= 3600000 THEN 2
+                  ELSE 1 END AS lvl
+      FROM views
+    ), best AS (
+      SELECT user_id, CAST(MAX(lvl) AS INTEGER) AS funnel_level FROM lv
+      GROUP BY user_id
+    )
+    SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY funnel_level
+    """,
+)
+def x_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """WINDOWED FUNNEL (ClickHouse-`windowFunnel` semantics — the funnel
+    with a CONVERSION DEADLINE: view → click → purchase must all land
+    within 1 hour of the view, unlike `x_event_funnel`'s unbounded
+    chain): every view starts a candidate chain, greedily matched to the
+    next click and that click's next purchase; a user's level is the best
+    chain achieved.  The greedy 'next event of type X after me' is a
+    FORWARD-MIN WINDOW over a (ms, event_id)-keyed composite (one sort
+    serves both step lookups), and chain completion is ONE keyed
+    self-join from views to their matched click — never a per-pair
+    range join.  Scale shape: one user-partitioned window pass + one
+    equi-join + two bounded aggregates."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ms"),
+            "event_id",
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = e.withColumn(
+        "nc_ms",
+        F.first(F.when(F.col("event_type") == "click", F.col("ms")), True).over(wf),
+    ).withColumn(
+        "nc_eid",
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("event_id")), True
+        ).over(wf),
+    ).withColumn(
+        "np_ms",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("ms")), True
+        ).over(wf),
+    ).cache()
+    v = nxt.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ms").alias("v_ms"), "nc_ms", "nc_eid"
+    )
+    c = nxt.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ms").alias("c_ms"),
+        F.col("event_id").alias("c_eid"),
+        F.col("np_ms").alias("p_ms"),
+    )
+    views = v.join(
+        c,
+        (v["user_id"] == c["c_user"])
+        & (v["nc_ms"] == c["c_ms"])
+        & (v["nc_eid"] == c["c_eid"]),
+        "left",
+    )
+    lv = views.select(
+        "user_id",
+        F.expr(
+            "CASE WHEN c_ms IS NOT NULL AND p_ms IS NOT NULL"
+            " AND p_ms - v_ms <= 3600000 THEN 3"
+            " WHEN c_ms IS NOT NULL AND c_ms - v_ms <= 3600000 THEN 2"
+            " ELSE 1 END"
+        ).alias("lvl"),
+    )
+    best = lv.groupBy("user_id").agg(F.max("lvl").cast("int").alias("funnel_level"))
+    return best.groupBy("funnel_level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "x_pca_power_iter",
+    """
+    WITH vals AS (
+      SELECT p.i AS dim,
+             CAST(round(CAST(p.v AS DOUBLE) * 1000.0) AS BIGINT) AS x, vec_id
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(generate_series(1, 8),
+                      i -> struct_pack(i := i - 1, v := embedding[i]))) AS p
+        FROM embeddings
+      )
+    ), moments AS (
+      SELECT a.dim AS di, b.dim AS dj,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.x) AS BIGINT) AS sa,
+             CAST(SUM(b.x) AS BIGINT) AS sb,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sab
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim
+    ), s AS (
+      SELECT di, dj, n * sab - sa * sb AS cov_scaled FROM moments
+    ), v0 AS (
+      SELECT unnest(generate_series(0, 7)) AS dim,
+             CAST(1000000 AS BIGINT) AS v
+    ), w1 AS (
+      SELECT s.di AS dim, CAST(SUM(s.cov_scaled * v0.v) AS BIGINT) AS w
+      FROM s JOIN v0 ON s.dj = v0.dim GROUP BY s.di
+    ), m1 AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS mw FROM w1
+    ), v1 AS (
+      SELECT dim, w // GREATEST(mw // 1000000, 1) AS v
+      FROM w1 CROSS JOIN m1
+    ), w2 AS (
+      SELECT s.di AS dim, CAST(SUM(s.cov_scaled * v1.v) AS BIGINT) AS w
+      FROM s JOIN v1 ON s.dj = v1.dim GROUP BY s.di
+    ), m2 AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS mw FROM w2)
+    SELECT dim, w // GREATEST(mw // 1000000, 1) AS eigvec_micro
+    FROM w2 CROSS JOIN m2
+    """,
+)
+def x_pca_power_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA TOP EIGENVECTOR by power iteration (in-engine linear algebra:
+    the direction of maximum variance of the embedding cloud — the first
+    step of whitening, spectral diagnostics, and PCA-based outlier
+    scores): the exact 8×8 scaled covariance S = n·Σxy − Σx·Σy from
+    milli-quantized coordinates (the `x_covariance_matrix` moments, full
+    matrix), then two matvec-and-normalize rounds starting from the
+    all-ones vector.  EVERY step is integer: matvec products are BIGINT,
+    and max-|w| normalization divides by (max DIV 1e6) — the same
+    1-row-broadcast normalizer HITS uses, so the oracle unrolls
+    bit-identically.  Scale shape: moments are one partial-agg pass over
+    the exploded dims (64 pairs out); each round is an (8×8)⋈(8) keyed
+    join — constant beyond the moment scan."""
+    emb = load_table(spark, sf, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 8),"
+                " i -> named_struct('dim', i - 1,"
+                " 'x', CAST(round(CAST(embedding[i - 1] AS DOUBLE) * 1000.0)"
+                " AS BIGINT)))"
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.dim").alias("dim"), F.col("p.x").alias("x"))
+    a = vals.select("vec_id", F.col("dim").alias("di"), F.col("x").alias("xa"))
+    b = vals.select("vec_id", F.col("dim").alias("dj"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+        )
+        .select(
+            "di",
+            "dj",
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).alias(
+                "cov_scaled"
+            ),
+        )
+        .cache()
+    )
+    v = spark.range(8).select(
+        F.col("id").cast("long").alias("dim"), F.lit(1000000).cast("long").alias("v")
+    )
+    for _ in range(2):
+        w = (
+            s.join(F.broadcast(v.withColumnRenamed("dim", "dj")), "dj")
+            .groupBy(F.col("di").alias("dim"))
+            .agg(F.sum(F.col("cov_scaled") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "dim", F.expr("w DIV greatest(mw DIV 1000000, 1)").alias("v")
+        )
+    return v.select("dim", F.col("v").alias("eigvec_micro"))
+
+
+@register(
+    "x_conformal_interval",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY event_type
+    ), coef AS (
+      SELECT event_type, n,
+             (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS beta_milli,
+             (sy * 1000 - ((n * sxy - sx * sy) * 1000
+                           // (n * sxx - sx * sx)) * sx) // n AS alpha_milli
+      FROM sums
+    ), resid AS (
+      SELECT p.event_type, c.n, c.beta_milli, c.alpha_milli,
+             ABS(p.y * 1000 - (c.alpha_milli + c.beta_milli * p.x)) AS r,
+             row_number() OVER (
+               PARTITION BY p.event_type
+               ORDER BY ABS(p.y * 1000 - (c.alpha_milli + c.beta_milli * p.x))
+             ) AS rk
+      FROM pts p JOIN coef c ON p.event_type = c.event_type
+    )
+    SELECT event_type, n, beta_milli, alpha_milli,
+           CAST(MAX(CASE WHEN rk = (9 * (n + 1) + 9) // 10 THEN r END)
+                AS BIGINT) AS q90_residual_milli
+    FROM resid GROUP BY event_type, n, beta_milli, alpha_milli
+    """,
+)
+def x_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVAL (the distribution-free
+    uncertainty wrapper modern ML serving uses: 'the true value falls
+    within ŷ ± q with 90% coverage, no normality assumed'): per event
+    type, an exact-integer OLS fit (`x_trend_slope`'s power sums, plus
+    the intercept), per-row absolute residuals in milli-cents, and the
+    conformal quantile = the ⌈0.9(n+1)⌉-th smallest residual — an ORDER
+    STATISTIC, deterministic under ties because ranking by the value
+    itself makes the k-th VALUE well-defined.  Scale shape: one
+    power-sum aggregate, coefficient broadcast back, one per-group
+    ranking window over residuals."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    pts = e.select(
+        "event_type",
+        (
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+            - 19723
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    coef = sums.select(
+        "event_type",
+        "n",
+        F.expr("((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx)").alias(
+            "beta_milli"
+        ),
+        F.expr(
+            "(sy * 1000 - (((n * sxy - sx * sy) * 1000)"
+            " DIV (n * sxx - sx * sx)) * sx) DIV n"
+        ).alias("alpha_milli"),
+    )
+    r = F.abs(
+        F.col("y") * 1000 - (F.col("alpha_milli") + F.col("beta_milli") * F.col("x"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(r.asc())
+    resid = (
+        pts.join(F.broadcast(coef), "event_type")
+        .withColumn("r", r)
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    return resid.groupBy("event_type", "n", "beta_milli", "alpha_milli").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(9 * (n + 1) + 9) DIV 10"), F.col("r"))
+        )
+        .cast("long")
+        .alias("q90_residual_milli")
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -16419,7 +17483,10 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
 # x_textrank_keywords, x_rake_keywords, x_readability,
 # x_dbscan_clusters, x_image_histogram, x_video_shot_detect,
 # x_compaction_plan, f_xml_scan, x_seasonal_decompose, x_decision_stump,
-# x_inverted_index,
+# x_inverted_index, x_local_clustering, x_calibration_curve,
+# x_revenue_bridge, x_ngram_novelty, x_source_similarity,
+# x_did_estimate, x_fifo_allocation, x_cohort_ltv, x_concurrency_sweep,
+# x_window_funnel, x_pca_power_iter, x_conformal_interval,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

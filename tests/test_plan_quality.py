@@ -242,6 +242,8 @@ _CARTESIAN_ALLOWED = {
     "x_association_rules",     # order-count scalar: 1-row broadcast join
     "x_chi2_feature_select",   # label margins: 1-row broadcast scalar join
     "x_dbscan_clusters",       # 9-row cell-offset stencil broadcast
+    "x_local_clustering",      # edge-stat scalar: 1-row broadcast join
+    "x_pca_power_iter",        # per-round 1-row max-normalizer broadcasts
 }
 
 
@@ -1264,3 +1266,115 @@ def test_inverted_index_no_expand(spark):
     plan = plan_of(spark, "x_inverted_index")
     assert n_nodes(plan, "Expand") == 0
     assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_local_clustering_reuses_cached_edges(spark):
+    """x_local_clustering: the support-filtered edge list feeds five
+    scans (3 triangle legs + degree union) — it must come from cache,
+    and the triangle join must never be a cartesian."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_local_clustering")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_curve_two_exchanges(spark):
+    """x_calibration_curve: map-side scoring + one bounded aggregate."""
+    plan = plan_of(spark, "x_calibration_curve")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_revenue_bridge_two_aggregates_no_window(spark):
+    """x_revenue_bridge: (segment, year) aggregate → segment pivot —
+    two exchanges, zero windows."""
+    plan = plan_of(spark, "x_revenue_bridge")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_ngram_novelty_keyed_joins_only(spark):
+    """x_ngram_novelty: first-seen attribution joins on the TRIGRAM key;
+    no window, no cartesian, bounded exchange budget."""
+    plan = plan_of(spark, "x_ngram_novelty")
+    assert n_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Exchange") <= 5
+
+
+def test_source_similarity_gram_keyed_dot_products(spark):
+    """x_source_similarity: pair dot products join on the gram key over
+    the CACHED profile table; norms broadcast; never a doc-level cross
+    join."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_source_similarity")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+
+
+def test_did_estimate_single_cell_aggregate(spark):
+    """x_did_estimate: one 2x2-cell aggregate over the fact join, then a
+    1-row reduce — never a window or per-row pass."""
+    plan = plan_of(spark, "x_did_estimate")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_fifo_allocation_shares_bucket_partitioning(spark):
+    """x_fifo_allocation: the two running-sum windows and the allocation
+    join all key on the cached (bucket, month) reduction — lineitem is
+    reduced exactly once."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_fifo_allocation")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_cohort_ltv_cached_order_projection(spark):
+    """x_cohort_ltv: the order projection feeds the cohort min AND the
+    revenue join from cache; cohort sizes broadcast."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_cohort_ltv")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_concurrency_sweep_no_interval_explode(spark):
+    """x_concurrency_sweep: the sweep must be delta-encoded (+1/-1 per
+    endpoint day, one Union, one window) — any Generate/explode means
+    the O(n x duration) day-materialization crept back in."""
+    plan = plan_of(spark, "x_concurrency_sweep")
+    assert "Generate" not in plan
+    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_window_funnel_one_sort_three_lookups(spark):
+    """x_window_funnel: all three forward-min step lookups must share ONE
+    user-partitioned sort; chain completion is a keyed equi-join."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_window_funnel")
+    assert n_nodes(plan, "Sort") == 1
+    assert n_nodes(plan, "Window") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_power_iter_constant_beyond_moments(spark):
+    """x_pca_power_iter: the covariance moments are cached (one pass over
+    the exploded dims); each unrolled round joins the 64-row matrix to
+    the 8-row vector — no cartesian beyond the 1-row normalizers."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_pca_power_iter")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_interval_broadcast_coefficients(spark):
+    """x_conformal_interval: coefficients broadcast back to the point
+    stream; one ranking window; two exchanges total."""
+    plan = plan_of(spark, "x_conformal_interval")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
