@@ -14615,7 +14615,8 @@ def j_full_outer(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "x_vwap",
     """
-    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+             AS ship_month,
            l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -14640,7 +14641,11 @@ def x_vwap(spark: SparkSession, sf: str) -> DataFrame:
     aggregate keyed on (month, flag) — map-side partials reduce 100 TB of
     lineitem to ~months×flags rows before the one shuffle."""
     li = load_table(spark, sf, "lineitem").select(
-        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        # integer month key: 2.2x cheaper than a date_format string at the
+        # 10x replica (3.85s -> 1.75s on 60M rows, SCALE.md)
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_month"),
         "l_returnflag",
         F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("q"),
         F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
@@ -16347,7 +16352,8 @@ def x_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
       SELECT t AS token,
              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
              CAST(COUNT(*) AS BIGINT) AS cf,
-             list_sort(list(DISTINCT doc_id))[1:10] AS postings_head
+             array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+               AS postings_head
       FROM tok GROUP BY t
     )
     SELECT token, df, cf, postings_head
@@ -16360,8 +16366,9 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     engine-build workload): per token, document frequency, collection
     frequency, and the head of the sorted postings list (first 10 doc
     ids).  One tokenize-explode + one aggregate; postings collect as a
-    set and sort INSIDE each group (bounded by df), never a global sort.
-    Array-valued output is hash-checked against the oracle element-wise.
+    set and sort INSIDE each group (bounded by df), never a global sort,
+    then serialize to a comma-joined string (driver canonicalizer policy:
+    no container outputs).
     Scale shape: classic map-side-combinable aggregation on the token
     key; at 100 TB the posting heads stay bounded (10 ids) while full
     postings would go to a bucketed sink instead of the driver."""
@@ -16374,9 +16381,9 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.count(F.lit(1)).alias("cf"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10), ","
+            ).alias("postings_head"),
         )
         .filter(F.col("df") >= 20)
     )
@@ -17446,6 +17453,703 @@ def x_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_changepoint",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), pre AS (
+      SELECT nat, day, x,
+             CAST(SUM(x) OVER w AS BIGINT) AS p,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k,
+             CAST(SUM(x) OVER (PARTITION BY nat) AS BIGINT) AS tp,
+             CAST(COUNT(*) OVER (PARTITION BY nat) AS BIGINT) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY nat ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+      SELECT nat, day, k, n,
+             CAST(FLOOR((CAST(p AS DOUBLE) * CAST(p AS DOUBLE)
+                         / CAST(k AS DOUBLE)
+                         + CAST(tp - p AS DOUBLE) * CAST(tp - p AS DOUBLE)
+                           / CAST(n - k AS DOUBLE)) / 1000000.0) AS BIGINT)
+               AS between_ss_micro
+      FROM pre WHERE k < n
+    ), ranked AS (
+      SELECT nat, day, k, n, between_ss_micro,
+             row_number() OVER (PARTITION BY nat
+                                ORDER BY between_ss_micro DESC, day) AS rn
+      FROM scored
+    )
+    SELECT nat AS n_name, day AS split_day,
+           k AS n_left, n - k AS n_right, between_ss_micro
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CHANGE-POINT DETECTION by binary segmentation (step 1 of the
+    standard offline changepoint algorithm: the single split maximizing
+    between-segment sum-of-squares — the mean-shift locator behind
+    regression discontinuity and incident-start estimation; `x_cusum_drift`
+    monitors online, this LOCATES offline): for every candidate split t
+    of each nation's daily series, B(t) = P_t²/k + (P−P_t)²/(n−k) from
+    prefix sums — every candidate scored in ONE window pass, no
+    per-split rescan.  Inputs to the two divides are EXACT BIGINTs, the
+    double chain is written identically in both engines (deterministic
+    IEEE), floored to micro, argmax by (score, day) struct ranking.
+    Scale shape: orders reduce to the daily series; one
+    nation-partitioned window sort serves prefix sums and ranking."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    wo = Window.partitionBy("nat").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("nat")
+    pre = (
+        daily.withColumn("p", F.sum("x").over(wo).cast("long"))
+        .withColumn("k", F.count(F.lit(1)).over(wo).cast("long"))
+        .withColumn("tp", F.sum("x").over(wp).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wp).cast("long"))
+        .filter(F.col("k") < F.col("n"))
+    )
+    scored = pre.select(
+        "nat",
+        "day",
+        "k",
+        "n",
+        F.expr(
+            "CAST(FLOOR((CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(k AS DOUBLE)"
+            " + CAST(tp - p AS DOUBLE) * CAST(tp - p AS DOUBLE)"
+            "   / CAST(n - k AS DOUBLE)) / 1000000.0) AS BIGINT)"
+        ).alias("between_ss_micro"),
+    )
+    best = scored.groupBy("nat").agg(
+        F.min(
+            F.struct(
+                (-F.col("between_ss_micro")).alias("neg"),
+                F.col("day").alias("d"),
+                F.col("k").alias("k"),
+                F.col("n").alias("n"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("nat").alias("n_name"),
+        F.col("m.d").alias("split_day"),
+        F.col("m.k").alias("n_left"),
+        (F.col("m.n") - F.col("m.k")).alias("n_right"),
+        (-F.col("m.neg")).alias("between_ss_micro"),
+    )
+
+
+@register(
+    "x_audio_vad_segments",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 256 + (doc_id % 7) * 64 - 1)) AS t
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT doc_id, t,
+             CASE WHEN (t // 64 + doc_id) % 3 = 0 THEN 0
+                  ELSE (doc_id*31 + t*17) % 4001 - 2000 END AS v
+      FROM t
+    ), w AS (
+      SELECT doc_id, t // 64 AS window_idx,
+             CAST(SUM(v*v) AS BIGINT) AS energy
+      FROM s GROUP BY doc_id, t // 64
+    ), voiced AS (
+      SELECT doc_id, window_idx, energy,
+             window_idx - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS island
+      FROM w WHERE energy > 1000000
+    )
+    SELECT doc_id AS asset_id,
+           CAST(MIN(window_idx) AS INTEGER) AS seg_start,
+           CAST(MAX(window_idx) AS INTEGER) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM voiced GROUP BY doc_id, island
+    """,
+)
+def x_audio_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """VOICE-ACTIVITY SEGMENTATION over real WAV audio (the
+    silence-stripping pass of every speech-training pipeline — find the
+    CONTIGUOUS speech runs, not just per-window features): deterministic
+    PCM with every (window+id)%3==0 window muted is encoded as genuine
+    RIFF/WAV, decoded back through `extract_audio_features`, windows
+    above an energy threshold are voiced, and consecutive voiced windows
+    merge into segments via the gaps-and-islands trick (window_idx −
+    row_number).  The oracle recomputes energy from the sample formula —
+    a pass certifies PCM round-trip AND the temporal merge.  Scale
+    shape: decode fans out inside `mapInPandas`; the island window
+    partitions per asset (state bounded by windows-per-asset)."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from pyspark.sql import Window
+    from kafka_streaming_spark.functions.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 256 + (d % 7) * 64
+                t = np.arange(n, dtype=np.int64)
+                s = (d * 31 + t * 17) % 4001 - 2000
+                s = np.where((t // 64 + d) % 3 == 0, 0, s)
+                payloads.append(encode_wav(s.astype(np.int16), sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    feats = extract_audio_features(
+        ids.mapInPandas(gen, gen_schema), window_bytes=128
+    )
+    voiced = feats.filter(F.col("energy") > 1000000)
+    wi = Window.partitionBy("asset_id").orderBy("window_idx")
+    islands = voiced.withColumn(
+        "island", F.col("window_idx") - F.row_number().over(wi)
+    )
+    return islands.groupBy("asset_id", "island").agg(
+        F.min("window_idx").cast("int").alias("seg_start"),
+        F.max("window_idx").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).drop("island")
+
+
+@register(
+    "x_dict_encoding_advisor",
+    """
+    WITH stats AS (
+      SELECT 'o_orderstatus' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv,
+             CAST(SUM(len(o_orderstatus)) AS BIGINT) AS raw_bytes
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(SUM(len(o_orderpriority)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+             CAST(SUM(len(c_mktsegment)) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'p_type', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT p_type) AS BIGINT),
+             CAST(SUM(len(p_type)) AS BIGINT)
+      FROM part
+    )
+    SELECT col, n, ndv, raw_bytes,
+           ndv * (raw_bytes // n) + n * 2 AS dict_bytes_est,
+           (raw_bytes - (ndv * (raw_bytes // n) + n * 2)) * 1000000
+             // raw_bytes AS saving_micro,
+           CAST(CASE WHEN ndv * 20 < n THEN 1 ELSE 0 END AS INTEGER)
+             AS recommend_dict
+    FROM stats
+    """,
+)
+def x_dict_encoding_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """DICTIONARY-ENCODING ADVISOR (the storage-layout decision parquet
+    writers make implicitly, surfaced as a query: which string columns
+    repay dictionary encoding?): per candidate column, row count, NDV,
+    raw byte volume, the estimated dictionary layout cost (ndv ×
+    avg_len + 2-byte codes), projected saving in micro-units, and a
+    recommend flag at the 20× repetition threshold.  Exact integers.
+    Scale shape: one count-distinct aggregate per column (two-phase,
+    map-side partials) — the profile-then-decide loop every lakehouse
+    table-maintenance service runs."""
+    def stats_for(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(col).alias("ndv"),
+            F.sum(F.length(col)).cast("long").alias("raw_bytes"),
+        ).select(F.lit(col).alias("col"), "n", "ndv", "raw_bytes")
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    stats = (
+        stats_for(o, "o_orderstatus")
+        .unionAll(stats_for(o, "o_orderpriority"))
+        .unionAll(stats_for(c, "c_mktsegment"))
+        .unionAll(stats_for(p, "p_type"))
+    )
+    return stats.select(
+        "col",
+        "n",
+        "ndv",
+        "raw_bytes",
+        F.expr("ndv * (raw_bytes DIV n) + n * 2").alias("dict_bytes_est"),
+        F.expr(
+            "(raw_bytes - (ndv * (raw_bytes DIV n) + n * 2)) * 1000000"
+            " DIV raw_bytes"
+        ).alias("saving_micro"),
+        F.expr("CAST(CASE WHEN ndv * 20 < n THEN 1 ELSE 0 END AS INT)").alias(
+            "recommend_dict"
+        ),
+    )
+
+
+@register(
+    "x_order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                  AS BIGINT) AS line_cents_q
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderstatus,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS header_cents,
+             li.line_cents_q
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents_q IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_headerless,
+           CAST(SUM(CASE WHEN line_cents_q IS NOT NULL
+                          AND line_cents_q < header_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_below_header,
+           CAST(SUM(header_cents) AS BIGINT) AS header_total_cents,
+           CAST(SUM(COALESCE(line_cents_q, 0)) AS BIGINT)
+             AS line_total_cents_q
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def x_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-TABLE RECONCILIATION AUDIT (the header-vs-detail consistency
+    check every finance pipeline runs nightly: do the lineitem details
+    support the order header totals?): per order, the quantity-weighted
+    line value vs the header total, rolled up per status — orders with
+    NO details and orders whose details fall below the header are counted
+    separately, and both grand totals are emitted so the books can be
+    diffed exactly.  Pure BIGINT cents.  Scale shape: one detail-side
+    aggregate (map-side partials), one LEFT join on the order key, one
+    bounded rollup — the detail side pre-reduces so the join never sees
+    raw line volume."""
+    li = (
+        load_table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    " * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("line_cents_q")
+        )
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "header_cents"
+        ),
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("line_cents_q").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_headerless"),
+        F.sum(
+            F.when(
+                F.col("line_cents_q").isNotNull()
+                & (F.col("line_cents_q") < F.col("header_cents")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_lines_below_header"),
+        F.sum("header_cents").cast("long").alias("header_total_cents"),
+        F.sum(F.coalesce("line_cents_q", F.lit(0)))
+        .cast("long")
+        .alias("line_total_cents_q"),
+    )
+
+
+@register(
+    "x_sliced_eval",
+    """
+    WITH scored AS (
+      SELECT lang, source,
+             CASE WHEN len(regexp_extract_all(lower(text), '[aeiou]')) * 1000
+                       >= GREATEST(n_chars, 1) * 300
+                  THEN 'en' ELSE 'other' END AS pred,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual
+      FROM documents
+    ), slices AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM scored GROUP BY lang, source
+    )
+    SELECT lang, source, n,
+           CASE WHEN n >= 20 THEN n_correct * 1000000 // n ELSE NULL END
+             AS accuracy_micro,
+           CAST(CASE WHEN n < 20 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+    FROM slices
+    """,
+)
+def x_sliced_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """SLICED MODEL EVALUATION (the fairness/robustness practice of
+    scoring a classifier PER SUBGROUP, not just overall — a 95% global
+    accuracy can hide a 40% slice): the vowel-density language classifier
+    evaluated on every (lang, source) slice, with small slices (n < 20)
+    SUPPRESSED (NULL metric + flag) exactly like a k-anonymity release —
+    per-slice metrics on tiny groups are noise AND a privacy leak.
+    Integer micro accuracy.  Scale shape: one scan, one slice-keyed
+    aggregate; slice cardinality bounds the output."""
+    d = load_table(spark, sf, "documents")
+    scored = spread(d).select(
+        "lang",
+        "source",
+        F.when(
+            F.expr("size(regexp_extract_all(lower(text), '[aeiou]', 0)) * 1000")
+            >= F.expr("greatest(n_chars, 1) * 300"),
+            "en",
+        )
+        .otherwise("other")
+        .alias("pred"),
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+    )
+    slices = scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return slices.select(
+        "lang",
+        "source",
+        "n",
+        F.when(F.col("n") >= 20, F.expr("n_correct * 1000000 DIV n")).alias(
+            "accuracy_micro"
+        ),
+        F.when(F.col("n") < 20, 1).otherwise(0).cast("int").alias("suppressed"),
+    )
+
+
+@register(
+    "x_markov_next_event",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS prev, next_type AS nxt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT prev, nxt AS predicted_next, c AS n_best, n_total
+      FROM (
+        SELECT prev, nxt, c,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS n_total
+        FROM trans
+      ) WHERE rn = 1
+    )
+    SELECT prev AS event_type, predicted_next, n_best, n_total,
+           n_best * 1000000 // n_total AS accuracy_micro
+    FROM best
+    """,
+)
+def x_markov_next_event(spark: SparkSession, sf: str) -> DataFrame:
+    """MARKOV NEXT-EVENT MODEL, fit AND scored in-engine (the baseline
+    every sequence model must beat: predict each user's next event as the
+    modal transition from the current one): bigram transition counts from
+    one lead() pass, the per-state argmax is the fitted model, and its
+    training accuracy = the modal share — count-exact, no held-out split
+    needed for the majority baseline.  Deterministic (count DESC, type)
+    tiebreak.  Scale shape: one user-partitioned window for the lead, one
+    transition aggregate (states² bounded output), one bounded window
+    over the transition table."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(wu)).filter(
+        F.col("next_type").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("prev"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("prev")
+    best = (
+        trans.withColumn(
+            "rn",
+            F.row_number().over(wp.orderBy(F.col("c").desc(), F.col("nxt"))),
+        )
+        .withColumn("n_total", F.sum("c").over(wp).cast("long"))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("prev").alias("event_type"),
+        F.col("nxt").alias("predicted_next"),
+        F.col("c").alias("n_best"),
+        "n_total",
+        F.expr("c * 1000000 DIV n_total").alias("accuracy_micro"),
+    )
+
+
+@register(
+    "x_resource_allocation",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cdeg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY c
+    ), scores AS (
+      SELECT a.u AS u1, b.u AS u2,
+             CAST(SUM(1000000 // cd.d) AS BIGINT) AS ra_micro,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM edges a
+      JOIN edges b ON a.c = b.c AND a.u < b.u
+      JOIN cdeg cd ON a.c = cd.c
+      GROUP BY a.u, b.u
+    )
+    SELECT u1, u2, common_neighbors, ra_micro
+    FROM scores ORDER BY ra_micro DESC, u1, u2 LIMIT 25
+    """,
+)
+def x_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """RESOURCE-ALLOCATION LINK INDEX (Zhou-Lü-Zhang's RA — the
+    degree-weighted link predictor that beats raw common-neighbor
+    counts: a shared RARE customer is strong evidence, a shared hub
+    customer is weak): each common neighbor z contributes 1/deg(z),
+    summed in exact micro-units — the integer-native cousin of
+    Adamic-Adar (whose log weighting the engine's no-transcendental
+    policy replaces with RA's reciprocal, the standard alternative in
+    the same paper).  Candidate pairs form WITHIN the shared-customer
+    key (like `x_link_prediction`, which this extends with weighting);
+    degree table broadcast; bounded top-k."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("u"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select("c", F.col("u").alias("u1"))
+    b = edges.select("c", F.col("u").alias("u2"))
+    scores = (
+        a.join(b, "c")
+        .filter(F.col("u1") < F.col("u2"))
+        .join(F.broadcast(cdeg), "c")
+        .groupBy("u1", "u2")
+        .agg(
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("ra_micro"),
+            F.count(F.lit(1)).alias("common_neighbors"),
+        )
+    )
+    return (
+        scores.select("u1", "u2", "common_neighbors", "ra_micro")
+        .orderBy(F.col("ra_micro").desc(), "u1", "u2")
+        .limit(25)
+    )
+
+
+@register(
+    "t_stream_restart_recovery",
+    """
+    SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def t_stream_restart_recovery(spark: SparkSession, sf: str) -> DataFrame:
+    """CHECKPOINT RESTART RECOVERY, witnessed by the driver (the
+    exactly-once contract under the failure mode that matters: the query
+    STOPS, new data lands, the query RESTARTS from its checkpoint): run 1
+    drains the first arrival batch availableNow into a parquet sink;
+    only THEN does the second batch land in the source; run 2 restarts
+    from the SAME checkpoint and must process exactly the new files —
+    no replay of batch 1 (which would double counts), no loss (which
+    would drop cents).  The oracle is simply the batch aggregate over
+    ALL events: the hash matches only if sink = union exactly once.
+    Idempotent re-entry: further runs find no new files and append
+    nothing.  Scale shape: file-source checkpointing tracks processed
+    files in the offset log; the sink appends row-level, the final
+    verification aggregate is one day-keyed reduce."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_restart_{slug}"
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        for i, df in enumerate(
+            [
+                ev.filter(F.col("event_id") % 3 != 0).select("ts", "cents"),
+                ev.filter(F.col("event_id") % 3 == 0).select("ts", "cents"),
+            ]
+        ):
+            df.coalesce(1).write.parquet(f"{build}/p{i}")
+            part = glob.glob(f"{build}/p{i}/*.parquet")[0]
+            shutil.copy(part, f"{build}/f{i}.parquet")
+            shutil.rmtree(f"{build}/p{i}")
+        # only batch 0 is visible to run 1; batch 1 is parked one level up
+        shutil.move(f"{build}/f0.parquet", f"{build}/src/f0.parquet")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+            shutil.move(f"{build}/f1.parquet", f"{base}/f1_pending.parquet")
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("cents", LongType())]
+    )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: batch 0 only (or nothing new on re-entry)
+    pending = f"{base}/f1_pending.parquet"
+    if os.path.exists(pending):  # the "new data lands while stopped" step
+        shutil.move(pending, f"{src}/f1.parquet")
+    drain()  # run 2: restart from the same checkpoint, pick up batch 1
+    out = spark.read.schema(schema).parquet(sink)
+    return out.groupBy(
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "x_weighted_quantiles",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS w
+      FROM lineitem
+    ), g AS (
+      SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM v GROUP BY flag, cents
+    ), c AS (
+      SELECT flag, cents, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag AS l_returnflag, q AS quantile_pct,
+           CAST(MIN(cents) AS BIGINT) AS value_cents
+    FROM c CROSS JOIN (SELECT unnest([10, 50, 90]) AS q)
+    WHERE cw * 100 >= tw * q
+    GROUP BY flag, q
+    """,
+)
+def x_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED QUANTILE GRID (P10/P50/P90 where each line counts by its
+    QUANTITY — the shipped-unit price distribution, not the line-count
+    one; extends `x_weighted_median` from one quantile to a grid in the
+    SAME single pass): collapse to (group, value) with summed weights,
+    one cumulative-weight window, then each requested quantile q selects
+    the smallest value whose cumulative weight reaches q% of total —
+    exact integer cross-multiplication (cw·100 ≥ tw·q), no
+    interpolation ambiguity.  Scale shape: the window runs on the
+    value-collapsed table (bounded by distinct prices per group); the
+    3-row quantile spine is a broadcast cross join; selection is a
+    min-aggregate, not a per-quantile rescan."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)").alias("w"),
+    )
+    g = v.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
+    wo = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("flag")
+    c = g.withColumn("cw", F.sum("w").over(wo).cast("long")).withColumn(
+        "tw", F.sum("w").over(wp).cast("long")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.expr("array(10, 50, 90)")).alias("q")
+    )
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") * 100 >= F.col("tw") * F.col("q"))
+        .groupBy(F.col("flag").alias("l_returnflag"), F.col("q").alias("quantile_pct"))
+        .agg(F.min("cents").alias("value_cents"))
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -17487,6 +18191,9 @@ def x_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
 # x_revenue_bridge, x_ngram_novelty, x_source_similarity,
 # x_did_estimate, x_fifo_allocation, x_cohort_ltv, x_concurrency_sweep,
 # x_window_funnel, x_pca_power_iter, x_conformal_interval,
+# x_changepoint, x_audio_vad_segments, x_dict_encoding_advisor,
+# x_order_reconciliation, x_sliced_eval, x_markov_next_event,
+# x_resource_allocation, t_stream_restart_recovery, x_weighted_quantiles,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

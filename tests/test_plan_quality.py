@@ -244,6 +244,7 @@ _CARTESIAN_ALLOWED = {
     "x_dbscan_clusters",       # 9-row cell-offset stencil broadcast
     "x_local_clustering",      # edge-stat scalar: 1-row broadcast join
     "x_pca_power_iter",        # per-round 1-row max-normalizer broadcasts
+    "x_weighted_quantiles",    # 3-row quantile spine broadcast
 }
 
 
@@ -1378,3 +1379,71 @@ def test_conformal_interval_broadcast_coefficients(spark):
     assert n_nodes(plan, "Exchange") == 2
     assert n_nodes(plan, "Window") == 1
     assert n_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_changepoint_scores_all_splits_in_one_window_pass(spark):
+    """x_changepoint: every candidate split scores from prefix sums in
+    ONE nation-partitioned window pass; the winner is a struct-min
+    aggregate, not a second ranking window."""
+    plan = plan_of(spark, "x_changepoint")
+    assert n_nodes(plan, "Exchange") <= 2
+    assert n_nodes(plan, "Sort") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_vad_arrow_decode_single_island_window(spark):
+    """x_audio_vad_segments: WAV decode stays Arrow-batched; the
+    gaps-and-islands merge is one per-asset window."""
+    plan = plan_of(spark, "x_audio_vad_segments")
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_dict_advisor_no_expand_per_column(spark):
+    """x_dict_encoding_advisor: each column profile is a two-phase
+    count-distinct aggregate; the union is flat (no joins)."""
+    plan = plan_of(spark, "x_dict_encoding_advisor")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Union") == 1
+
+
+def test_order_reconciliation_detail_prereduced(spark):
+    """x_order_reconciliation: the lineitem side must aggregate BEFORE
+    the header join (the join never sees raw line volume)."""
+    plan = plan_of(spark, "x_order_reconciliation")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Exchange") <= 3
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_sliced_eval_single_aggregate(spark):
+    """x_sliced_eval: map-side scoring + one slice-keyed aggregate."""
+    plan = plan_of(spark, "x_sliced_eval")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_markov_windows_on_bounded_transition_table(spark):
+    """x_markov_next_event: one lead() window on the event stream; the
+    ranking/total windows run on the states^2-bounded transition table."""
+    plan = plan_of(spark, "x_markov_next_event")
+    assert n_nodes(plan, "Window") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_resource_allocation_within_key_pairs(spark):
+    """x_resource_allocation: pair generation within the shared-customer
+    key, degree broadcast, bounded top-k."""
+    plan = plan_of(spark, "x_resource_allocation")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_quantiles_window_on_collapsed_values(spark):
+    """x_weighted_quantiles: cumulative weights run on the value-collapsed
+    table; quantile selection is a min-aggregate over the 3-row spine
+    cross join, never a per-quantile rescan."""
+    plan = plan_of(spark, "x_weighted_quantiles")
+    assert n_nodes(plan, "Window") == 2
+    assert n_nodes(plan, "Sort") <= 2
