@@ -18150,6 +18150,684 @@ def x_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_fd_histogram",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events
+    ), g AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents, c,
+             CAST(SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cw,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM g
+    ), q AS (
+      SELECT MAX(n) AS n,
+             MIN(CASE WHEN cw * 4 >= n THEN cents END) AS q1,
+             MIN(CASE WHEN cw * 4 >= 3 * n THEN cents END) AS q3
+      FROM cum
+    ), cbrt AS (
+      SELECT q.n, q.q1, q.q3, CAST(MAX(k) AS BIGINT) AS icbrt_n
+      FROM q JOIN (SELECT unnest(generate_series(1, 2000)) AS k) s
+        ON k * k * k <= q.n
+      GROUP BY q.n, q.q1, q.q3
+    ), params AS (
+      SELECT n, q1, q3,
+             GREATEST(2 * (q3 - q1) // icbrt_n, 1) AS bin_width
+      FROM cbrt
+    )
+    SELECT v.cents // p.bin_width AS bin,
+           CAST(v.cents // p.bin_width * p.bin_width AS BIGINT)
+             AS bin_start_cents,
+           CAST(p.bin_width AS BIGINT) AS bin_width,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM v CROSS JOIN params p
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_fd_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """FREEDMAN-DIACONIS HISTOGRAM (the statistically-sized histogram —
+    bin width 2·IQR/∛n — instead of `x_histogram`'s fixed bins, the rule
+    dashboards and profilers use to avoid over/under-smoothing): exact
+    integer quartiles from cumulative counts over the distinct-value
+    spine, and the CUBE ROOT computed with NO transcendentals — the
+    largest k in a 2,000-row spine with k³ ≤ n (exact for n ≤ 8×10⁹;
+    widen the spine beyond).  Bin width floors at 1 cent.  Scale shape:
+    one value-collapse aggregate, one bounded window over the distinct
+    spine, a 1-row parameter broadcast back to the scan, one histogram
+    aggregate."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = g.withColumn("cw", F.sum("c").over(wo).cast("long")).withColumn(
+        "n", F.sum("c").over(wall).cast("long")
+    )
+    q = cum.agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("n"), F.col("cents"))).alias("q1"),
+        F.min(F.when(F.col("cw") * 4 >= 3 * F.col("n"), F.col("cents"))).alias(
+            "q3"
+        ),
+    )
+    ks = spark.range(1, 2001).select(F.col("id").alias("k"))
+    cbrt = (
+        q.join(F.broadcast(ks), F.expr("k * k * k <= n"))
+        .groupBy("n", "q1", "q3")
+        .agg(F.max("k").alias("icbrt_n"))
+    )
+    params = cbrt.select(
+        "n",
+        "q1",
+        "q3",
+        F.greatest(F.expr("2 * (q3 - q1) DIV icbrt_n"), F.lit(1)).alias(
+            "bin_width"
+        ),
+    )
+    return (
+        v.crossJoin(F.broadcast(params))
+        .groupBy(
+            F.expr("cents DIV bin_width").alias("bin"),
+            F.expr("CAST(cents DIV bin_width * bin_width AS BIGINT)").alias(
+                "bin_start_cents"
+            ),
+            F.col("bin_width").cast("long").alias("bin_width"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "x_bounce_rate",
+    _SESSIONIZE_CTE.format(cmp=">")
+    + """
+    , per_sess AS (
+      SELECT user_id, session_id,
+             CAST(floor(epoch_ms(MIN(ts)) / 86400000.0) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_micro
+    FROM per_sess GROUP BY day
+    """,
+)
+def x_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """BOUNCE RATE by day (the web-analytics KPI: single-event sessions
+    over total sessions, attributed to the session's START day): reuses
+    the engine's gap-based sessionizer (`ops/sessionize.py`, 4-hour
+    inactivity gap), rolls sessions up to their first-event day, and
+    emits the exact micro-unit bounce share.  Scale shape: one
+    user-partitioned sessionize window, one (user, session) reduce, one
+    calendar-bounded day rollup."""
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    stats = session_stats(e, ["user_id"], "ts", gap=_SESSION_GAP)
+    per_sess = stats.select(
+        F.expr(
+            "CAST(floor(session_start_ms / 86400000.0) AS BIGINT)"
+        ).alias("day"),
+        "n_events",
+    )
+    return per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    ).select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr("n_bounces * 1000000 DIV n_sessions").alias("bounce_micro"),
+    )
+
+
+@register(
+    "x_kfold_cv_ols",
+    """
+    WITH pts AS (
+      SELECT CAST(concat('0x', substr(md5('cv' || CAST(event_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 5 AS fold,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ), fsums AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY fold
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+             CAST(SUM(sy) AS BIGINT) AS tsy,
+             CAST(SUM(sxy) AS BIGINT) AS tsxy,
+             CAST(SUM(sxx) AS BIGINT) AS tsxx
+      FROM fsums
+    ), coef AS (
+      SELECT f.fold, t.tn - f.n AS n_train, f.n AS n_test,
+             ((t.tn - f.n) * (t.tsxy - f.sxy)
+              - (t.tsx - f.sx) * (t.tsy - f.sy)) * 1000
+             // ((t.tn - f.n) * (t.tsxx - f.sxx)
+                 - (t.tsx - f.sx) * (t.tsx - f.sx)) AS beta_milli
+      FROM fsums f CROSS JOIN tot t
+    ), coef2 AS (
+      SELECT c.fold, c.n_train, c.n_test, c.beta_milli,
+             ((t.tsy - f.sy) * 1000 - c.beta_milli * (t.tsx - f.sx))
+               // (t.tn - f.n) AS alpha_milli
+      FROM coef c
+      JOIN fsums f ON c.fold = f.fold
+      CROSS JOIN tot t
+    )
+    SELECT c.fold, c.n_train, c.n_test, c.beta_milli, c.alpha_milli,
+           CAST(SUM(ABS(p.y * 1000 - (c.alpha_milli + c.beta_milli * p.x)))
+                // c.n_test AS BIGINT) AS mae_milli
+    FROM pts p JOIN coef2 c ON p.fold = c.fold
+    GROUP BY c.fold, c.n_train, c.n_test, c.beta_milli, c.alpha_milli
+    """,
+)
+def x_kfold_cv_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATED REGRESSION, fit and scored in-engine with
+    NO per-fold rescan (the distributed CV trick: per-fold power sums
+    computed ONCE, then leave-one-fold-out training sums are just totals
+    minus the fold's — 5 models from one data pass): deterministic
+    md5-hash folds, exact-integer OLS per held-out fold, and test MAE in
+    milli-cents from the micro-coefficient residual chain.  Everything
+    BIGINT (`x_trend_slope`'s arithmetic, generalized to CV).  Scale
+    shape: one power-sum aggregate (5 rows), constant-size coefficient
+    algebra, a 5-row coefficient broadcast back to the points for
+    scoring — two passes total regardless of k."""
+    pts = load_table(spark, sf, "events").select(
+        (D.portable_hash60(F.concat(F.lit("cv"), F.col("event_id").cast("string"))) % 5).alias("fold"),
+        (
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+            - 19723
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    fsums = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = fsums.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    coef = (
+        fsums.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            (F.col("tn") - F.col("n")).alias("n_train"),
+            F.col("n").alias("n_test"),
+            F.expr(
+                "((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) * 1000"
+                " DIV ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))"
+            ).alias("beta_milli"),
+            F.expr("tsy - sy").alias("__rsy"),
+            F.expr("tsx - sx").alias("__rsx"),
+        )
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            "beta_milli",
+            F.expr(
+                "(__rsy * 1000 - beta_milli * __rsx) DIV n_train"
+            ).alias("alpha_milli"),
+        )
+    )
+    scored = pts.join(F.broadcast(coef), "fold")
+    return scored.groupBy(
+        "fold", "n_train", "n_test", "beta_milli", "alpha_milli"
+    ).agg(
+        F.expr(
+            "CAST(SUM(ABS(y * 1000 - (alpha_milli + beta_milli * x)))"
+            " DIV n_test AS BIGINT)"
+        ).alias("mae_milli")
+    )
+
+
+@register(
+    "x_fano_factor",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, s AS total_events,
+           (n * q - s * s) * 1000000 // (s * (n - 1)) AS fano_micro,
+           CAST(CASE WHEN (n * q - s * s) * 1000 > s * (n - 1) * 1500
+                     THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+    FROM sums WHERE n > 1 AND s > 0
+    """,
+)
+def x_fano_factor(spark: SparkSession, sf: str) -> DataFrame:
+    """FANO FACTOR / index of dispersion (the burstiness diagnostic:
+    variance-to-mean of daily event counts — ≈1 for a steady Poisson
+    process, ≫1 for bursty/clumped traffic; decides whether rate
+    monitors can assume Poisson noise): per type, F = σ²/μ with the
+    unbiased variance cross-multiplied into exact integers — fano_micro
+    = (n·Σx² − S²)·10⁶ ÷ (S·(n−1)) since μ = S/n cancels — plus an
+    over-dispersion flag at 1.5.  Scale shape: raw events reduce to the
+    calendar-bounded (type, day) table, then one bounded aggregate —
+    two shuffles total."""
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    return (
+        sums.filter((F.col("n") > 1) & (F.col("s") > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("total_events"),
+            F.expr("(n * q - s * s) * 1000000 DIV (s * (n - 1))").alias(
+                "fano_micro"
+            ),
+            F.expr(
+                "CAST(CASE WHEN (n * q - s * s) * 1000 > s * (n - 1) * 1500"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("overdispersed"),
+        )
+    )
+
+
+@register(
+    "x_interarrival_quantiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_ms, CAST(COUNT(*) AS BIGINT) AS c
+      FROM gaps WHERE gap_ms IS NOT NULL
+      GROUP BY event_type, gap_ms
+    ), cum AS (
+      SELECT event_type, gap_ms, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY gap_ms
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT event_type, q AS quantile_pct,
+           CAST(MIN(gap_ms) AS BIGINT) AS gap_ms
+    FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)
+    WHERE cw * 100 >= tw * q
+    GROUP BY event_type, q
+    """,
+)
+def x_interarrival_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """INTER-ARRIVAL TIME QUANTILES (P50/P90/P99 of the gap between
+    consecutive events per type — the latency-distribution view of a
+    stream: SLA tails, timer tuning, and the empirical input to
+    watermark-delay choices): gaps from one ordered lag() pass, then the
+    same exact cross-multiplied quantile selection as
+    `x_weighted_quantiles` over the gap-collapsed spine.  Scale shape:
+    one type-partitioned window on the stream, then everything runs on
+    the ≤|distinct gaps| spine; quantile selection is a min-aggregate
+    over the 3-row broadcast grid."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(wt)
+            ).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    g = gaps.groupBy("event_type", "gap_ms").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("gap_ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("event_type")
+    cum = g.withColumn("cw", F.sum("c").over(wo).cast("long")).withColumn(
+        "tw", F.sum("c").over(wp).cast("long")
+    )
+    qs = spark.range(1).select(F.explode(F.expr("array(50, 90, 99)")).alias("q"))
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") * 100 >= F.col("tw") * F.col("q"))
+        .groupBy("event_type", F.col("q").alias("quantile_pct"))
+        .agg(F.min("gap_ms").cast("long").alias("gap_ms"))
+    )
+
+
+@register(
+    "x_peak_detection",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), nb AS (
+      SELECT nat, day, x,
+             CAST(MAX(x) OVER (PARTITION BY nat ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS max_before,
+             CAST(MAX(x) OVER (PARTITION BY nat ORDER BY day
+                               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+                  AS BIGINT) AS max_after,
+             COUNT(*) OVER (PARTITION BY nat ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS n_before,
+             COUNT(*) OVER (PARTITION BY nat ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+               AS n_after
+      FROM daily
+    )
+    SELECT nat AS n_name, day AS peak_day, x AS revenue_cents,
+           max_before, max_after
+    FROM nb
+    WHERE n_before = 3 AND n_after = 3
+      AND x > max_before AND x > max_after
+    """,
+)
+def x_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCAL-PEAK DETECTION (strict local maxima over a ±3-row
+    neighborhood — the spike finder behind alert screenshots and
+    promo-impact analysis, stricter than `x_traffic_anomaly`'s
+    baseline-ratio rule because a peak must beat its NEIGHBORS, not a
+    mean): one window pass computes the neighborhood maxima on both
+    sides (full neighborhoods only), and a row survives only if it
+    strictly exceeds both.  Exact integers.  Scale shape: orders reduce
+    to the calendar-bounded daily series; all four frames share one
+    (nation)-partitioned sort."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    wo = Window.partitionBy("nat").orderBy("day")
+    nb = (
+        daily.withColumn("max_before", F.max("x").over(wo.rowsBetween(-3, -1)).cast("long"))
+        .withColumn("max_after", F.max("x").over(wo.rowsBetween(1, 3)).cast("long"))
+        .withColumn("n_before", F.count(F.lit(1)).over(wo.rowsBetween(-3, -1)))
+        .withColumn("n_after", F.count(F.lit(1)).over(wo.rowsBetween(1, 3)))
+    )
+    return (
+        nb.filter(
+            (F.col("n_before") == 3)
+            & (F.col("n_after") == 3)
+            & (F.col("x") > F.col("max_before"))
+            & (F.col("x") > F.col("max_after"))
+        )
+        .select(
+            F.col("nat").alias("n_name"),
+            F.col("day").alias("peak_day"),
+            F.col("x").alias("revenue_cents"),
+            "max_before",
+            "max_after",
+        )
+    )
+
+
+@register(
+    "x_join_fanout_audit",
+    """
+    WITH lf AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fan
+      FROM lineitem GROUP BY l_orderkey
+    ), buckets AS (
+      SELECT CASE WHEN fan <= 2 THEN '1-2'
+                  WHEN fan <= 4 THEN '3-4'
+                  WHEN fan <= 8 THEN '5-8'
+                  ELSE '9+' END AS fanout_bucket,
+             fan
+      FROM lf
+    )
+    SELECT fanout_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(fan) AS BIGINT) AS join_output_rows,
+           CAST(MAX(fan) AS BIGINT) AS max_fanout
+    FROM buckets GROUP BY fanout_bucket
+    """,
+)
+def x_join_fanout_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN FAN-OUT AUDIT (the pre-flight explosion check before a big
+    join: how many rows does each key contribute, and which keys would
+    blow up the output?): per join key, the match count distribution in
+    log-ish buckets with the exact output-row total each bucket would
+    generate against a 1-row-per-key side — `x_join_size_estimate`
+    predicts the total by sampling, this PROFILES the shape exactly, the
+    pair that tells you whether AQE skew handling or salting
+    (`j_skew_salted_join`) is needed.  Scale shape: one key-grouped
+    count (map-side combinable), one bounded bucket rollup."""
+    lf = (
+        load_table(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("fan"))
+    )
+    buckets = lf.select(
+        F.when(F.col("fan") <= 2, "1-2")
+        .when(F.col("fan") <= 4, "3-4")
+        .when(F.col("fan") <= 8, "5-8")
+        .otherwise("9+")
+        .alias("fanout_bucket"),
+        "fan",
+    )
+    return buckets.groupBy("fanout_bucket").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("fan").cast("long").alias("join_output_rows"),
+        F.max("fan").alias("max_fanout"),
+    )
+
+
+@register(
+    "x_als_item_step",
+    """
+    WITH r AS (
+      SELECT o_custkey AS u, l_partkey % 100 AS item,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                  AS BIGINT) AS rating
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT u, CAST(1000 AS BIGINT) AS p0,
+             CAST(concat('0x', substr(md5('als' || CAST(u AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2001 - 1000 AS p1
+      FROM (SELECT DISTINCT u FROM r)
+    ), sums AS (
+      SELECT r.item,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p.p0 * p.p0) AS BIGINT) AS a00,
+             CAST(SUM(p.p0 * p.p1) AS BIGINT) AS a01,
+             CAST(SUM(p.p1 * p.p1) AS BIGINT) AS a11,
+             CAST(SUM(r.rating * p.p0) AS BIGINT) AS b0,
+             CAST(SUM(r.rating * p.p1) AS BIGINT) AS b1
+      FROM r JOIN p ON r.u = p.u
+      GROUP BY r.item
+    )
+    SELECT item, n,
+           CAST(FLOOR((CAST(b0 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                       - CAST(b1 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      / (CAST(a00 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                         - CAST(a01 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS q0_micro,
+           CAST(FLOOR((CAST(b1 AS DOUBLE) * CAST(a00 AS DOUBLE)
+                       - CAST(b0 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      / (CAST(a00 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                         - CAST(a01 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS q1_micro
+    FROM sums WHERE n >= 2
+    """,
+)
+def x_als_item_step(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE ALS HALF-STEP, in-engine (the alternating-least-squares
+    recommender update: holding user factors fixed, solve each item's
+    2-factor vector by least squares — the building block of matrix
+    factorization at scale): deterministic hash-initialized user factors
+    (p₀=1000, p₁ = portable-hash ∈ [−1000, 1000]), per-item normal
+    equations from FIVE map-side-combinable sufficient sums, and the
+    2×2 Cramer solve in the projection — `x_ols_normal_eq`'s machinery
+    re-aimed at collaborative filtering.  All sums exact BIGINT; the
+    solve is one fixed IEEE chain floored to micro.  Scale shape: one
+    (user, item) rating reduce, one user-factor join (factors derive
+    from the key — no table lookup), one item-keyed aggregate; a full
+    ALS sweep is this same pass alternated, each solving millions of
+    independent 2×2 systems with zero driver state."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_partkey") % 100).alias("item"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"))
+            .cast("long")
+            .alias("rating")
+        )
+    )
+    withp = r.select(
+        "item",
+        "rating",
+        F.lit(1000).cast("long").alias("p0"),
+        (
+            D.portable_hash60(F.concat(F.lit("als"), F.col("u").cast("string")))
+            % 2001
+            - 1000
+        ).alias("p1"),
+    )
+    sums = withp.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p0") * F.col("p0")).alias("a00"),
+        F.sum(F.col("p0") * F.col("p1")).alias("a01"),
+        F.sum(F.col("p1") * F.col("p1")).alias("a11"),
+        F.sum(F.col("rating") * F.col("p0")).alias("b0"),
+        F.sum(F.col("rating") * F.col("p1")).alias("b1"),
+    )
+    det = (
+        "(CAST(a00 AS DOUBLE) * CAST(a11 AS DOUBLE)"
+        " - CAST(a01 AS DOUBLE) * CAST(a01 AS DOUBLE))"
+    )
+    return sums.filter(F.col("n") >= 2).select(
+        "item",
+        "n",
+        F.expr(
+            "CAST(FLOOR((CAST(b0 AS DOUBLE) * CAST(a11 AS DOUBLE)"
+            " - CAST(b1 AS DOUBLE) * CAST(a01 AS DOUBLE))"
+            f" / {det} * 1000000.0) AS BIGINT)"
+        ).alias("q0_micro"),
+        F.expr(
+            "CAST(FLOOR((CAST(b1 AS DOUBLE) * CAST(a00 AS DOUBLE)"
+            " - CAST(b0 AS DOUBLE) * CAST(a01 AS DOUBLE))"
+            f" / {det} * 1000000.0) AS BIGINT)"
+        ).alias("q1_micro"),
+    )
+
+
+@register(
+    "x_temporal_join_size",
+    """
+    WITH ev AS (
+      SELECT l_suppkey AS s, o_custkey AS c,
+             epoch_ms(o_orderdate) AS t
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey % 10 = 0
+    )
+    SELECT a.s AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS pairs_cross_customer
+    FROM ev a JOIN ev b ON a.s = b.s AND a.t < b.t AND a.c <> b.c
+    GROUP BY a.s
+    """,
+)
+def x_temporal_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """TEMPORAL-JOIN SIZE PREDICTION from counts alone (how many rows
+    would the time-respecting self-join `a.t < b.t AND a.c <> b.c`
+    produce per key? — the pre-flight for stream-stream and as-of joins
+    that `x_join_fanout_audit` does for equi-joins): the exact answer
+    comes from PURE COUNTING, never materializing a pair —
+    #[t_a<t_b] = C(n,2) − Σ_t C(n_t,2), minus the same identity within
+    each customer (inclusion-exclusion over ties).  The ORACLE is the
+    brute-force theta join itself, so a pass certifies the combinatorial
+    identity against real data, not a mirrored formula.  Scale shape:
+    three grouped counts (by key, key×ts, key×cust, key×cust×ts) — all
+    map-side-combinable; the quadratic join never runs."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_suppkey") % 10 == 0
+    ).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_millis("o_orderdate").alias("t")
+    )
+    ev = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"), "t"
+    ).cache()
+
+    def ordered_pairs(df: DataFrame, keys: list[str]) -> DataFrame:
+        """#{(a,b): t_a < t_b} within each key group = C(n,2) − Σ_t C(n_t,2)."""
+        per_ts = df.groupBy(*keys, "t").agg(F.count(F.lit(1)).alias("nt"))
+        return per_ts.groupBy(*keys).agg(
+            (
+                (F.sum("nt") * (F.sum("nt") - 1) - F.sum(F.col("nt") * (F.col("nt") - 1)))
+                / 2
+            )
+            .cast("long")
+            .alias("pairs")
+        )
+
+    total = ordered_pairs(ev, ["s"]).withColumnRenamed("pairs", "all_pairs")
+    same_c = (
+        ordered_pairs(ev, ["s", "c"])
+        .groupBy("s")
+        .agg(F.sum("pairs").cast("long").alias("same_c_pairs"))
+    )
+    return (
+        total.join(same_c, "s", "left")
+        .select(
+            F.col("s").alias("suppkey"),
+            (
+                F.col("all_pairs") - F.coalesce(F.col("same_c_pairs"), F.lit(0))
+            ).alias("pairs_cross_customer"),
+        )
+        .filter(F.col("pairs_cross_customer") > 0)
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -18194,6 +18872,9 @@ def x_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 # x_changepoint, x_audio_vad_segments, x_dict_encoding_advisor,
 # x_order_reconciliation, x_sliced_eval, x_markov_next_event,
 # x_resource_allocation, t_stream_restart_recovery, x_weighted_quantiles,
+# x_fd_histogram, x_bounce_rate, x_kfold_cv_ols, x_fano_factor,
+# x_interarrival_quantiles, x_peak_detection, x_join_fanout_audit,
+# x_als_item_step, x_temporal_join_size,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -245,6 +245,9 @@ _CARTESIAN_ALLOWED = {
     "x_local_clustering",      # edge-stat scalar: 1-row broadcast join
     "x_pca_power_iter",        # per-round 1-row max-normalizer broadcasts
     "x_weighted_quantiles",    # 3-row quantile spine broadcast
+    "x_fd_histogram",          # 1-row bin-width parameter broadcast
+    "x_kfold_cv_ols",          # 1-row totals broadcast (leave-fold-out)
+    "x_interarrival_quantiles",  # 3-row quantile spine broadcast
 }
 
 
@@ -1447,3 +1450,81 @@ def test_weighted_quantiles_window_on_collapsed_values(spark):
     plan = plan_of(spark, "x_weighted_quantiles")
     assert n_nodes(plan, "Window") == 2
     assert n_nodes(plan, "Sort") <= 2
+
+
+def test_fd_histogram_parameter_broadcast(spark):
+    """x_fd_histogram: quartiles + cube root reduce to a 1-row parameter
+    relation broadcast back to the scan — never a second global sort of
+    raw values."""
+    plan = plan_of(spark, "x_fd_histogram")
+    assert n_nodes(plan, "Sort") <= 1
+    assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_bounce_rate_reuses_sessionizer_shape(spark):
+    """x_bounce_rate: one user-partitioned sessionize sort, one session
+    reduce, one day rollup."""
+    plan = plan_of(spark, "x_bounce_rate")
+    assert n_nodes(plan, "Exchange") <= 2
+    assert n_nodes(plan, "Sort") == 1
+
+
+def test_kfold_cv_two_passes_only(spark):
+    """x_kfold_cv_ols: one power-sum pass + one scoring pass — the 5
+    leave-one-out models must come from coefficient algebra, not 5
+    rescans."""
+    plan = plan_of(spark, "x_kfold_cv_ols")
+    assert n_nodes(plan, "Exchange") <= 4
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_fano_two_shuffles(spark):
+    """x_fano_factor: events reduce to (type, day) then one bounded
+    aggregate — exactly two exchanges, no window."""
+    plan = plan_of(spark, "x_fano_factor")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_interarrival_windows_on_gap_spine(spark):
+    """x_interarrival_quantiles: one stream lag window; cumulative
+    quantile windows run on the gap-collapsed spine."""
+    plan = plan_of(spark, "x_interarrival_quantiles")
+    assert n_nodes(plan, "Window") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_detection_one_sort(spark):
+    """x_peak_detection: all four neighborhood frames share one
+    (nation)-partitioned sort over the reduced daily series."""
+    plan = plan_of(spark, "x_peak_detection")
+    assert n_nodes(plan, "Sort") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_join_fanout_audit_two_aggregates(spark):
+    """x_join_fanout_audit: key-grouped count + bucket rollup, no joins."""
+    plan = plan_of(spark, "x_join_fanout_audit")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") == 2
+
+
+def test_als_step_is_aggregate_algebra(spark):
+    """x_als_item_step: factors derive from the key (no lookup table);
+    the per-item solve is projection algebra over one keyed aggregate."""
+    plan = plan_of(spark, "x_als_item_step")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_temporal_join_size_never_joins_pairs(spark):
+    """x_temporal_join_size: the quadratic theta join must NOT appear in
+    the plan — the answer comes from grouped counts (the oracle runs the
+    brute-force join; the engine must not)."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_temporal_join_size")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # only the orderkey equi-join (lineitem x orders) and the final
+    # count-table merge are allowed - no self-join of ev on (s, t, c)
+    assert n_nodes(plan, "SortMergeJoin") + n_nodes(plan, "BroadcastHashJoin") <= 3
