@@ -18828,6 +18828,217 @@ def x_temporal_join_size(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_lag_features",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), f AS (
+      SELECT nat, day, x,
+             lag(x, 1) OVER w AS lag_1,
+             lag(x, 7) OVER w AS lag_7,
+             lag(x, 28) OVER w AS lag_28,
+             CAST(SUM(x) OVER (PARTITION BY nat ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) // 7 AS ma_7,
+             COUNT(*) OVER (PARTITION BY nat ORDER BY day
+                            ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS n28
+      FROM daily
+      WINDOW w AS (PARTITION BY nat ORDER BY day)
+    )
+    SELECT nat AS n_name, day, x AS target_cents,
+           lag_1, lag_7, lag_28, ma_7
+    FROM f WHERE n28 = 28
+    """,
+)
+def x_lag_features(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG-FEATURE MATRIX construction (the feature-engineering pass
+    every forecasting model trains on: yesterday, last week, last month,
+    and the trailing weekly mean as columns next to the target — built
+    LEAK-FREE: every frame ends at 1 PRECEDING, so no feature ever sees
+    the target row): rows emit only with a full 28-day history (the
+    warm-up rule that keeps train/serve skew out).  Exact cents; the
+    trailing mean uses truncating DIV.  Scale shape: orders reduce to
+    the daily series; ALL lag/mean/count frames share one
+    (nation)-partitioned sort — one shuffle past the reduce."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    wo = Window.partitionBy("nat").orderBy("day")
+    f = (
+        daily.withColumn("lag_1", F.lag("x", 1).over(wo))
+        .withColumn("lag_7", F.lag("x", 7).over(wo))
+        .withColumn("lag_28", F.lag("x", 28).over(wo))
+        .withColumn(
+            "ma_7",
+            F.expr("CAST(1 AS BIGINT)")
+            * F.sum("x").over(wo.rowsBetween(-7, -1)),
+        )
+        .withColumn("n28", F.count(F.lit(1)).over(wo.rowsBetween(-28, -1)))
+    )
+    return f.filter(F.col("n28") == 28).select(
+        F.col("nat").alias("n_name"),
+        "day",
+        F.col("x").alias("target_cents"),
+        "lag_1",
+        "lag_7",
+        "lag_28",
+        F.expr("ma_7 DIV 7").alias("ma_7"),
+    )
+
+
+@register(
+    "x_share_of_total",
+    """
+    WITH rev AS (
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, cents AS revenue_cents,
+           cents * 1000000 // CAST(SUM(cents) OVER (PARTITION BY r_name)
+                                   AS BIGINT) AS share_of_region_micro,
+           cents * 1000000 // CAST(SUM(cents) OVER () AS BIGINT)
+             AS share_of_world_micro,
+           CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) * 1000000
+             // CAST(SUM(cents) OVER () AS BIGINT)
+             AS region_share_of_world_micro
+    FROM rev
+    """,
+)
+def x_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """NESTED SHARE-OF-TOTAL (ratio-to-report at two hierarchy levels —
+    the '% of region' and '% of world' columns every executive rollup
+    carries, and the window formulation that replaces the classic
+    join-back-to-totals anti-pattern): one aggregate to (region, nation),
+    then three window shares over the ≤175-row rollup — the totals are
+    never recomputed from raw data per level.  Exact micro division.
+    Scale shape: the windows run on the dimension-bounded rollup, so
+    their cost is constant at any SF."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    ww = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("cents").alias("revenue_cents"),
+        F.expr("cents * 1000000").cast("long").alias("__cm"),
+        F.sum("cents").over(wr).cast("long").alias("__rt"),
+        F.sum("cents").over(ww).cast("long").alias("__wt"),
+    ).select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.expr("__cm DIV __rt").alias("share_of_region_micro"),
+        F.expr("__cm DIV __wt").alias("share_of_world_micro"),
+        F.expr("__rt * 1000000 DIV __wt").alias("region_share_of_world_micro"),
+    )
+
+
+@register(
+    "x_budget_allocation",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cap_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ), tot AS (
+      SELECT CAST(SUM(cap_cents) // 10 AS BIGINT) AS budget FROM seg
+    ), ranked AS (
+      SELECT segment, cap_cents,
+             CAST(COALESCE(SUM(cap_cents) OVER (
+                    ORDER BY cap_cents DESC, segment
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM seg
+    )
+    SELECT r.segment, r.cap_cents,
+           GREATEST(LEAST(r.cap_cents, t.budget - r.cum_before), 0)
+             AS allocated_cents,
+           CAST(CASE WHEN t.budget - r.cum_before <= 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS starved
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def x_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """GREEDY CAPPED ALLOCATION in closed form (waterfall budgeting:
+    fill segments in priority order, each up to its cap, until the pot
+    runs dry — the sequential spill loop every FP&A sheet hides):
+    allocated_i = clamp(budget − Σ caps before me, 0, cap_i) — the
+    running-sum identity turns the loop into ONE window pass, exact to
+    the cent, with starvation flags for tiers the budget never reaches.
+    Priority = largest cap first (deterministic segment tiebreak); the
+    pot = 10% of total revenue.  Scale shape: one aggregate to the
+    segment rollup, one bounded window, a 1-row budget broadcast."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cap_cents")
+        )
+        .cache()
+    )
+    tot = seg.agg(F.expr("CAST(SUM(cap_cents) DIV 10 AS BIGINT)").alias("budget"))
+    wo = Window.orderBy(F.col("cap_cents").desc(), "segment").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = seg.withColumn(
+        "cum_before", F.coalesce(F.sum("cap_cents").over(wo), F.lit(0)).cast("long")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "cap_cents",
+        F.greatest(
+            F.least(F.col("cap_cents"), F.col("budget") - F.col("cum_before")),
+            F.lit(0),
+        ).alias("allocated_cents"),
+        F.when(F.col("budget") - F.col("cum_before") <= 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("starved"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -18874,7 +19085,8 @@ def x_temporal_join_size(spark: SparkSession, sf: str) -> DataFrame:
 # x_resource_allocation, t_stream_restart_recovery, x_weighted_quantiles,
 # x_fd_histogram, x_bounce_rate, x_kfold_cv_ols, x_fano_factor,
 # x_interarrival_quantiles, x_peak_detection, x_join_fanout_audit,
-# x_als_item_step, x_temporal_join_size,
+# x_als_item_step, x_temporal_join_size, x_lag_features,
+# x_share_of_total, x_budget_allocation,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

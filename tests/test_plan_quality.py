@@ -248,6 +248,7 @@ _CARTESIAN_ALLOWED = {
     "x_fd_histogram",          # 1-row bin-width parameter broadcast
     "x_kfold_cv_ols",          # 1-row totals broadcast (leave-fold-out)
     "x_interarrival_quantiles",  # 3-row quantile spine broadcast
+    "x_budget_allocation",     # 1-row budget-pot broadcast
 }
 
 
@@ -1528,3 +1529,28 @@ def test_temporal_join_size_never_joins_pairs(spark):
     # only the orderkey equi-join (lineitem x orders) and the final
     # count-table merge are allowed - no self-join of ev on (s, t, c)
     assert n_nodes(plan, "SortMergeJoin") + n_nodes(plan, "BroadcastHashJoin") <= 3
+
+
+def test_lag_features_one_sort(spark):
+    """x_lag_features: all lag/mean/count frames share one
+    (nation)-partitioned sort over the reduced daily series."""
+    plan = plan_of(spark, "x_lag_features")
+    assert n_nodes(plan, "Sort") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_share_of_total_windows_on_rollup(spark):
+    """x_share_of_total: the share windows run on the dimension-bounded
+    rollup — never a join back to per-level totals."""
+    plan = plan_of(spark, "x_share_of_total")
+    assert n_nodes(plan, "Exchange") <= 3
+    assert n_nodes(plan, "Window") == 2
+
+
+def test_budget_allocation_closed_form(spark):
+    """x_budget_allocation: the spill loop is ONE running-sum window over
+    the cached segment rollup + a 1-row budget broadcast."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_budget_allocation")
+    assert n_nodes(plan, "Window") == 1
+    assert "InMemoryTableScan" in plan
