@@ -17976,13 +17976,19 @@ def x_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = edges.select("c", F.col("u").alias("u1"))
     b = edges.select("c", F.col("u").alias("u2"))
+    # attach the neighbor weight BEFORE pairing: the 1e6/deg contribution
+    # depends only on the shared customer, so the degree join touches
+    # |edges| rows once instead of every candidate pair; cdeg is
+    # SF-scaled (customer-bounded) so it carries NO broadcast hint — the
+    # planner broadcasts it at test scale and falls back to a shuffle
+    # join at 100 TB (broadcast policy, module docstring)
+    aw = a.join(cdeg, "c").withColumn("w", F.expr("1000000 DIV d"))
     scores = (
-        a.join(b, "c")
+        aw.join(b, "c")
         .filter(F.col("u1") < F.col("u2"))
-        .join(F.broadcast(cdeg), "c")
         .groupBy("u1", "u2")
         .agg(
-            F.sum(F.expr("1000000 DIV d")).cast("long").alias("ra_micro"),
+            F.sum("w").cast("long").alias("ra_micro"),
             F.count(F.lit(1)).alias("common_neighbors"),
         )
     )
@@ -19039,6 +19045,163 @@ def x_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_pk_audit",
+    """
+    WITH stats AS (
+      SELECT 'orders.o_orderkey' AS pk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null
+      FROM orders
+      UNION ALL
+      SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+             CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                  AS BIGINT),
+             CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+    )
+    SELECT pk, n_rows, n_distinct, n_null,
+           n_rows - n_distinct AS dup_rows,
+           CAST(CASE WHEN n_rows = n_distinct AND n_null = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS pk_valid
+    FROM stats
+    """,
+)
+def x_pk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """PRIMARY-KEY CONSTRAINT AUDIT (the uniqueness + non-null check
+    lakehouse tables can't enforce and must therefore VERIFY — the
+    nightly guard that catches double-loaded partitions): four declared
+    keys (incl. one composite) audited for duplicates and nulls in one
+    pass each, with a pass/fail flag per constraint.  Completes the DQ
+    family: `x_data_contract` (values), `x_fk_integrity_audit`
+    (references), `x_id_completeness_audit` (sequences), this (keys).
+    Scale shape: one two-phase count-distinct per table; the composite
+    key packs into one BIGINT (linenumber < 100) so no string concat on
+    the hot path."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    d = load_table(spark, sf, "documents")
+
+    def audit(df: DataFrame, label: str, key: Column, nullc: Column) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            F.sum(F.when(nullc, 1).otherwise(0)).cast("long").alias("n_null"),
+        ).select(F.lit(label).alias("pk"), "n_rows", "n_distinct", "n_null")
+
+    stats = (
+        audit(o, "orders.o_orderkey", F.col("o_orderkey"), F.col("o_orderkey").isNull())
+        .unionAll(
+            audit(
+                c,
+                "customer.c_custkey",
+                F.col("c_custkey"),
+                F.col("c_custkey").isNull(),
+            )
+        )
+        .unionAll(
+            audit(
+                li,
+                "lineitem.(l_orderkey,l_linenumber)",
+                F.expr("l_orderkey * 100 + l_linenumber"),
+                F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull(),
+            )
+        )
+        .unionAll(
+            audit(d, "documents.doc_id", F.col("doc_id"), F.col("doc_id").isNull())
+        )
+    )
+    return stats.select(
+        "pk",
+        "n_rows",
+        "n_distinct",
+        "n_null",
+        (F.col("n_rows") - F.col("n_distinct")).alias("dup_rows"),
+        F.when(
+            (F.col("n_rows") == F.col("n_distinct")) & (F.col("n_null") == 0), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("pk_valid"),
+    )
+
+
+@register(
+    "x_zonemap_audit",
+    """
+    WITH z AS (
+      SELECT CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT)
+               // 30 AS zone,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), per_zone AS (
+      SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(cents) AS BIGINT) AS min_cents,
+             CAST(MAX(cents) AS BIGINT) AS max_cents
+      FROM z GROUP BY zone
+    ), g AS (
+      SELECT CAST(MIN(min_cents) AS BIGINT) AS gmin,
+             CAST(MAX(max_cents) AS BIGINT) AS gmax
+      FROM per_zone
+    )
+    SELECT p.zone, p.n_rows, p.min_cents, p.max_cents,
+           (p.max_cents - p.min_cents) * 1000000
+             // GREATEST(g.gmax - g.gmin, 1) AS width_ratio_micro
+    FROM per_zone p CROSS JOIN g
+    """,
+)
+def x_zonemap_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ZONE-MAP EFFECTIVENESS AUDIT (would min/max pruning actually skip
+    anything? — the diagnostic BEHIND the layout decisions
+    `ops/layout.py:zorder` and `x_zorder_scan` make): per 30-day zone,
+    the price min/max envelope and its width as a fraction of the global
+    range — a time-clustered table shows width_ratio ≈ 1 for an
+    UNCORRELATED column (zone maps useless for price point-lookups ⇒
+    Z-ORDER on (date, price) or re-sort), ≈ 1/zones for a correlated
+    one.  Exact integers.  Scale shape: one zone-keyed min/max aggregate
+    (map-side), a 1-row global envelope broadcast."""
+    z = load_table(spark, sf, "orders").select(
+        F.expr(
+            "CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT) DIV 30"
+        ).alias("zone"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per_zone = z.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    g = per_zone.agg(
+        F.min("min_cents").alias("gmin"), F.max("max_cents").alias("gmax")
+    )
+    return per_zone.crossJoin(F.broadcast(g)).select(
+        "zone",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        F.expr(
+            "(max_cents - min_cents) * 1000000 DIV greatest(gmax - gmin, 1)"
+        ).alias("width_ratio_micro"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -19086,7 +19249,7 @@ def x_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
 # x_fd_histogram, x_bounce_rate, x_kfold_cv_ols, x_fano_factor,
 # x_interarrival_quantiles, x_peak_detection, x_join_fanout_audit,
 # x_als_item_step, x_temporal_join_size, x_lag_features,
-# x_share_of_total, x_budget_allocation,
+# x_share_of_total, x_budget_allocation, x_pk_audit, x_zonemap_audit,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

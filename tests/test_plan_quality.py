@@ -249,6 +249,7 @@ _CARTESIAN_ALLOWED = {
     "x_kfold_cv_ols",          # 1-row totals broadcast (leave-fold-out)
     "x_interarrival_quantiles",  # 3-row quantile spine broadcast
     "x_budget_allocation",     # 1-row budget-pot broadcast
+    "x_zonemap_audit",         # 1-row global-envelope broadcast
 }
 
 
@@ -1554,3 +1555,19 @@ def test_budget_allocation_closed_form(spark):
     plan = plan_of(spark, "x_budget_allocation")
     assert n_nodes(plan, "Window") == 1
     assert "InMemoryTableScan" in plan
+
+
+def test_pk_audit_no_expand(spark):
+    """x_pk_audit: each key audit is one two-phase count-distinct — no
+    Expand fallback, no joins."""
+    plan = plan_of(spark, "x_pk_audit")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Expand") == 0
+
+
+def test_zonemap_audit_envelope_broadcast(spark):
+    """x_zonemap_audit: one zone-keyed min/max aggregate + a 1-row global
+    envelope broadcast — no window, no re-scan."""
+    plan = plan_of(spark, "x_zonemap_audit")
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "Exchange") <= 3
