@@ -19202,6 +19202,175 @@ def x_zonemap_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TOPIC_WEIGHTS = (
+    # (term, topic, weight_milli) — a tiny literal term-topic matrix; the
+    # real pipeline would broadcast a learned one
+    ("data", "tech", 900),
+    ("model", "tech", 800),
+    ("system", "tech", 600),
+    ("market", "business", 900),
+    ("price", "business", 800),
+    ("order", "business", 500),
+    ("game", "leisure", 900),
+    ("music", "leisure", 700),
+    ("travel", "leisure", 800),
+    ("data", "business", 200),
+    ("price", "tech", 100),
+)
+
+
+@register(
+    "x_topic_scores",
+    f"""
+    WITH w(term, topic, wm) AS (
+      VALUES {", ".join(f"('{t}', '{c}', {v})" for t, c, v in _TOPIC_WEIGHTS)}
+    ), tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ), scores AS (
+      SELECT t.doc_id, w.topic,
+             CAST(SUM(t.tf * w.wm) AS BIGINT) AS score_milli
+      FROM tok t JOIN w ON t.tok = w.term
+      GROUP BY t.doc_id, w.topic
+    ), ranked AS (
+      SELECT doc_id, topic, score_milli,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_milli DESC, topic) AS rn
+      FROM scores
+    )
+    SELECT doc_id, topic AS top_topic, score_milli
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_topic_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARSE MATRIX MULTIPLY as join-aggregate (doc-term counts × a
+    term-topic weight matrix → doc-topic scores — the linear text
+    classifier / topic scorer, and the general pattern for ANY sparse
+    matmul on Spark: A⋈B on the contraction key, groupBy the output
+    coordinates): term frequencies join the broadcast literal weight
+    matrix, scores sum exactly in milli-units, and each document keeps
+    its argmax topic (deterministic tiebreak).  Scale shape: the matmul
+    is one equi-join on the term key against a constant-bounded
+    broadcast + one (doc, topic) aggregate; the argmax is a per-doc
+    struct ranking on the k-bounded score table."""
+    d = load_table(spark, sf, "documents")
+    w = spark.createDataFrame(
+        list(_TOPIC_WEIGHTS), ["term", "topic", "wm"]
+    ).withColumn("wm", F.col("wm").cast("long"))
+    tok = (
+        spread(d)
+        .select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scores = (
+        tok.join(F.broadcast(w), tok["tok"] == w["term"])
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("wm")).cast("long").alias("score_milli"))
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_milli")).alias("neg"),
+                F.col("topic").alias("t"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.t").alias("top_topic"),
+        (-F.col("m.neg")).alias("score_milli"),
+    )
+
+
+@register(
+    "x_holt_backtest",
+    """
+    WITH RECURSIVE mon AS (
+      SELECT n_name AS nat, strftime(o_orderdate, '%Y-%m') AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT nat, mon, x,
+             row_number() OVER (PARTITION BY nat ORDER BY mon) AS rn
+      FROM mon
+    ), h AS (
+      SELECT nat, mon, rn, x, x AS l, CAST(0 AS BIGINT) AS b
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.nat, m.mon, m.rn, m.x,
+             (2*m.x + 8*(h.l+h.b)) // 10 AS l,
+             ((((2*m.x + 8*(h.l+h.b)) // 10) - h.l) + 9*h.b) // 10 AS b
+      FROM h JOIN m ON m.nat = h.nat AND m.rn = h.rn + 1
+    ), joined AS (
+      SELECT h.nat, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+             CAST(SUM(ABS(nxt.x - (h.l + h.b))) AS BIGINT) AS abs_err_sum,
+             CAST(SUM(ABS(nxt.x - h.x)) AS BIGINT) AS naive_err_sum
+      FROM h JOIN m nxt ON nxt.nat = h.nat AND nxt.rn = h.rn + 1
+      GROUP BY h.nat
+    )
+    SELECT nat AS n_name, n_forecasts,
+           abs_err_sum // n_forecasts AS holt_mae_cents,
+           naive_err_sum // n_forecasts AS naive_mae_cents,
+           CAST(CASE WHEN abs_err_sum < naive_err_sum THEN 1 ELSE 0 END
+                AS INTEGER) AS beats_naive
+    FROM joined
+    """,
+)
+def x_holt_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """FORECAST BACKTESTING (the walk-forward evaluation every forecast
+    needs before anyone trusts it: at each month, compare the 1-step
+    Holt forecast lₜ+bₜ against month t+1's ACTUAL, next to the naive
+    'tomorrow = today' baseline — a model that can't beat naive is
+    noise): reuses `x_holt_linear`'s exact-integer fold, lead-joins the
+    actuals, and reports per-nation MAE for both models plus the
+    beats-naive verdict.  Scale shape: the fold and the lead join run on
+    the calendar-bounded nation-month table; two shuffles past the
+    orders reduce."""
+    from pyspark.sql import Window
+
+    # reuse the registered Holt query's output (same fold, same series)
+    holt = REGISTRY["x_holt_linear"][0](spark, sf).select(
+        F.col("n_name").alias("nat"),
+        "mon",
+        F.col("revenue_cents").alias("x"),
+        F.col("forecast_cents").alias("f"),
+    )
+    wn = Window.partitionBy("nat").orderBy("mon")
+    j = (
+        holt.withColumn("next_x", F.lead("x").over(wn))
+        .filter(F.col("next_x").isNotNull())
+        .select(
+            "nat",
+            (F.abs(F.col("next_x") - F.col("f"))).alias("holt_err"),
+            (F.abs(F.col("next_x") - F.col("x"))).alias("naive_err"),
+        )
+    )
+    agg = j.groupBy("nat").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum("holt_err").cast("long").alias("abs_err_sum"),
+        F.sum("naive_err").cast("long").alias("naive_err_sum"),
+    )
+    return agg.select(
+        F.col("nat").alias("n_name"),
+        "n_forecasts",
+        F.expr("abs_err_sum DIV n_forecasts").alias("holt_mae_cents"),
+        F.expr("naive_err_sum DIV n_forecasts").alias("naive_mae_cents"),
+        F.when(F.col("abs_err_sum") < F.col("naive_err_sum"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("beats_naive"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -19250,6 +19419,7 @@ def x_zonemap_audit(spark: SparkSession, sf: str) -> DataFrame:
 # x_interarrival_quantiles, x_peak_detection, x_join_fanout_audit,
 # x_als_item_step, x_temporal_join_size, x_lag_features,
 # x_share_of_total, x_budget_allocation, x_pk_audit, x_zonemap_audit,
+# x_topic_scores, x_holt_backtest,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

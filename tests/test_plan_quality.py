@@ -1571,3 +1571,20 @@ def test_zonemap_audit_envelope_broadcast(spark):
     plan = plan_of(spark, "x_zonemap_audit")
     assert n_nodes(plan, "Window") == 0
     assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_topic_scores_broadcast_matmul(spark):
+    """x_topic_scores: the sparse matmul joins the constant weight matrix
+    broadcast; the argmax is a struct-min aggregate, not a window."""
+    plan = plan_of(spark, "x_topic_scores")
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_backtest_on_bounded_series(spark):
+    """x_holt_backtest: fold + lead join run on the calendar-bounded
+    nation-month table — no cartesian, no Python."""
+    plan = plan_of(spark, "x_holt_backtest")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
