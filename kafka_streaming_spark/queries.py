@@ -19371,6 +19371,271 @@ def x_holt_backtest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_holt_winters",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT nat, day, x,
+             row_number() OVER (PARTITION BY nat ORDER BY day) AS rn
+      FROM daily
+    ), h AS (
+      SELECT nat, day, rn, x, x AS l, CAST(0 AS BIGINT) AS b,
+             [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.nat, m.day, m.rn, m.x,
+             (2*(m.x - h.s[CAST(m.day % 7 + 1 AS INT)])
+              + 8*(h.l + h.b)) // 10 AS l,
+             ((((2*(m.x - h.s[CAST(m.day % 7 + 1 AS INT)])
+                 + 8*(h.l + h.b)) // 10) - h.l) + 9*h.b) // 10 AS b,
+             list_transform(generate_series(1, 7), j ->
+               CASE WHEN j = CAST(m.day % 7 + 1 AS INT)
+                    THEN (3*(m.x - ((2*(m.x - h.s[CAST(m.day % 7 + 1 AS INT)])
+                              + 8*(h.l + h.b)) // 10))
+                          + 7*h.s[j]) // 10
+                    ELSE h.s[j] END) AS s
+      FROM h JOIN m ON m.nat = h.nat AND m.rn = h.rn + 1
+    )
+    SELECT nat AS n_name, day, x AS revenue_cents,
+           l AS level_cents, b AS trend_cents,
+           s[CAST(day % 7 + 1 AS INT)] AS seasonal_cents
+    FROM h
+    """,
+)
+def x_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """HOLT-WINTERS additive smoothing (the full triple-exponential
+    forecaster: level + trend + a 7-slot WEEKDAY seasonal state — the
+    model the EWMA → Holt ladder tops out at): lₜ = α(xₜ−s_{t−7}) +
+    (1−α)(lₜ₋₁+bₜ₋₁), bₜ as in Holt, sₜ = γ(xₜ−lₜ) + (1−γ)s_{t−7}, with
+    α=0.2 β=0.1 γ=0.3 rational and EVERY step truncating-integer — the
+    fold accumulator carries the seasonal ARRAY through the `aggregate`
+    higher-order function (seasonal slot = calendar day % 7, robust to
+    gaps), and the oracle's recursive CTE carries the same LIST state
+    bit-identically.  Scale shape: per-nation sequential, cross-nation
+    parallel, fold state = 7 BIGINTs + 2 — no driver loop, no Python;
+    one shuffle past the daily reduce."""
+    daily = _nation_daily_cents(spark, sf)
+    arr = daily.groupBy("nat").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    folded = arr.select(
+        "nat",
+        F.expr(
+            """
+            aggregate(
+              slice(arr, 2, greatest(size(arr) - 1, 0)),
+              array(named_struct('day', arr[0].day, 'x', arr[0].x,
+                    'l', arr[0].x, 'b', CAST(0 AS BIGINT),
+                    's', array(CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0))),
+              (acc, e) -> array_append(acc, named_struct(
+                'day', e.day, 'x', e.x,
+                'l', (2*(e.x - element_at(element_at(acc,-1).s,
+                                          CAST(e.day % 7 + 1 AS INT)))
+                      + 8*(element_at(acc,-1).l + element_at(acc,-1).b))
+                     DIV 10,
+                'b', ((((2*(e.x - element_at(element_at(acc,-1).s,
+                                             CAST(e.day % 7 + 1 AS INT)))
+                         + 8*(element_at(acc,-1).l + element_at(acc,-1).b))
+                        DIV 10) - element_at(acc,-1).l)
+                      + 9*element_at(acc,-1).b) DIV 10,
+                's', transform(sequence(1, 7), j ->
+                  CASE WHEN j = CAST(e.day % 7 + 1 AS INT)
+                       THEN (3*(e.x
+                               - ((2*(e.x - element_at(element_at(acc,-1).s,
+                                      CAST(e.day % 7 + 1 AS INT)))
+                                   + 8*(element_at(acc,-1).l
+                                        + element_at(acc,-1).b)) DIV 10))
+                             + 7*element_at(element_at(acc,-1).s, j)) DIV 10
+                       ELSE element_at(element_at(acc,-1).s, j) END)))
+            ) AS h
+            """
+        ),
+    )
+    return (
+        folded.select("nat", F.explode("h").alias("st"))
+        .select(
+            F.col("nat").alias("n_name"),
+            F.col("st.day").alias("day"),
+            F.col("st.x").alias("revenue_cents"),
+            F.col("st.l").alias("level_cents"),
+            F.col("st.b").alias("trend_cents"),
+            F.expr(
+                "element_at(st.s, CAST(st.day % 7 + 1 AS INT))"
+            ).alias("seasonal_cents"),
+        )
+    )
+
+
+@register(
+    "x_stratified_estimate",
+    """
+    WITH samp AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(concat('0x', substr(md5('svy' || CAST(c_custkey AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 8 = 0 AS in_sample
+      FROM customer
+    ), strata AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_samp,
+             CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+               AS s_samp
+      FROM samp GROUP BY c_nationkey
+    ), keep AS (
+      SELECT * FROM strata WHERE n_samp > 0
+    )
+    SELECT CAST(SUM(n_pop) AS BIGINT) AS n_population,
+           CAST(SUM(n_samp) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_pop * (s_samp * 1000 // n_samp)) // SUM(n_pop)
+                AS BIGINT) AS stratified_mean_millicents,
+           CAST(SUM(s_samp) * 1000 // SUM(n_samp) AS BIGINT)
+             AS naive_mean_millicents
+    FROM keep
+    """,
+)
+def x_stratified_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """STRATIFIED (post-stratification) ESTIMATION — the survey-weighting
+    correction every sampled metric needs when strata are sampled
+    unevenly: a deterministic 1/8 hash sample of customers, per-nation
+    sample means re-weighted by the TRUE stratum sizes
+    (Σ N_h·x̄_h / Σ N_h) next to the naive pooled sample mean — the two
+    diverge exactly when sampling rates drift across strata, which is
+    the bias this estimator removes.  Exact milli-cents throughout
+    (per-stratum means floored once).  Scale shape: one stratum
+    aggregate over the full table, then a ≤25-row reduce."""
+    samp = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        (
+            D.portable_hash60(
+                F.concat(F.lit("svy"), F.col("c_custkey").cast("string"))
+            )
+            % 8
+            == 0
+        ).alias("in_sample"),
+    )
+    strata = samp.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_samp"),
+        F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_samp"),
+    ).filter(F.col("n_samp") > 0)
+    return strata.agg(
+        F.sum("n_pop").cast("long").alias("n_population"),
+        F.sum("n_samp").cast("long").alias("n_sampled"),
+        F.expr(
+            "CAST(SUM(n_pop * (s_samp * 1000 DIV n_samp)) DIV SUM(n_pop)"
+            " AS BIGINT)"
+        ).alias("stratified_mean_millicents"),
+        F.expr("CAST(SUM(s_samp) * 1000 DIV SUM(n_samp) AS BIGINT)").alias(
+            "naive_mean_millicents"
+        ),
+    )
+
+
+@register(
+    "x_hotspot_cells",
+    """
+    WITH pts AS (
+      SELECT CAST(concat('0x', substr(md5('dbx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 // 10000 AS cx,
+             CAST(concat('0x', substr(md5('dby' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 // 10000 AS cy
+      FROM customer
+    ), cells AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cx, cy
+    ), nb AS (
+      SELECT a.cx, a.cy, a.n,
+             CAST(SUM(b.n) AS BIGINT) AS neighbor_sum,
+             CAST(COUNT(*) AS BIGINT) AS neighbor_cnt
+      FROM cells a
+      JOIN cells b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND NOT (a.cx = b.cx AND a.cy = b.cy)
+      GROUP BY a.cx, a.cy, a.n
+    )
+    SELECT cx AS cell_x, cy AS cell_y, n AS n_points,
+           neighbor_sum, neighbor_cnt,
+           CAST(CASE WHEN n * neighbor_cnt > 2 * neighbor_sum
+                     THEN 1 ELSE 0 END AS INTEGER) AS hotspot
+    FROM nb
+    """,
+)
+def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """SPATIAL HOTSPOT DETECTION (Getis-Ord-style local density: a cell
+    is hot when its count exceeds 2× its 8-neighborhood mean — crime
+    maps, outage clusters, demand heat): points land in a 10×10 grid
+    (portable md5 coordinates shared with `x_dbscan_clusters`), and the
+    neighborhood statistic is a self-join of the CELL table on the
+    |Δ|≤1 stencil — the join touches ≤ 100 cells × 8, never points,
+    and edge cells normalize by their true neighbor count.  Exact
+    integer comparison (n·cnt > 2·Σ).  Scale shape: one grid aggregate
+    over the points, then constant-size stencil algebra — the
+    cell-table twin of the point-level DBSCAN probe."""
+    pts = load_table(spark, sf, "customer").select(
+        (
+            D.portable_hash60(
+                F.concat(F.lit("dbx"), F.col("c_custkey").cast("string"))
+            )
+            % 100000
+        ).alias("x"),
+        (
+            D.portable_hash60(
+                F.concat(F.lit("dby"), F.col("c_custkey").cast("string"))
+            )
+            % 100000
+        ).alias("y"),
+    )
+    cells = pts.select(
+        F.expr("x DIV 10000").alias("cx"), F.expr("y DIV 10000").alias("cy")
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")).cache()
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("n").alias("bn")
+    )
+    nb = (
+        cells.join(
+            F.broadcast(b),
+            (F.abs(F.col("cx") - F.col("bx")) <= 1)
+            & (F.abs(F.col("cy") - F.col("by")) <= 1)
+            & ~((F.col("cx") == F.col("bx")) & (F.col("cy") == F.col("by"))),
+        )
+        .groupBy("cx", "cy", "n")
+        .agg(
+            F.sum("bn").cast("long").alias("neighbor_sum"),
+            F.count(F.lit(1)).alias("neighbor_cnt"),
+        )
+    )
+    return nb.select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        F.col("n").alias("n_points"),
+        "neighbor_sum",
+        "neighbor_cnt",
+        F.when(
+            F.col("n") * F.col("neighbor_cnt") > 2 * F.col("neighbor_sum"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("hotspot"),
+    )
+
+
 # ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
 # green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
 # this round to oracle-checkable invariant outputs, as was
@@ -19419,7 +19684,8 @@ def x_holt_backtest(spark: SparkSession, sf: str) -> DataFrame:
 # x_interarrival_quantiles, x_peak_detection, x_join_fanout_audit,
 # x_als_item_step, x_temporal_join_size, x_lag_features,
 # x_share_of_total, x_budget_allocation, x_pk_audit, x_zonemap_audit,
-# x_topic_scores, x_holt_backtest,
+# x_topic_scores, x_holt_backtest, x_holt_winters,
+# x_stratified_estimate, x_hotspot_cells,
 # a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
 # later r5 additions), then the remaining r2-green leave-outs
 # (q4_priority_count, s_set_union, a_distinct_count, t_session_window,

@@ -250,6 +250,7 @@ _CARTESIAN_ALLOWED = {
     "x_interarrival_quantiles",  # 3-row quantile spine broadcast
     "x_budget_allocation",     # 1-row budget-pot broadcast
     "x_zonemap_audit",         # 1-row global-envelope broadcast
+    "x_hotspot_cells",         # ≤100-cell stencil self-join (non-equi)
 }
 
 
@@ -1587,4 +1588,31 @@ def test_holt_backtest_on_bounded_series(spark):
     nation-month table — no cartesian, no Python."""
     plan = plan_of(spark, "x_holt_backtest")
     assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_fold_is_expression(spark):
+    """x_holt_winters: the triple-exponential fold (7-slot seasonal array
+    in the accumulator) stays a JVM expression — no Python, no cartesian,
+    two aggregation exchanges."""
+    plan = plan_of(spark, "x_holt_winters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_nodes(plan, "Exchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_estimate_two_aggregates(spark):
+    """x_stratified_estimate: one stratum aggregate + one bounded
+    reduce — no window, no join."""
+    plan = plan_of(spark, "x_stratified_estimate")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_hotspot_stencil_joins_cells_not_points(spark):
+    """x_hotspot_cells: the neighborhood self-join runs on the CACHED
+    ≤100-row cell table, never on points."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "x_hotspot_cells")
+    assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
