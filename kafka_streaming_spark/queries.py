@@ -19643,127 +19643,96 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ROUND-5 ROTATION (CORRECTNESS_r04 digested): r4 checked 50 keys — 48
-# green, 2 `err: no_oracle` (a_approx_sketch, x_bpe_tokenize — converted
-# this round to oracle-checkable invariant outputs, as was
-# x_compression_ratio which had never been checked).  This window = ALL 23
-# registry names that have never had a driver row in any round + those 2
-# converted queries + new round-5 registrations + the least-recently-
-# checked r2 greens.  After this round every registry name has a driver
-# CORRECTNESS row from some round.
-# ROUND-6 ROTATION NOTE: first any r5 non-green plus registrations that
-# missed this window (x_pareto_frontier, x_seasonal_baseline,
-# x_image_phash_dedup, x_hll_mergeability, x_k_anonymity, x_dau_wau,
-# x_cusum_drift, x_abc_analysis, x_item_cf_topk, x_attribution, x_twap,
-# x_prefix_rollup, x_recursive_bom, x_benford_audit, x_gini,
-# f_lateral_topk, x_weighted_median, x_binned_interval_join, f_orc_scan,
-# x_longest_streak, f_map_pack, x_pii_redact, x_kcore_trade,
-# x_chi2_independence, x_grid_nearest_join, x_acf_lag, x_bitmap_rollup,
-# x_golden_record, x_decile_lift, x_rrf_fusion, x_sax_symbols,
-# x_ols_normal_eq, x_preference_pairs, x_leakage_safe_split,
-# x_rolling_median, x_id_completeness_audit, x_langid_confusion,
-# x_gini_impurity, x_l_diversity, x_degree_histogram, x_assortativity,
-# x_pair_distance_hist, x_trade_flow_imbalance, x_weighted_shortest_path,
-# x_feature_hashing, x_modularity, x_zscore_normalize, t_stream_late_drop,
-# x_roc_auc, x_regression_metrics, x_knn_classify, x_ndcg_eval,
-# x_silhouette, x_ks_test, x_theil_sen, x_collocations,
-# f_schema_merge_scan, x_hits_rank, x_bootstrap_ci,
+# ROUND-6 ROTATION (CORRECTNESS_r05 digested): r5 checked 50 keys — all 50
+# green (rows+schema+hash), zero errors; union r1-r5 = 183/327 checked, all
+# passing, 144 never-checked.  This window = 50 of those 144 (streaming
+# witnesses + the degree-capped pair miners first, then the staged order).
+# NEW REGISTRATIONS ARE FROZEN until never-checked < 50 (VERDICT r5 #1).
+# ROUND-7 ROTATION NOTE: the remaining 94 never-checked names, in queue
+# order (first 50 -> r7 window, last 44 + least-recently-checked greens ->
+# r8):
+# x_attribution, x_twap, x_gini, x_assortativity, x_modularity, x_ndcg_eval,
+# x_silhouette, x_ks_test, x_theil_sen, x_collocations, f_schema_merge_scan,
+# x_hits_rank, x_bootstrap_ci, x_rendezvous_shards, x_mutual_best_match,
+# x_rolling_corr, x_join_size_estimate, t_stream_left_outer, t_stream_union,
 # f_partitioned_scan, f_bitwise_pack, x_covariance_matrix, x_mann_whitney,
 # x_runs_test, x_linear_interp_fill, x_winsorize, x_containment_dedup,
-# t_stream_left_outer, t_stream_union, x_join_size_estimate,
-# x_rendezvous_shards, x_mutual_best_match, x_rolling_corr, t_stream_update,
 # t_stream_static_join, f_url_pack, x_gopher_rules, f_bad_records_scan,
 # x_vocab_coverage, s_intersect_all, s_except_all, f_text_scan,
 # j_full_outer, x_vwap, x_ohlc_bars, x_drawdown, x_rsi_indicator,
-# x_association_rules, x_link_prediction, x_chi2_feature_select,
-# x_holt_linear, x_kaplan_meier, x_lttb_downsample,
-# x_textrank_keywords, x_rake_keywords, x_readability,
+# x_association_rules, x_chi2_feature_select, x_holt_linear, x_kaplan_meier,
+# x_lttb_downsample, x_textrank_keywords, x_rake_keywords, x_readability,
 # x_dbscan_clusters, x_image_histogram, x_video_shot_detect,
 # x_compaction_plan, f_xml_scan, x_seasonal_decompose, x_decision_stump,
 # x_inverted_index, x_local_clustering, x_calibration_curve,
-# x_revenue_bridge, x_ngram_novelty, x_source_similarity,
-# x_did_estimate, x_fifo_allocation, x_cohort_ltv, x_concurrency_sweep,
-# x_window_funnel, x_pca_power_iter, x_conformal_interval,
-# x_changepoint, x_audio_vad_segments, x_dict_encoding_advisor,
-# x_order_reconciliation, x_sliced_eval, x_markov_next_event,
-# x_resource_allocation, t_stream_restart_recovery, x_weighted_quantiles,
-# x_fd_histogram, x_bounce_rate, x_kfold_cv_ols, x_fano_factor,
-# x_interarrival_quantiles, x_peak_detection, x_join_fanout_audit,
-# x_als_item_step, x_temporal_join_size, x_lag_features,
-# x_share_of_total, x_budget_allocation, x_pk_audit, x_zonemap_audit,
-# x_topic_scores, x_holt_backtest, x_holt_winters,
-# x_stratified_estimate, x_hotspot_cells,
-# a_grouping_sets (un-shadowed r3-green orders form — re-witness), plus any
-# later r5 additions), then the remaining r2-green leave-outs
-# (q4_priority_count, s_set_union, a_distinct_count, t_session_window,
-# q18_large_orders, t_sliding_window, a_cube, j_asof_join,
-# j_anti_join, j_band_join, t_sessionize, w_analytic_pack, a_pivot,
-# s_set_except, q5_region_rollup, g_rollup, a_incremental_fold,
-# t_tumbling_window, q13_cust_distribution, q22_idle_rich_customers),
-# then the r3-green set least-recently-checked first (see
-# CORRECTNESS_r03.json key order).
+# x_revenue_bridge, x_ngram_novelty, x_source_similarity, x_did_estimate,
+# x_fifo_allocation, x_cohort_ltv, x_concurrency_sweep, x_window_funnel,
+# x_pca_power_iter, x_conformal_interval, x_changepoint,
+# x_audio_vad_segments, x_dict_encoding_advisor, x_order_reconciliation,
+# x_sliced_eval, x_markov_next_event, x_weighted_quantiles, x_fd_histogram,
+# x_bounce_rate, x_kfold_cv_ols, x_fano_factor, x_interarrival_quantiles,
+# x_peak_detection, x_join_fanout_audit, x_als_item_step,
+# x_temporal_join_size, x_lag_features, x_share_of_total,
+# x_budget_allocation, x_pk_audit, x_zonemap_audit, x_topic_scores,
+# x_holt_backtest, x_holt_winters, x_stratified_estimate, x_hotspot_cells
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked in any round (r4 registrations that missed
-    #    every 50-slot window) — VERDICT r4 item 1: close this set to zero --
-    "x_lsh_eval",
-    "t_stream_tumbling",
-    "x_trending_topk",
-    "x_conversion_latency",
-    "f_null_pack",
-    "x_dup_rate_by_source",
-    "x_token_budget",
-    "w_range_frame_sum",
-    "x_dataset_card",
-    "x_path_analysis",
-    "x_session_funnel",
-    "x_distribution_drift",
-    "x_histogram",
-    "x_order_fill_latency",
-    "x_repeat_purchase",
-    "x_ab_test",
-    "x_traffic_anomaly",
-    "x_user_growth",
-    "x_interval_overlap",
-    "x_gdpr_purge_audit",
-    "x_ivm_join",
-    "x_ntile_quartiles",
-    "x_compression_ratio",
-    # -- r4 `err: no_oracle` rows, converted this round to exact-value +
-    #    invariant-flag outputs with full DuckDB oracles ------------------
-    "a_approx_sketch",
-    "x_bpe_tokenize",
-    # -- new round-5 registrations (zero driver rows by construction) ------
-    # (inserted here as they land; tail r2-greens rotate out to keep 50)
-    "t_stream_interval_join",
-    "t_stream_sliding",
-    "x_semdedup_eval",
-    "x_hard_negatives",
-    "x_interval_merge",
-    "x_trend_slope",
-    "x_cdc_apply",
-    "x_fk_integrity_audit",
-    "x_quantile_normalize",
-    "x_tfidf_topk",
-    "f_unpivot",
-    # the GROUPING()-id form: registered in r4 under "a_grouping_sets",
-    # silently shadowing the r3-green orders form; renamed in r5 so BOTH
-    # live (the orders form keeps its r3 green; this one gets its first
-    # driver row here)
-    "a_grouping_id",
-    "x_label_propagation",
-    "x_rfm_segments",
-    "x_kfold_split",
-    "x_ewma_smooth",
-    "x_source_cap",
-    "t_stream_dedup",
-    "x_kmv_overlap",
-    "t_stream_session",
-    "x_target_encode",
-    "x_table_fingerprint",
-    "x_grouped_median_pandas",
-    "x_bfs_hops",
-    "x_prefix_filter_join",
+    # -- ROUND-6 WINDOW: 50 of the 144 never-driver-checked names.
+    # Order: the 3 streaming semantic witnesses + the 2 degree-capped
+    # pair miners (re-shaped this round) first, then the staged r6
+    # rotation-comment order.  94 never-checked names remain for r7/r8
+    # (see ROUND-7 ROTATION NOTE below); new registrations are FROZEN
+    # until never-checked < 50 (VERDICT r5 item 1).
+    "t_stream_late_drop",
+    "t_stream_update",
+    "t_stream_restart_recovery",
+    "x_link_prediction",
+    "x_resource_allocation",
+    "x_pareto_frontier",
+    "x_seasonal_baseline",
+    "x_image_phash_dedup",
+    "x_hll_mergeability",
+    "x_k_anonymity",
+    "x_dau_wau",
+    "x_cusum_drift",
+    "x_abc_analysis",
+    "x_item_cf_topk",
+    "x_prefix_rollup",
+    "x_recursive_bom",
+    "x_benford_audit",
+    "f_lateral_topk",
+    "x_weighted_median",
+    "x_binned_interval_join",
+    "f_orc_scan",
+    "x_longest_streak",
+    "f_map_pack",
+    "x_pii_redact",
+    "x_kcore_trade",
+    "x_chi2_independence",
+    "x_grid_nearest_join",
+    "x_acf_lag",
+    "x_bitmap_rollup",
+    "x_golden_record",
+    "x_decile_lift",
+    "x_rrf_fusion",
+    "x_sax_symbols",
+    "x_ols_normal_eq",
+    "x_preference_pairs",
+    "x_leakage_safe_split",
+    "x_rolling_median",
+    "x_id_completeness_audit",
+    "x_langid_confusion",
+    "x_gini_impurity",
+    "x_l_diversity",
+    "x_degree_histogram",
+    "x_pair_distance_hist",
+    "x_trade_flow_imbalance",
+    "x_weighted_shortest_path",
+    "x_feature_hashing",
+    "x_zscore_normalize",
+    "x_roc_auc",
+    "x_regression_metrics",
+    "x_knn_classify",
 ]
 
 
