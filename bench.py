@@ -131,7 +131,17 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
         streaming=True,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # 328 queries x 2 passes = 656 retained SQL executions, each
+            # holding formatted plan graphs for our very wide plans — with
+            # the default retention (1000) ALL of them stay on the heap
+            # for the whole sweep.  Cap listener state so late-sweep GC
+            # pressure can't contaminate measurements.
+            "spark.sql.ui.retainedExecutions": "20",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -158,26 +168,32 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
-    # Best-of-2 per query: the first execution of a plan pays its one-off
-    # whole-stage-codegen compile (hundreds of ms for the wide ANN/dedup
-    # plans — real cost, but one that amortizes to zero over any real-scale
-    # run, and that made round-over-round numbers swing ±30%).  The cache is
-    # cleared between runs, so the second run re-does ALL data work — only
-    # compiled classes and JIT state carry over.
+    # Best-of-2 per query, taken as TWO FULL PASSES over the registry
+    # (min of pass A and pass B) rather than two adjacent runs: the first
+    # execution of a plan pays its one-off whole-stage-codegen compile
+    # (hundreds of ms for the wide ANN/dedup plans), and — the round-5
+    # lesson — a transient machine-level disturbance (page-cache eviction,
+    # co-tenant CPU) hits a CONTIGUOUS stretch of the sweep; with adjacent
+    # best-of-2 both measurements land inside the disturbance (r5 showed 9
+    # consecutive registry positions all 4-15x slower with zero code
+    # change).  Separated passes make per-query minima robust to any
+    # transient shorter than a full pass.  The cache is cleared between
+    # runs, so pass B re-does ALL data work — only compiled classes and
+    # JIT state carry over.
     timings: dict[str, float] = {}
-    cold_total = 0.0
-    for name, (fn, _sql) in REGISTRY.items():
-        best = float("inf")
-        for i in range(2):
+    cold: dict[str, float] = {}
+    for pass_i in range(2):
+        for name, (fn, _sql) in REGISTRY.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             elapsed = time.perf_counter() - t0
-            best = min(best, elapsed)
-            cold_total += elapsed if i == 0 else 0.0
+            if pass_i == 0:
+                cold[name] = elapsed
+            timings[name] = round(min(timings.get(name, float("inf")), elapsed), 3)
             # Queries that persist intermediates (shingle-hash arrays, CC
             # rounds) must not tax the re-run or later measurements.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    cold_total = sum(cold.values())
     timings["streaming_medallion"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)

@@ -195,6 +195,7 @@ def bfs_distances(
     edges = edges.cache()
     frontier = seeds.select("node").distinct()
     dist = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    prev_frontier = prev_dist = None
     for k in range(1, rounds + 1):
         f_join = frontier.withColumnRenamed("node", src)
         if broadcast_frontier:
@@ -205,7 +206,18 @@ def bfs_distances(
         new = reached.join(dist, "node", "left_anti").cache()
         dist = dist.unionAll(
             new.select("node", F.lit(k).cast("long").alias("dist"))
-        )
+        ).cache()
+        # Materialize this round's dist (which also fills the frontier
+        # cache it reads through), THEN release the previous round's —
+        # cached partitions stay O(1) rounds, not O(rounds) (ADVICE r5).
+        # The eager count is node-bounded and is the same lineage-cut
+        # pattern the connected-components solver uses.
+        dist.count()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        if prev_dist is not None:
+            prev_dist.unpersist()
+        prev_frontier, prev_dist = new, dist
         frontier = new
     return dist
 
@@ -242,14 +254,23 @@ def bellman_ford(
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
     )
+    prev = None
     for _ in range(rounds):
         cand = edges.join(dist.withColumnRenamed("node", src), src).select(
             F.col(dst).alias("node"),
             (F.col("dist") + F.col(w)).cast("long").alias("dist"),
         )
+        # dist feeds BOTH the union and the relaxation join: without a
+        # per-round cache the uncached lineage doubles every round
+        # (2^rounds edge passes — the multiplicative re-execution trap).
+        # Cache + eager count, then drop the previous round's table.
         dist = (
             dist.unionAll(cand).groupBy("node").agg(F.min("dist").alias("dist"))
-        )
+        ).cache()
+        dist.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
     return dist
 
 
@@ -278,9 +299,15 @@ def k_core(
     for _ in range(rounds):
         deg = alive.groupBy(src).agg(F.count(F.lit(1)).alias("__c"))
         keep = deg.filter(F.col("__c") >= k).select(src)
+        prev = alive
         alive = (
             alive.join(keep, src, "left_semi")
             .join(keep.withColumnRenamed(src, dst), dst, "left_semi")
             .cache()
         )
+        # Materialize the peeled shell, then release the previous edge
+        # list — one live cached edge list at a time, not one per round
+        # (ADVICE r5).
+        alive.count()
+        prev.unpersist()
     return alive

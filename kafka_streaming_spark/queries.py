@@ -51,6 +51,13 @@ from kafka_streaming_spark.schemas import load_table
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+# Hub bound for every within-key pair self-join (x_link_prediction,
+# x_resource_allocation): keys whose degree exceeds this never enter the
+# pairing join, capping per-key reducer work at C(cap, 2) ≈ 1.2k rows —
+# the same discipline as functions/dedup.py's max_bucket=50 LSH miner.
+# Mirrored literally as `d <= 50` in the paired DuckDB oracles.
+PAIR_DEGREE_CAP = 50
+
 
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -14945,9 +14952,14 @@ def x_association_rules(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "x_link_prediction",
     """
-    WITH edges AS (
+    WITH edges0 AS (
       SELECT DISTINCT l_suppkey AS u, o_custkey AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cdeg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM edges0 GROUP BY c
+    ), edges AS (
+      SELECT e.u, e.c FROM edges0 e JOIN cdeg ON e.c = cdeg.c
+      WHERE cdeg.d <= 50
     ), deg AS (
       SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
     ), common AS (
@@ -14971,16 +14983,30 @@ def x_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     partners.  Candidate pairs are generated WITHIN each shared customer
     (the within-key self-join pattern — work bounded by per-customer
     supplier count², never |suppliers|²), counted, then normalized by the
-    union of neighborhoods via exact integer micro-division.  Degree
+    union of neighborhoods via exact integer micro-division.  HUB-DEGREE
+    CAP: customers with more than ``PAIR_DEGREE_CAP`` (=50, the same
+    bound as the LSH miner's ``max_bucket``) distinct suppliers are
+    dropped from the pairing subgraph BEFORE the self-join — a hub key
+    of degree 10⁵ would otherwise put 10¹⁰ pairs on one reducer, and a
+    shared hub carries near-zero link-prediction signal anyway (the
+    exact rationale of the RA weighting in `x_resource_allocation`).
+    Supplier degrees are recomputed on the capped subgraph so the
+    Jaccard denominator stays consistent with the pair counts.  Degree
     tables join broadcast (supplier-bounded).  Top-25 by (jaccard, pair)
-    total order; at 100 TB the same plan holds with per-key caps exactly
-    as the LSH bucket miner bounds its fan-out."""
+    total order; per-key pair work is ≤ C(50,2) ≈ 1.2k rows per
+    customer, which holds unchanged at 100 TB."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    edges = (
+    edges0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("l_suppkey").alias("u"), F.col("o_custkey").alias("c"))
         .distinct()
+    )
+    cdeg = edges0.groupBy("c").agg(F.count(F.lit(1)).alias("__cd"))
+    edges = (
+        edges0.join(cdeg, "c")
+        .filter(F.col("__cd") <= PAIR_DEGREE_CAP)
+        .select("u", "c")
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     a = edges.select(F.col("c"), F.col("u").alias("u1"))
@@ -17947,8 +17973,8 @@ def x_markov_next_event(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(1000000 // cd.d) AS BIGINT) AS ra_micro,
              CAST(COUNT(*) AS BIGINT) AS common_neighbors
       FROM edges a
+      JOIN cdeg cd ON a.c = cd.c AND cd.d <= 50
       JOIN edges b ON a.c = b.c AND a.u < b.u
-      JOIN cdeg cd ON a.c = cd.c
       GROUP BY a.u, b.u
     )
     SELECT u1, u2, common_neighbors, ra_micro
@@ -17964,8 +17990,13 @@ def x_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
     Adamic-Adar (whose log weighting the engine's no-transcendental
     policy replaces with RA's reciprocal, the standard alternative in
     the same paper).  Candidate pairs form WITHIN the shared-customer
-    key (like `x_link_prediction`, which this extends with weighting);
-    degree table broadcast; bounded top-k."""
+    key (like `x_link_prediction`, which this extends with weighting),
+    and the same ``PAIR_DEGREE_CAP`` (=50) hub bound applies: customers
+    above the cap are dropped before pairing, bounding per-key work at
+    C(50,2) regardless of data volume — consistent with RA's own logic,
+    since a degree-10⁵ hub would contribute 10 micro-units per pair
+    while costing 10¹⁰ reducer rows.  Weight attaches pre-pairing;
+    bounded top-k."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     edges = (
@@ -17981,8 +18012,14 @@ def x_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
     # |edges| rows once instead of every candidate pair; cdeg is
     # SF-scaled (customer-bounded) so it carries NO broadcast hint — the
     # planner broadcasts it at test scale and falls back to a shuffle
-    # join at 100 TB (broadcast policy, module docstring)
-    aw = a.join(cdeg, "c").withColumn("w", F.expr("1000000 DIV d"))
+    # join at 100 TB (broadcast policy, module docstring).  The degree
+    # join doubles as the hub cap: keys above PAIR_DEGREE_CAP never
+    # reach the pairing self-join.
+    aw = (
+        a.join(cdeg, "c")
+        .filter(F.col("d") <= PAIR_DEGREE_CAP)
+        .withColumn("w", F.expr("1000000 DIV d"))
+    )
     scores = (
         aw.join(b, "c")
         .filter(F.col("u1") < F.col("u2"))
@@ -18322,10 +18359,11 @@ def x_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
       FROM fsums
     ), coef AS (
       SELECT f.fold, t.tn - f.n AS n_train, f.n AS n_test,
-             ((t.tn - f.n) * (t.tsxy - f.sxy)
-              - (t.tsx - f.sx) * (t.tsy - f.sy)) * 1000
-             // ((t.tn - f.n) * (t.tsxx - f.sxx)
-                 - (t.tsx - f.sx) * (t.tsx - f.sx)) AS beta_milli
+             CAST((CAST(t.tn - f.n AS HUGEINT) * (t.tsxy - f.sxy)
+              - CAST(t.tsx - f.sx AS HUGEINT) * (t.tsy - f.sy)) * 1000
+             // (CAST(t.tn - f.n AS HUGEINT) * (t.tsxx - f.sxx)
+                 - CAST(t.tsx - f.sx AS HUGEINT) * (t.tsx - f.sx))
+               AS BIGINT) AS beta_milli
       FROM fsums f CROSS JOIN tot t
     ), coef2 AS (
       SELECT c.fold, c.n_train, c.n_test, c.beta_milli,
@@ -18381,9 +18419,16 @@ def x_kfold_cv_ols(spark: SparkSession, sf: str) -> DataFrame:
             "fold",
             (F.col("tn") - F.col("n")).alias("n_train"),
             F.col("n").alias("n_test"),
+            # The covariance products reach ~1e20 at 100x event counts —
+            # silent BIGINT wrap in non-ANSI Spark (ADVICE r5).  Widen to
+            # DECIMAL(38,0) before multiplying (HUGEINT in the oracle);
+            # DIV is integral divide on decimals too, truncating toward
+            # zero exactly like DuckDB's // — output returns to BIGINT.
             F.expr(
-                "((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) * 1000"
-                " DIV ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))"
+                "CAST((CAST(tn - n AS DECIMAL(38,0)) * (tsxy - sxy)"
+                " - CAST(tsx - sx AS DECIMAL(38,0)) * (tsy - sy)) * 1000"
+                " DIV (CAST(tn - n AS DECIMAL(38,0)) * (tsxx - sxx)"
+                " - CAST(tsx - sx AS DECIMAL(38,0)) * (tsx - sx)) AS BIGINT)"
             ).alias("beta_milli"),
             F.expr("tsy - sy").alias("__rsy"),
             F.expr("tsx - sx").alias("__rsx"),
@@ -18807,10 +18852,11 @@ def x_temporal_join_size(spark: SparkSession, sf: str) -> DataFrame:
     def ordered_pairs(df: DataFrame, keys: list[str]) -> DataFrame:
         """#{(a,b): t_a < t_b} within each key group = C(n,2) − Σ_t C(n_t,2)."""
         per_ts = df.groupBy(*keys, "t").agg(F.count(F.lit(1)).alias("nt"))
+        # n*(n-1) - Σ nt*(nt-1) is always even, so integer DIV is exact at
+        # any magnitude — float /2 would lose exactness past 2^53 (ADVICE r5)
         return per_ts.groupBy(*keys).agg(
-            (
-                (F.sum("nt") * (F.sum("nt") - 1) - F.sum(F.col("nt") * (F.col("nt") - 1)))
-                / 2
+            F.expr(
+                "(sum(nt) * (sum(nt) - 1) - sum(nt * (nt - 1))) DIV 2"
             )
             .cast("long")
             .alias("pairs")

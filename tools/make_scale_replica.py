@@ -4,11 +4,25 @@ overflow-and-shuffle regression harness.
 
 Facts (orders / lineitem / events) are copied N times with offset keys via
 a range cross join, so joins stay key-consistent within each copy;
-dimensions are copied once.  With ``--vary-documents`` the documents table
-is also replicated with a per-copy suffix token appended to the text, so
-text operators scale WITHOUT the pathological every-doc-has-N-exact-copies
+dimensions are copied once.  Offsets are derived at run time from
+``MAX(key)+1`` of each base table (NOT hardcoded — with a larger ``--base``
+fixed offsets would silently collide and merge rows across copies,
+ADVICE r5).  With ``--vary-documents`` the documents table is also
+replicated with a per-copy suffix token appended to the text, so text
+operators scale WITHOUT the pathological every-doc-has-N-exact-copies
 regime (use the default no-documents mode to stress dedup with exactly
 that regime instead — see the round-4/5 tables in SCALE.md).
+
+DANGLING-FK REGIME (deliberate): dimensions are copied ONCE, so
+replicated fact keys that are offset past the dimension key range
+(o_custkey in copies i>=1, and any fact->dim key that was offset) have NO
+dimension match.  Inner fact⋈dim joins therefore only see copy 0's rows —
+1/N of the replicated volume — which is fine for the scan/shuffle-volume
+stress the replicas exist for, but means dim-join SELECTIVITY does not
+scale with N.  Fact⋈fact joins (lineitem⋈orders on l_orderkey, events
+self-joins) stay fully matched in every copy.  Interpret SCALE.md numbers
+for customer/supplier-join operators accordingly, or extend FACTS with
+offset dim replicas if a bench needs matched dims at scale.
 
 Usage:
     python tools/make_scale_replica.py --factor 100 \
@@ -25,25 +39,27 @@ import time
 
 import duckdb
 
+# Per-fact SELECT templates; {ok}/{ck}/{ek}/{uk}/{dk} are the derived
+# MAX(key)+1 offsets multiplied by the copy index i.
 FACTS = {
     "orders": (
-        "SELECT o_orderkey + i*1000000 AS o_orderkey,"
-        " o_custkey + i*20000 AS o_custkey,"
+        "SELECT o_orderkey + i*{ok} AS o_orderkey,"
+        " o_custkey + i*{ck} AS o_custkey,"
         " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
     ),
     "lineitem": (
-        "SELECT l_orderkey + i*1000000 AS l_orderkey, l_partkey, l_suppkey,"
+        "SELECT l_orderkey + i*{ok} AS l_orderkey, l_partkey, l_suppkey,"
         " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
         " l_returnflag, l_linestatus, l_shipdate"
     ),
     "events": (
-        "SELECT event_id + i*1000000 AS event_id, ts,"
-        " user_id + i*2000 AS user_id, event_type, value, props"
+        "SELECT event_id + i*{ek} AS event_id, ts,"
+        " user_id + i*{uk} AS user_id, event_type, value, props"
     ),
 }
 DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 VARIED_DOCS = (
-    "SELECT doc_id + i*1000000 AS doc_id,"
+    "SELECT doc_id + i*{dk} AS doc_id,"
     " text || ' copyword' || CAST(i AS VARCHAR) AS text,"
     " lang, source, n_chars + 9 + CASE WHEN i >= 10 THEN 1 ELSE 0 END AS n_chars"
 )
@@ -61,9 +77,24 @@ def main() -> None:
     con = duckdb.connect()
     con.execute("SET threads TO 16")
     t0 = time.time()
+
+    def max_plus_one(table: str, key: str) -> int:
+        return con.sql(
+            f"SELECT MAX({key}) + 1 FROM read_parquet('{args.base}/{table}.parquet')"
+        ).fetchall()[0][0]
+
+    offsets = {
+        "ok": max_plus_one("orders", "o_orderkey"),
+        "ck": max_plus_one("orders", "o_custkey"),
+        "ek": max_plus_one("events", "event_id"),
+        "uk": max_plus_one("events", "user_id"),
+        "dk": max_plus_one("documents", "doc_id"),
+    }
+    print("derived offsets:", offsets)
     for table, sel in FACTS.items():
         con.execute(
-            f"COPY ({sel} FROM read_parquet('{args.base}/{table}.parquet')"
+            f"COPY ({sel.format(**offsets)}"
+            f" FROM read_parquet('{args.base}/{table}.parquet')"
             f" CROSS JOIN range({args.factor}) t(i))"
             f" TO '{args.out}/{table}.parquet' (FORMAT PARQUET)"
         )
@@ -75,7 +106,8 @@ def main() -> None:
         )
     if args.vary_documents:
         con.execute(
-            f"COPY ({VARIED_DOCS} FROM read_parquet('{args.base}/documents.parquet')"
+            f"COPY ({VARIED_DOCS.format(**offsets)}"
+            f" FROM read_parquet('{args.base}/documents.parquet')"
             f" CROSS JOIN range({args.factor}) t(i))"
             f" TO '{args.out}/documents.parquet' (FORMAT PARQUET)"
         )
