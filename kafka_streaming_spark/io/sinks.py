@@ -186,6 +186,17 @@ class ParquetUpsertTable:
             f"{self.root}/data/v_{v}/__bucket={b}" for b, v in sorted(latest.items())
         ]
 
+    def _has_append_data(self) -> bool:
+        """True when the append dir holds at least one committed data file
+        (or bucketed state exists) — the driver-side emptiness probe
+        backing ``insert_if_absent``'s first-batch fast path."""
+        append_dir = f"{self.root}/data/append"
+        if os.path.isdir(append_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(append_dir)
+        ):
+            return True
+        return bool(self._versions())
+
     def read_buckets(
         self, bucket_ids: Sequence[int] | None = None, before_version: int | None = None
     ) -> DataFrame:
@@ -258,14 +269,23 @@ class ParquetUpsertTable:
         dropDuplicatesWithinWatermark does exactly this; replayed/cross-
         batch duplicates are still caught by the anti-join).
         """
-        current = self.read().select(*self.keys)
-        if prune_col is not None:
-            current = prune_in_list(current, batch, prune_col)
         deduped = batch if batch_unique else batch.dropDuplicates(self.keys)
-        fresh = (
-            deduped.join(current, on=self.keys, how="left_anti")
-            .select(*[f.name for f in self.schema.fields])
-        )
+        if self._has_append_data():
+            current = self.read().select(*self.keys)
+            if prune_col is not None:
+                current = prune_in_list(current, batch, prune_col)
+            fresh = (
+                deduped.join(current, on=self.keys, how="left_anti")
+                .select(*[f.name for f in self.schema.fields])
+            )
+        else:
+            # First backfill batch: the probe side is EMPTY, so the
+            # prune-collect job and the anti-join are pure overhead —
+            # every deduped row is fresh by construction.  A driver-side
+            # fs check (no data files yet) replaces two Spark jobs on the
+            # pipeline's dominant first micro-batch; the anti-join path
+            # is unchanged for every subsequent commit.
+            fresh = deduped.select(*[f.name for f in self.schema.fields])
         # Stage → rename: never write into a directory the plan is reading
         # (the staged write materializes the anti-join; the rename is the
         # commit, mirroring Delta's write-files-then-commit protocol).

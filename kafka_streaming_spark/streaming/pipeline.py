@@ -165,8 +165,17 @@ class MedallionPipeline:
             ]
             if not buckets:
                 return
-            prior = self.gold.read_buckets(buckets).drop("updated_at")
-            new_state = combine_states(prior, agg, keys=("group_id",)).withColumn(
+            if self.gold.latest_version is None:
+                # First commit: no prior state exists, and group_agg's
+                # output IS combine_states(empty, batch) column for column
+                # (coalesce-with-null arithmetic degenerates to the batch
+                # side) — skip the prior read and the full-outer join on
+                # the pipeline's dominant first micro-batch.
+                new_state = agg
+            else:
+                prior = self.gold.read_buckets(buckets).drop("updated_at")
+                new_state = combine_states(prior, agg, keys=("group_id",))
+            new_state = new_state.withColumn(
                 "updated_at", F.unix_timestamp(F.current_timestamp()) * 1000
             )
             self.gold.upsert_state(
