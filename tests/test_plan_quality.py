@@ -1640,3 +1640,102 @@ def test_hotspot_stencil_joins_cells_not_points(spark):
     plan = plan_of(spark, "x_hotspot_cells")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+# -- round-6 gates: the driver-window queries that lacked one -------------
+
+
+def test_seasonal_baseline_single_event_pass(spark):
+    """x_seasonal_baseline: events reduce to one row per day FIRST; the
+    7-row weekday profile joins back broadcast — exchanges stay within
+    the daily-reduce + profile-agg + final-join budget, nothing after
+    the first aggregate rescans event volume."""
+    plan = plan_of(spark, "x_seasonal_baseline")
+    assert n_nodes(plan, "Exchange") <= 3
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_k_anonymity_one_aggregate(spark):
+    """x_k_anonymity: ONE groupBy over the quasi-identifier columns —
+    output bounded by the QI domain, no joins, no windows."""
+    plan = plan_of(spark, "x_k_anonymity")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_dau_wau_dedup_then_bounded_explode(spark):
+    """x_dau_wau: one dedup shuffle over events, then the x7 spine
+    explode runs on |user-days| (Generate node), never on raw events;
+    the DAU join back is broadcast-able."""
+    plan = plan_of(spark, "x_dau_wau")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Exchange") <= 5
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_item_cf_within_order_pairs_one_ranking_window(spark):
+    """x_item_cf_topk: co-occurrence pairs form WITHIN the order key
+    (basket²-bounded, the market-basket shape); exactly one row_number
+    ranking window; no products."""
+    plan = plan_of(spark, "x_item_cf_topk")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_prefix_rollup_explode_plus_one_aggregate(spark):
+    """x_prefix_rollup: depth-bounded prefix explode + ONE grouped
+    aggregate (map-side partials apply) — no joins, no windows."""
+    plan = plan_of(spark, "x_prefix_rollup")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 0
+
+
+def test_recursive_bom_bounded_recursion(spark):
+    """x_recursive_bom: the WITH RECURSIVE ancestor expansion must stay
+    a single-aggregate linear plan (depth ≤ 5 expansion), never a
+    product or a Python fallback."""
+    plan = plan_of(spark, "x_recursive_bom")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_lateral_topk_decorrelated(spark):
+    """f_lateral_topk: Catalyst must DECORRELATE the lateral subquery
+    into a join + per-key ranking — a true nested-loop lateral would be
+    |nation| rescans of customer (BroadcastNestedLoopJoin/Cartesian)."""
+    plan = plan_of(spark, "f_lateral_topk")
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_weighted_median_on_collapsed_values(spark):
+    """x_weighted_median: lineitem collapses to (group, distinct value)
+    rows first; the cumulative-weight window and the half-total
+    selection run on the collapsed table — two windows max, one sort."""
+    plan = plan_of(spark, "x_weighted_median")
+    assert n_nodes(plan, "Window") <= 2
+    assert n_nodes(plan, "Sort") <= 2
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_longest_streak_two_windows_one_partitioning(spark):
+    """x_longest_streak: gaps-and-islands — distinct user-days, then two
+    windows both partitioned on the user key (the day-number ranking and
+    the per-user argmax); no joins."""
+    plan = plan_of(spark, "x_longest_streak")
+    assert n_nodes(plan, "Window") == 2
+    assert n_nodes(plan, "Exchange") <= 2
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_pii_redact_pure_mapside(spark):
+    """x_pii_redact: the redaction chain is pure map-side column
+    expressions — ZERO exchanges, zero joins, zero Python."""
+    plan = plan_of(spark, "x_pii_redact")
+    assert n_nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
