@@ -1739,3 +1739,73 @@ def test_pii_redact_pure_mapside(spark):
     plan = plan_of(spark, "x_pii_redact")
     assert n_nodes(plan, "Exchange") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_single_user_window_pass(spark):
+    """x_attribution: both first- and last-touch credits come from ONE
+    user-partitioned ordered window pass, then two channel-bounded
+    aggregates — never a per-model rescan or a touch⋈purchase join."""
+    plan = plan_of(spark, "x_attribution")
+    assert n_nodes(plan, "Window") <= 2
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Exchange") <= 4
+
+
+def test_twap_one_window_shuffle(spark):
+    """x_twap: ONE (user, day) window shuffle for the lead() duration,
+    then a grouped division — nothing else touches event volume."""
+    plan = plan_of(spark, "x_twap")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_gini_ranksum_single_sort(spark):
+    """x_gini: the rank-sum identity needs exactly one per-nation rank
+    window over collapsed customer revenues — one sort, no products."""
+    plan = plan_of(spark, "x_gini")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "Sort") <= 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_bitwise_pack_single_aggregate(spark):
+    """f_bitwise_pack: pure column expressions + one bounded aggregate."""
+    plan = plan_of(spark, "f_bitwise_pack")
+    assert n_nodes(plan, "Exchange") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_mann_whitney_one_global_rank(spark):
+    """x_mann_whitney: ONE global rank sort over the two pooled samples;
+    tie handling is window arithmetic, not a self-join."""
+    plan = plan_of(spark, "x_mann_whitney")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_runs_test_median_as_window_scalar(spark):
+    """x_runs_test: the median resolves as a window scalar — NO cross
+    join anywhere — and the sign/run windows stay on the daily series."""
+    plan = plan_of(spark, "x_runs_test")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Window") <= 4
+
+
+def test_linear_interp_fill_two_neighbor_scans(spark):
+    """x_linear_interp_fill: spine explode (Generate) + the ignore-nulls
+    forward/backward neighbor windows — bounded exchanges, no products."""
+    plan = plan_of(spark, "x_linear_interp_fill")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_image_histogram_arrow_decode_no_shuffle(spark):
+    """x_image_histogram: PNG decode + bincount happen inside ONE Arrow
+    mapInPandas island; the per-image histogram needs zero exchanges."""
+    plan = plan_of(spark, "x_image_histogram")
+    assert n_nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan
