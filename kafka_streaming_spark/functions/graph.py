@@ -195,6 +195,12 @@ def bfs_distances(
     edges = edges.cache()
     frontier = seeds.select("node").distinct()
     dist = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    # Eager per-round lineage cut + unpersist ONLY past the default
+    # shallow horizon: at <= 3 rounds the cached-partition accumulation
+    # ADVICE r5 flagged is bounded by construction and the per-round
+    # count jobs are pure overhead (+3s on x_bfs_hops at sf0.1); deeper
+    # traversals get the O(1)-rounds cache residency.
+    eager = rounds > 3
     prev_frontier = prev_dist = None
     for k in range(1, rounds + 1):
         f_join = frontier.withColumnRenamed("node", src)
@@ -206,18 +212,19 @@ def bfs_distances(
         new = reached.join(dist, "node", "left_anti").cache()
         dist = dist.unionAll(
             new.select("node", F.lit(k).cast("long").alias("dist"))
-        ).cache()
-        # Materialize this round's dist (which also fills the frontier
-        # cache it reads through), THEN release the previous round's —
-        # cached partitions stay O(1) rounds, not O(rounds) (ADVICE r5).
-        # The eager count is node-bounded and is the same lineage-cut
-        # pattern the connected-components solver uses.
-        dist.count()
-        if prev_frontier is not None:
-            prev_frontier.unpersist()
-        if prev_dist is not None:
-            prev_dist.unpersist()
-        prev_frontier, prev_dist = new, dist
+        )
+        if eager:
+            # Materialize this round's dist (which also fills the
+            # frontier cache it reads through), THEN release the
+            # previous round's — the lineage-cut pattern the
+            # connected-components solver uses.
+            dist = dist.cache()
+            dist.count()
+            if prev_frontier is not None:
+                prev_frontier.unpersist()
+            if prev_dist is not None:
+                prev_dist.unpersist()
+            prev_frontier, prev_dist = new, dist
         frontier = new
     return dist
 

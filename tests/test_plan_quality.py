@@ -438,10 +438,11 @@ def test_bfs_edges_cached_and_shuffle_bounded(spark):
     assert "InMemoryTableScan" in plan
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
-    # 21 not 18: since the r6 per-round unpersist fix, the returned dist
-    # table is itself cached, so the formatted plan embeds the cached
-    # build plan's exchanges too — nodes that already RAN during the
-    # eager per-round materialization, not per-query cost.
+    # Headroom to 21 (lazy 3-round shape plans 18): with rounds > 3 the
+    # r6 eager lineage cut caches the returned dist table itself, and
+    # the formatted plan then embeds the cached build plan's exchanges —
+    # nodes that already RAN during the per-round materialization, not
+    # per-query cost.
     assert n_nodes(plan, "Exchange") <= 21
 
 
