@@ -257,11 +257,34 @@ _CARTESIAN_ALLOWED = {
 def test_registry_wide_plan_invariants(spark):
     """Engine-wide sweep over EVERY registered query's optimized physical
     plan: no row-at-a-time Python UDF ever appears (Python enters plans
-    only Arrow-batched), and no Cartesian/broadcast-nested-loop product
-    outside the documented bounded-side allow-list.  Catches the two
-    classic 100 TB scale-killers at registration time, not in production."""
+    only Arrow-batched), no Cartesian/broadcast-nested-loop product
+    outside the documented bounded-side allow-list, and — since round 6 —
+    the query's Exchange count must not exceed its FROZEN budget
+    (tests/exchange_budgets.json, measured clean-room per query).  The
+    budget net catches shuffle-count regressions registry-wide: an
+    operator that silently grows an extra shuffle fails here even when
+    no hand-written per-query gate pins it.  Budgets are exact (plans
+    are deterministic for a fixed Spark version and testdata); when a
+    deliberate reshape changes a count, re-freeze that entry with the
+    regeneration snippet in the JSON's sibling comment below.
+
+    Regenerate after a deliberate plan change::
+
+        from tests.test_plan_quality import plan_of, n_nodes
+        budgets[name] = n_nodes(plan_of(spark, name), "Exchange")
+    """
+    import json
+    import os
+
+    budget_path = os.path.join(os.path.dirname(__file__), "exchange_budgets.json")
+    with open(budget_path) as fh:
+        budgets = json.load(fh)
     failures = []
     for name in REGISTRY:
+        # Clean-room plan: cached subtrees from a PREVIOUS query's
+        # eager materialization would otherwise embed their build plans
+        # (extra numbered Exchange nodes) into this query's explain.
+        spark.catalog.clearCache()
         plan = plan_of(spark, name)
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF in plan")
@@ -270,6 +293,19 @@ def test_registry_wide_plan_invariants(spark):
         )
         if has_product and name not in _CARTESIAN_ALLOWED:
             failures.append(f"{name}: unexpected cartesian/nested-loop join")
+        n_ex = n_nodes(plan, "Exchange")
+        budget = budgets.get(name)
+        if budget is None:
+            failures.append(
+                f"{name}: no frozen exchange budget — add it to"
+                f" tests/exchange_budgets.json (measured {n_ex})"
+            )
+        elif n_ex > budget:
+            failures.append(
+                f"{name}: {n_ex} exchanges exceeds frozen budget {budget}"
+                f" — a shuffle regression, or re-freeze after a deliberate"
+                f" reshape"
+            )
     assert not failures, "\n".join(failures)
 
 
