@@ -935,13 +935,19 @@ def x_lsh_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = hashed.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     b = hashed.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    # cached: truth feeds the hit join AND its own count; cand likewise —
+    # uncached, the eval-bounded quadratic jaccard and the full LSH
+    # banding pipeline each execute twice
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(D.jaccard(F.col("hs_a"), F.col("hs_b")) >= 0.3)
         .select("id_a", "id_b")
+        .cache()
     )
-    cand = D.lsh_candidate_pairs(d, hash_family="md5").filter(
-        (F.col("id_a") < 150) & (F.col("id_b") < 150)
+    cand = (
+        D.lsh_candidate_pairs(d, hash_family="md5")
+        .filter((F.col("id_a") < 150) & (F.col("id_b") < 150))
+        .cache()
     )
     hits = truth.join(cand, ["id_a", "id_b"])
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -4598,15 +4604,23 @@ def x_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
+    # cached: the tokenized corpus feeds BOTH the sketch path and the
+    # exact-Jaccard path; each bottom-k sketch feeds the merge AND the
+    # pairwise intersection — uncached, the explode+distinct subtree
+    # re-executes per consumer
     tok = d.select(
         "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
-    ).distinct()
+    ).distinct().cache()
     h = tok.select(
         "source",
         D.portable_hash60(F.concat(F.lit("kmvo:"), F.col("tok"))).alias("hv"),
     ).distinct()
-    ska = h.filter(F.col("source") == "src0").select("hv").orderBy("hv").limit(128)
-    skb = h.filter(F.col("source") == "src1").select("hv").orderBy("hv").limit(128)
+    ska = (
+        h.filter(F.col("source") == "src0").select("hv").orderBy("hv").limit(128).cache()
+    )
+    skb = (
+        h.filter(F.col("source") == "src1").select("hv").orderBy("hv").limit(128).cache()
+    )
     merged = ska.unionAll(skb).distinct().orderBy("hv").limit(128)
     tau = merged.agg(
         F.max("hv").alias("tau"), F.count(F.lit(1)).alias("k_eff")
@@ -4681,9 +4695,11 @@ def x_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     globally (map-side partials) and the small item-count table joins
     broadcast.  Top-25 by (support, pair) total order."""
     li = load_table(spark, sf, "lineitem")
+    # cached: the basket list feeds the count tables AND both pairing
+    # sides — uncached, the lineitem distinct re-executes per consumer
     items = li.select(
         "l_orderkey", (F.col("l_partkey") % 200).alias("item")
-    ).distinct()
+    ).distinct().cache()
     n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
     item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a = items.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
@@ -9013,9 +9029,11 @@ def x_item_cf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf, "lineitem")
+    # cached: the basket list feeds the count tables AND both pairing
+    # sides — uncached, the lineitem distinct re-executes per consumer
     items = li.select(
         "l_orderkey", (F.col("l_partkey") % 200).alias("item")
-    ).distinct()
+    ).distinct().cache()
     item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("pop"))
     a = items.select("l_orderkey", F.col("item").alias("item_a"))
     b = items.select("l_orderkey", F.col("item").alias("item_b"))
@@ -14916,9 +14934,11 @@ def x_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     partial-aggregate map-side, and the item-count/total tables join
     broadcast (constant-bounded: 200 items, 1 scalar row)."""
     li = load_table(spark, sf, "lineitem")
+    # cached: the basket list feeds the count tables AND both pairing
+    # sides — uncached, the lineitem distinct re-executes per consumer
     items = li.select(
         "l_orderkey", (F.col("l_partkey") % 200).alias("item")
-    ).distinct()
+    ).distinct().cache()
     n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
     item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a = items.select(F.col("l_orderkey"), F.col("item").alias("ante"))
@@ -15003,10 +15023,15 @@ def x_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     cdeg = edges0.groupBy("c").agg(F.count(F.lit(1)).alias("__cd"))
+    # Cached: the capped edge list feeds THREE consumers (the supplier
+    # degree table and both sides of the pairing self-join) — uncached,
+    # the lineitem⋈orders⋈distinct⋈cap subtree re-executes per consumer
+    # (153s -> 59s at the 100x replica).
     edges = (
         edges0.join(cdeg, "c")
         .filter(F.col("__cd") <= PAIR_DEGREE_CAP)
         .select("u", "c")
+        .cache()
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     a = edges.select(F.col("c"), F.col("u").alias("u1"))
@@ -18005,10 +18030,14 @@ def x_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
     bounded top-k."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # Cached: the distinct edge list feeds THREE consumers (cdeg and
+    # both sides of the pairing join) — same multi-consumer rule as
+    # x_link_prediction (53.8s -> 35s at the 100x replica).
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("l_suppkey").alias("u"), F.col("o_custkey").alias("c"))
         .distinct()
+        .cache()
     )
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = edges.select("c", F.col("u").alias("u1"))
