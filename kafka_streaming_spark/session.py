@@ -29,6 +29,14 @@ from pyspark.sql import SparkSession
 #: declarative hints — Catalyst/AQE pick the physical strategy at runtime.
 BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Local mode runs executors inside the driver JVM, and Spark's
+    # default driver heap is 1 GiB — far too small for 32 executor
+    # threads over wide codegen'd plans (GCLocker allocation failures
+    # killed heavy queries and GC thrash dominated measurement variance
+    # before this was pinned).  Overridable per-run via
+    # $SPARK_GRAFT_DRIVER_MEM or extra_conf; ignored on a real cluster
+    # where spark-submit owns the JVM sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
