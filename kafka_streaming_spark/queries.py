@@ -6979,10 +6979,12 @@ def x_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     preserves both block keys by construction.  Corruption and every
     distance are replayed verbatim by the oracle."""
     p = load_table(spark, sf, "part")
+    # cached: the distinct-name table feeds both the corrupted-query and
+    # candidate sides of the block join
     names = p.groupBy("p_name").agg(
         F.min("p_partkey").cast("long").alias("name_key"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
+    ).cache()
     q = names.select(
         F.col("name_key").alias("query_key"),
         F.concat(
@@ -11442,11 +11444,13 @@ def x_pair_distance_hist(spark: SparkSession, sf: str) -> DataFrame:
     to the DuckDB `list_reduce` replica; 6-digit rounding before binning
     keeps bucket edges engine-stable."""
     emb = load_table(spark, sf, "embeddings")
+    # cached: the projected vectors feed both sides of the blocked pair
+    # join — uncached, the array decode runs twice
     v = emb.select(
         "vec_id",
         (F.col("vec_id") % 25).alias("blk"),
         S.as_double(F.col("embedding")).alias("vec"),
-    )
+    ).cache()
     a = v.select(
         F.col("vec_id").alias("id_a"), F.col("blk"), F.col("vec").alias("va")
     )
@@ -12564,6 +12568,9 @@ def x_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
             - 19723
         ).alias("x"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    # cached: the daily series feeds both sides of the slope pair join —
+    # uncached, the events reduce runs twice
+    daily = daily.cache()
     a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
     slopes = (
@@ -14081,15 +14088,22 @@ def x_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = docs0.join(multi, "blk", "left_semi").select(
         "doc_id", "blk", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    t = docs.select(
-        "doc_id",
-        "blk",
-        F.expr(
-            "CASE WHEN size(w) >= 5 THEN array_distinct(transform("
-            " sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' ')))"
-            " ELSE array() END"
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    # cached: the shingled collision set feeds BOTH sides of the block
+    # pair join — uncached, the tokenize+5-gram+distinct subtree (the
+    # query's dominant cost) executes twice
+    t = (
+        docs.select(
+            "doc_id",
+            "blk",
+            F.expr(
+                "CASE WHEN size(w) >= 5 THEN array_distinct(transform("
+                " sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' ')))"
+                " ELSE array() END"
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
     a = t.select(
         F.col("doc_id").alias("id_a"), F.col("blk").alias("blk"), F.col("sh").alias("sh_a")
     )
