@@ -259,24 +259,26 @@ def test_registry_wide_plan_invariants(spark):
     plan: no row-at-a-time Python UDF ever appears (Python enters plans
     only Arrow-batched), no Cartesian/broadcast-nested-loop product
     outside the documented bounded-side allow-list, and — since round 6 —
-    the query's Exchange count must not exceed its FROZEN budget
-    (tests/exchange_budgets.json, measured clean-room per query).  The
-    budget net catches shuffle-count regressions registry-wide: an
-    operator that silently grows an extra shuffle fails here even when
-    no hand-written per-query gate pins it.  Budgets are exact (plans
-    are deterministic for a fixed Spark version and testdata); when a
-    deliberate reshape changes a count, re-freeze that entry with the
-    regeneration snippet in the JSON's sibling comment below.
+    the query's Exchange and Sort counts must not exceed their FROZEN
+    budgets (tests/plan_budgets.json, measured clean-room per query).
+    The budget net catches the two silent plan regressions registry-wide
+    — an extra shuffle, or a bounded TakeOrdered degrading to a global
+    sort — even when no hand-written per-query gate pins them.  Budgets
+    are exact (plans are deterministic for a fixed Spark version and
+    testdata); when a deliberate reshape changes a count, re-freeze that
+    entry.
 
     Regenerate after a deliberate plan change::
 
         from tests.test_plan_quality import plan_of, n_nodes
-        budgets[name] = n_nodes(plan_of(spark, name), "Exchange")
+        p = plan_of(spark, name)
+        budgets[name] = {"exchange": n_nodes(p, "Exchange"),
+                         "sort": n_nodes(p, "Sort")}
     """
     import json
     import os
 
-    budget_path = os.path.join(os.path.dirname(__file__), "exchange_budgets.json")
+    budget_path = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
     with open(budget_path) as fh:
         budgets = json.load(fh)
     failures = []
@@ -293,19 +295,21 @@ def test_registry_wide_plan_invariants(spark):
         )
         if has_product and name not in _CARTESIAN_ALLOWED:
             failures.append(f"{name}: unexpected cartesian/nested-loop join")
-        n_ex = n_nodes(plan, "Exchange")
         budget = budgets.get(name)
         if budget is None:
             failures.append(
-                f"{name}: no frozen exchange budget — add it to"
-                f" tests/exchange_budgets.json (measured {n_ex})"
+                f"{name}: no frozen plan budget — add it to"
+                f" tests/plan_budgets.json"
             )
-        elif n_ex > budget:
-            failures.append(
-                f"{name}: {n_ex} exchanges exceeds frozen budget {budget}"
-                f" — a shuffle regression, or re-freeze after a deliberate"
-                f" reshape"
-            )
+            continue
+        for op, key in (("Exchange", "exchange"), ("Sort", "sort")):
+            n = n_nodes(plan, op)
+            if n > budget[key]:
+                failures.append(
+                    f"{name}: {n} {op} nodes exceeds frozen budget"
+                    f" {budget[key]} — a plan regression, or re-freeze"
+                    f" after a deliberate reshape"
+                )
     assert not failures, "\n".join(failures)
 
 
