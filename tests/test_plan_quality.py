@@ -254,6 +254,33 @@ _CARTESIAN_ALLOWED = {
 }
 
 
+def _scan_signature(plan: str) -> list[list]:
+    """Sorted (table-basename, top-level-column-count) per parquet scan,
+    parsed from Location/ReadSchema pairs in the formatted plan.  Nested
+    struct/map fields count as one column (depth-tracked commas)."""
+    import re
+
+    scans = re.findall(
+        r"Location: \w+ \[file:([^\]]+)\][\s\S]*?ReadSchema: (struct<[^\n]*)",
+        plan,
+    )
+    out = []
+    for loc, rs in scans:
+        tbl = loc.rstrip("/").split("/")[-1].replace(".parquet", "")
+        inner = rs[len("struct<"):]
+        depth = 0
+        n = 1 if inner.strip(">").strip() else 0
+        for ch in inner:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        out.append([tbl, n])
+    return sorted(out)
+
+
 def test_registry_wide_plan_invariants(spark):
     """Engine-wide sweep over EVERY registered query's optimized physical
     plan: no row-at-a-time Python UDF ever appears (Python enters plans
@@ -310,6 +337,17 @@ def test_registry_wide_plan_invariants(spark):
                     f" {budget[key]} — a plan regression, or re-freeze"
                     f" after a deliberate reshape"
                 )
+        # Third pillar: column pruning.  The frozen scan signature is the
+        # sorted (table, #columns-read) list from every parquet scan's
+        # ReadSchema — a scan that silently starts reading more columns
+        # (a dropped projection, a select(*) sneaking in) fails here.
+        sig = _scan_signature(plan)
+        if sig != budget.get("scans", sig):
+            failures.append(
+                f"{name}: scan signature {sig} != frozen"
+                f" {budget['scans']} — column-pruning regression, or"
+                f" re-freeze after a deliberate reshape"
+            )
     assert not failures, "\n".join(failures)
 
 
