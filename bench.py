@@ -121,12 +121,20 @@ def main() -> None:
         text=True,
         env=os.environ.copy(),
     )
-    stream_line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-    try:
-        stream_res = json.loads(stream_line)
-    except json.JSONDecodeError:
+    # Scan stdout from the end for the result line: the JVM can emit
+    # [warning][gc,...] lines to stdout AFTER the JSON print (observed
+    # under heap pressure), so "last line" alone is not parseable.
+    stream_res = None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                stream_res = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    if stream_res is None:
         sys.stderr.write(f"streaming subprocess failed:\n{proc.stderr[-2000:]}\n")
-        raise
+        raise RuntimeError("no JSON result line from streaming subprocess")
     stream_sec, n_events = stream_res["streaming_sec"], stream_res["n_events"]
 
     spark = build_session(
