@@ -194,17 +194,21 @@ def main() -> None:
     # JIT state carry over.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    pass_totals: list[float] = []
     for pass_i in range(2):
+        pass_total = 0.0
         for name, (fn, _sql) in REGISTRY.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             elapsed = time.perf_counter() - t0
+            pass_total += elapsed
             if pass_i == 0:
                 cold[name] = elapsed
             timings[name] = round(min(timings.get(name, float("inf")), elapsed), 3)
             # Queries that persist intermediates (shingle-hash arrays, CC
             # rounds) must not tax the re-run or later measurements.
             spark.catalog.clearCache()
+        pass_totals.append(round(pass_total, 3))
     cold_total = sum(cold.values())
     timings["streaming_medallion"] = round(stream_sec, 3)
 
@@ -220,6 +224,11 @@ def main() -> None:
         # First-execution total (includes one-off codegen compile per
         # plan) — reported alongside the steady-state number above.
         "cold_total_sec": round(cold_total + stream_sec, 3),
+        # Raw per-pass sweep totals (pre-min), so a round-over-round
+        # "regression" can be classified environmental-vs-real in minutes:
+        # a throttle burst shows as one inflated pass with a normal
+        # sibling; a real regression inflates both (VERDICT r6 ask #6).
+        "pass_totals": pass_totals,
         # 5 slowest queries inline; the FULL per-query map goes to
         # BENCH_DETAIL.json.  The driver's tail capture keeps only ~2.2 KB
         # of stdout, so the 94-entry map on this line truncated the JSON

@@ -302,19 +302,27 @@ def k_core(
     (degree thresholding has no tie ambiguity).  Returns the surviving
     edge list (both orientations).
     """
-    alive = edges.cache()
+    # cache() on an already-cached caller DataFrame returns the SAME
+    # object, so round-1's unpersist would evict the caller's cache as a
+    # side effect (ADVICE r6).  Only unpersist edge lists this function
+    # itself materialized.
+    edges_was_cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    alive = edges if edges_was_cached else edges.cache()
+    owned = not edges_was_cached
     for _ in range(rounds):
         deg = alive.groupBy(src).agg(F.count(F.lit(1)).alias("__c"))
         keep = deg.filter(F.col("__c") >= k).select(src)
-        prev = alive
+        prev, prev_owned = alive, owned
         alive = (
             alive.join(keep, src, "left_semi")
             .join(keep.withColumnRenamed(src, dst), dst, "left_semi")
             .cache()
         )
+        owned = True
         # Materialize the peeled shell, then release the previous edge
         # list — one live cached edge list at a time, not one per round
         # (ADVICE r5).
         alive.count()
-        prev.unpersist()
+        if prev_owned:
+            prev.unpersist()
     return alive

@@ -186,16 +186,21 @@ class ParquetUpsertTable:
             f"{self.root}/data/v_{v}/__bucket={b}" for b, v in sorted(latest.items())
         ]
 
+    def _append_dir_has_files(self) -> bool:
+        """Single source of truth for "the append dir holds committed data"
+        — shared by :meth:`read` and :meth:`_has_append_data` so the
+        emptiness probe behind ``insert_if_absent``'s first-batch fast path
+        can never disagree with what ``read`` would actually scan."""
+        append_dir = f"{self.root}/data/append"
+        return os.path.isdir(append_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(append_dir)
+        )
+
     def _has_append_data(self) -> bool:
         """True when the append dir holds at least one committed data file
         (or bucketed state exists) — the driver-side emptiness probe
         backing ``insert_if_absent``'s first-batch fast path."""
-        append_dir = f"{self.root}/data/append"
-        if os.path.isdir(append_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(append_dir)
-        ):
-            return True
-        return bool(self._versions())
+        return self._append_dir_has_files() or bool(self._versions())
 
     def read_buckets(
         self, bucket_ids: Sequence[int] | None = None, before_version: int | None = None
@@ -217,10 +222,8 @@ class ParquetUpsertTable:
         """Current table state (S4 batch scan of the merge target): the
         append dir for insert-only tables, the per-bucket-latest assembly
         for upsert tables."""
-        append_dir = f"{self.root}/data/append"
-        if os.path.isdir(append_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(append_dir)
-        ):
+        if self._append_dir_has_files():
+            append_dir = f"{self.root}/data/append"
             return self.spark.read.schema(self.schema).parquet(append_dir)
         return self.read_buckets()
 

@@ -6046,7 +6046,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     """
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 * 100 AS BIGINT)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) // 7
                 AS DOUBLE) / 100.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -6072,11 +6072,21 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(part_agg, F.col("agg_partkey") == li["l_partkey"])
         .filter(F.col("l_quantity") < F.col("avg_qty"))
     )
-    return joined.agg(
-        dfix(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0),
-            "avg_yearly",
-            2,
+    # Exact cents FIRST, then integer DIV 7: dividing the decimal sum by
+    # 7.0 before the BIGINT fix puts a non-terminating double through the
+    # int cast, where Spark truncates but DuckDB rounds half-even — a
+    # latent cross-engine mismatch (numeric-policy test catches this
+    # class).  cents DIV 7 == trunc(sum/7 * 100) exactly, on both engines.
+    return (
+        joined.agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("__cents")
+        )
+        .select(
+            (F.expr("__cents DIV 7").cast("double") / F.lit(100.0)).alias(
+                "avg_yearly"
+            )
         )
     )
 
@@ -12516,10 +12526,15 @@ def x_ks_test(spark: SparkSession, sf: str) -> DataFrame:
             "na",
             "nb",
             F.col("argmax_cents").cast("long").alias("argmax_cents"),
-            # exact long DIV (truncation matches DuckDB's `//`); md·10⁶
-            # stays inside int64 through n₁·n₂ ≲ 9·10¹² (~sf20) — cross
-            # the HUGEINT/decimal bridge only past that
-            F.expr("md * 1000000 DIV (na * nb)").cast("long").alias("d_micro"),
+            # exact DIV with DECIMAL(38,0) headroom (truncation matches
+            # DuckDB's HUGEINT `//` in the oracle): md ≤ n₁·n₂, so
+            # md·10⁶ leaves int64 already at n₁·n₂ ≳ 9·10¹² (~the 100×
+            # replica of sf0.1) — the decimal bridge keeps the product
+            # exact to 10³⁸ (numeric-policy overflow audit).
+            F.expr(
+                "CAST(CAST(md AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("d_micro"),
         )
     )
 
@@ -12619,7 +12634,8 @@ def x_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
       FROM bc GROUP BY 1
     )
     SELECT b.bigram, b.c AS cnt,
-           CAST(b.c * t.n * 1000000 // (l.c * r.c) AS BIGINT) AS lift_micro
+           CAST(CAST(b.c AS HUGEINT) * t.n * 1000000
+                // (CAST(l.c AS HUGEINT) * r.c) AS BIGINT) AS lift_micro
     FROM bc b
     CROSS JOIN t
     JOIN lc l ON l.w = split_part(b.bigram, ' ', 1)
@@ -12662,7 +12678,13 @@ def x_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "bigram",
             F.col("c").alias("cnt"),
-            F.expr("c * n * 1000000 DIV (lc * rc)").alias("lift_micro"),
+            # c·N·10⁶ nears int64 past ~1000× corpus replication —
+            # DECIMAL(38,0) bridge, mirroring the oracle's HUGEINT
+            # (numeric-policy overflow audit).
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * n * 1000000"
+                " DIV (CAST(lc AS DECIMAL(38,0)) * rc) AS BIGINT)"
+            ).alias("lift_micro"),
         )
     )
     return scored.orderBy(F.col("lift_micro").desc(), F.col("bigram").asc()).limit(20)
@@ -18519,8 +18541,10 @@ def x_kfold_cv_ols(spark: SparkSession, sf: str) -> DataFrame:
       FROM daily GROUP BY event_type
     )
     SELECT event_type, n AS n_days, s AS total_events,
-           (n * q - s * s) * 1000000 // (s * (n - 1)) AS fano_micro,
-           CAST(CASE WHEN (n * q - s * s) * 1000 > s * (n - 1) * 1500
+           CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+                // (CAST(s AS HUGEINT) * (n - 1)) AS BIGINT) AS fano_micro,
+           CAST(CASE WHEN (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000
+                          > CAST(s AS HUGEINT) * (n - 1) * 1500
                      THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
     FROM sums WHERE n > 1 AND s > 0
     """,
@@ -18556,11 +18580,19 @@ def x_fano_factor(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             F.col("n").alias("n_days"),
             F.col("s").alias("total_events"),
-            F.expr("(n * q - s * s) * 1000000 DIV (s * (n - 1))").alias(
-                "fano_micro"
-            ),
+            # n·q − s² scales with replication² (s ≈ 2·10⁴ per type at
+            # sf0.1 → the ·10⁶ product nears int64 past ~1000×); the
+            # DECIMAL(38,0) bridge mirrors the oracle's HUGEINT exactly
+            # (numeric-policy overflow audit).
             F.expr(
-                "CAST(CASE WHEN (n * q - s * s) * 1000 > s * (n - 1) * 1500"
+                "CAST((CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000000"
+                " DIV (CAST(s AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+            ).alias("fano_micro"),
+            F.expr(
+                "CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000"
+                " > CAST(s AS DECIMAL(38,0)) * (n - 1) * 1500"
                 " THEN 1 ELSE 0 END AS INT)"
             ).alias("overdispersed"),
         )
@@ -19738,26 +19770,17 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ROUND-6 ROTATION (CORRECTNESS_r05 digested): r5 checked 50 keys — all 50
-# green (rows+schema+hash), zero errors; union r1-r5 = 183/327 checked, all
-# passing, 144 never-checked.  This window = 50 of those 144 (streaming
-# witnesses + the degree-capped pair miners first, then the staged order).
-# NEW REGISTRATIONS ARE FROZEN until never-checked < 50 (VERDICT r5 #1).
-# ROUND-7 ROTATION NOTE: the remaining 94 never-checked names, in queue
-# order (first 50 -> r7 window, last 44 + least-recently-checked greens ->
-# r8):
-# x_attribution, x_twap, x_gini, x_assortativity, x_modularity, x_ndcg_eval,
-# x_silhouette, x_ks_test, x_theil_sen, x_collocations, f_schema_merge_scan,
-# x_hits_rank, x_bootstrap_ci, x_rendezvous_shards, x_mutual_best_match,
-# x_rolling_corr, x_join_size_estimate, t_stream_left_outer, t_stream_union,
-# f_partitioned_scan, f_bitwise_pack, x_covariance_matrix, x_mann_whitney,
-# x_runs_test, x_linear_interp_fill, x_winsorize, x_containment_dedup,
-# t_stream_static_join, f_url_pack, x_gopher_rules, f_bad_records_scan,
-# x_vocab_coverage, s_intersect_all, s_except_all, f_text_scan,
-# j_full_outer, x_vwap, x_ohlc_bars, x_drawdown, x_rsi_indicator,
-# x_association_rules, x_chi2_feature_select, x_holt_linear, x_kaplan_meier,
-# x_lttb_downsample, x_textrank_keywords, x_rake_keywords, x_readability,
-# x_dbscan_clusters, x_image_histogram, x_video_shot_detect,
+# ROUND-7 ROTATION (CORRECTNESS_r06 digested): r6 checked 50 keys — all 50
+# green (rows+schema+hash), zero errors; union r1-r6 = 233/327 checked, all
+# passing, 94 never-checked.  This window = the first 50 of those 94 in the
+# staged queue order (streaming left-outer/union/static-join witnesses
+# included).  NEW REGISTRATIONS REMAIN FROZEN until never-checked < 50
+# (VERDICT r5 #1); after this round 44 remain, so the freeze may lift in r8
+# — but the r8 window MUST take those 44 first (listed below), topped up to
+# 50 with the least-recently-checked greens (r1 names).
+# ROUND-8 ROTATION NOTE — the 44 remaining never-checked names, in queue
+# order (all -> r8 window, + 6 least-recently-checked r1 greens as filler):
+# x_video_shot_detect,
 # x_compaction_plan, f_xml_scan, x_seasonal_decompose, x_decision_stump,
 # x_inverted_index, x_local_clustering, x_calibration_curve,
 # x_revenue_bridge, x_ngram_novelty, x_source_similarity, x_did_estimate,
@@ -19770,64 +19793,84 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 # x_temporal_join_size, x_lag_features, x_share_of_total,
 # x_budget_allocation, x_pk_audit, x_zonemap_audit, x_topic_scores,
 # x_holt_backtest, x_holt_winters, x_stratified_estimate, x_hotspot_cells
+#
+# UNFREEZE PREP (VERDICT r6 ask #7) — when the freeze lifts (post-r7,
+# never-checked 44 < 50), new registrations are triaged by real-user
+# value, NOT more analytics variants.  Ranked:
+#   1. Streaming rate-source soak witness: a sustained-load medallion
+#      run against the 4k ev/s baseline (reference README.md:10) with a
+#      throughput floor asserted over N minutes — the sustained-load
+#      equivalent of the per-batch bench number.  No env blocker.
+#   2. applyInArrow / mapInArrow surface: the Arrow-native sibling of
+#      the existing applyInPandas operators (lower serialization
+#      overhead for the multimodal decode boundary); register one
+#      grouped-map witness with a deterministic kernel + oracle.
+#   3. Streaming stateful timeout witness (applyInPandasWithState
+#      processing-time timeout path) — the one stateful-API branch
+#      without a registered witness.
+#   4. Avro source (f_avro_scan) — BLOCKED: no spark-avro datasource
+#      jar in pyspark/jars and no network (re-probed r7, DELTA.md);
+#      register only if a jar lands.
+#   5. More analytics variants — only after 1-4, and only where a
+#      reference-parity or LLM-pipeline gap exists.
 
 DRIVER_PRIORITY: list[str] = [
-    # -- ROUND-6 WINDOW: 50 of the 144 never-driver-checked names.
-    # Order: the 3 streaming semantic witnesses + the 2 degree-capped
-    # pair miners (re-shaped this round) first, then the staged r6
-    # rotation-comment order.  94 never-checked names remain for r7/r8
-    # (see ROUND-7 ROTATION NOTE below); new registrations are FROZEN
-    # until never-checked < 50 (VERDICT r5 item 1).
-    "t_stream_late_drop",
-    "t_stream_update",
-    "t_stream_restart_recovery",
-    "x_link_prediction",
-    "x_resource_allocation",
-    "x_pareto_frontier",
-    "x_seasonal_baseline",
-    "x_image_phash_dedup",
-    "x_hll_mergeability",
-    "x_k_anonymity",
-    "x_dau_wau",
-    "x_cusum_drift",
-    "x_abc_analysis",
-    "x_item_cf_topk",
-    "x_prefix_rollup",
-    "x_recursive_bom",
-    "x_benford_audit",
-    "f_lateral_topk",
-    "x_weighted_median",
-    "x_binned_interval_join",
-    "f_orc_scan",
-    "x_longest_streak",
-    "f_map_pack",
-    "x_pii_redact",
-    "x_kcore_trade",
-    "x_chi2_independence",
-    "x_grid_nearest_join",
-    "x_acf_lag",
-    "x_bitmap_rollup",
-    "x_golden_record",
-    "x_decile_lift",
-    "x_rrf_fusion",
-    "x_sax_symbols",
-    "x_ols_normal_eq",
-    "x_preference_pairs",
-    "x_leakage_safe_split",
-    "x_rolling_median",
-    "x_id_completeness_audit",
-    "x_langid_confusion",
-    "x_gini_impurity",
-    "x_l_diversity",
-    "x_degree_histogram",
-    "x_pair_distance_hist",
-    "x_trade_flow_imbalance",
-    "x_weighted_shortest_path",
-    "x_feature_hashing",
-    "x_zscore_normalize",
-    "x_roc_auc",
-    "x_regression_metrics",
-    "x_knn_classify",
+    # -- ROUND-7 WINDOW: the first 50 of the 94 never-driver-checked
+    # names, in the staged queue order from the round-6 rotation note.
+    # Includes the 3 remaining streaming witnesses (t_stream_left_outer,
+    # t_stream_union, t_stream_static_join — VERDICT r6 ask #4).  The
+    # other 44 never-checked names are staged for r8 above; registrations
+    # stay FROZEN this round.
+    "x_attribution",
+    "x_twap",
+    "x_gini",
+    "x_assortativity",
+    "x_modularity",
+    "x_ndcg_eval",
+    "x_silhouette",
+    "x_ks_test",
+    "x_theil_sen",
+    "x_collocations",
+    "f_schema_merge_scan",
+    "x_hits_rank",
+    "x_bootstrap_ci",
+    "x_rendezvous_shards",
+    "x_mutual_best_match",
+    "x_rolling_corr",
+    "x_join_size_estimate",
+    "t_stream_left_outer",
+    "t_stream_union",
+    "f_partitioned_scan",
+    "f_bitwise_pack",
+    "x_covariance_matrix",
+    "x_mann_whitney",
+    "x_runs_test",
+    "x_linear_interp_fill",
+    "x_winsorize",
+    "x_containment_dedup",
+    "t_stream_static_join",
+    "f_url_pack",
+    "x_gopher_rules",
+    "f_bad_records_scan",
+    "x_vocab_coverage",
+    "s_intersect_all",
+    "s_except_all",
+    "f_text_scan",
+    "j_full_outer",
+    "x_vwap",
+    "x_ohlc_bars",
+    "x_drawdown",
+    "x_rsi_indicator",
+    "x_association_rules",
+    "x_chi2_feature_select",
+    "x_holt_linear",
+    "x_kaplan_meier",
+    "x_lttb_downsample",
+    "x_textrank_keywords",
+    "x_rake_keywords",
+    "x_readability",
+    "x_dbscan_clusters",
+    "x_image_histogram",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Round-7 100x self-bench of the seven heavies VERDICT r6 ask #2 lists
+(the r6 100x table covered only the two pair miners + Kaplan-Meier).
+
+Times each query best-of-2 at sf0.1 and at the 100x replica
+(`.tmp/sf100r7`, built by make_scale_replica.py --factor 100
+--replicate-customer with the r7 ck-offset fix; x_prefix_filter_join
+uses the 100x varied-documents replica `.tmp/sf10docs` since its input
+is the documents table).  Results go to SCALE.md by hand.
+
+Usage: python tools/bench_heavies_r7.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_streaming_spark.session import build_session  # noqa: E402
+from kafka_streaming_spark.queries import REGISTRY  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.1"
+REPLICA = os.path.join(REPO, ".tmp", "sf100r7")
+DOCS_REPLICA = os.path.join(REPO, ".tmp", "sf10docs")
+
+HEAVIES = [
+    "x_kcore_trade",
+    "x_dbscan_clusters",
+    "x_label_propagation",
+    "x_bfs_hops",
+    "x_weighted_shortest_path",
+    "x_prefix_filter_join",
+    "x_hits_rank",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or HEAVIES
+    spark = build_session("bench-heavies-r7")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        fn, _sql = REGISTRY[name]
+        sf_dir = DOCS_REPLICA if name == "x_prefix_filter_join" else REPLICA
+        for label, d in (("1x", BASE), ("100x", sf_dir)):
+            best = float("inf")
+            rows = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            print(f"{name} {label}: {best:.2f}s rows={rows}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

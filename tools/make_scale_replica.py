@@ -94,7 +94,15 @@ def main() -> None:
 
     offsets = {
         "ok": max_plus_one("orders", "o_orderkey"),
-        "ck": max_plus_one("orders", "o_custkey"),
+        # ck must clear BOTH key ranges: with standard TPC-H ~1/3 of
+        # customers never order, so MAX(c_custkey) can exceed
+        # MAX(o_custkey) — an orders-only offset would overlap replicated
+        # customer copies and silently fan out every customer join
+        # (ADVICE r6).
+        "ck": max(
+            max_plus_one("orders", "o_custkey"),
+            max_plus_one("customer", "c_custkey"),
+        ),
         "ek": max_plus_one("events", "event_id"),
         "uk": max_plus_one("events", "user_id"),
         "dk": max_plus_one("documents", "doc_id"),
