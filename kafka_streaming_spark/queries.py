@@ -29,6 +29,7 @@ shuffle join + AQE instead of OOM-ing the executors on a forced broadcast.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,6 +115,37 @@ def r6(col: Column, out: str) -> Column:
 def _bucket_ms(ts: Column) -> Column:
     """(epoch_millis / 1000 / 180) floored — reference silver.py:61."""
     return F.floor(F.unix_millis(ts) / 1000 / 180).cast("long")
+
+
+@contextmanager
+def _tiny_stream_conf(spark: SparkSession, partitions: int = 4):
+    """Confine a tiny-state streaming WITNESS drain to cheap settings:
+    few shuffle partitions and the in-memory HDFS state store.  The
+    session default is RocksDB (right for the 100M-event medallion
+    path), but per-batch RocksDB maintenance is pure overhead at
+    witness state sizes — measured 2x the whole drain wall-clock on
+    t_stream_left_outer (12.7s → 6.3s).  State-store choice is an
+    execution detail: emitted rows are identical under either provider.
+    Restores both session confs afterward."""
+    part_key = "spark.sql.shuffle.partitions"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_parts = spark.conf.get(part_key)
+    prev_prov = spark.conf.get(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(part_key, str(partitions))
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(part_key, prev_parts)
+        spark.conf.set(prov_key, prev_prov)
 
 
 # ===========================================================================
@@ -1971,15 +2003,16 @@ def t_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     sink = f"t_stateful_running_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_counter(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _tiny_stream_conf(spark):
+        q = (
+            running_counter(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select("group_id", "event_count", "cumulative_score")
 
 
@@ -2044,14 +2077,15 @@ def t_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").alias("__s"),
     )
     sink = f"t_stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _tiny_stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n_events",
@@ -2120,9 +2154,7 @@ def t_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").alias("__s"),
     )
     sink = f"t_stream_sliding_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -2131,8 +2163,6 @@ def t_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n_events",
@@ -2207,9 +2237,7 @@ def t_stream_session(spark: SparkSession, sf: str) -> DataFrame:
         F.session_window("ts", _SESSION_GAP).alias("sw"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
     sink = f"t_stream_session_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -2218,8 +2246,6 @@ def t_stream_session(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         "user_id",
         F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
@@ -2267,9 +2293,7 @@ def t_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     sink = f"t_stream_dedup_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName(sink)
@@ -2278,8 +2302,6 @@ def t_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select("user_id", "event_type")
 
 
@@ -2370,9 +2392,7 @@ def t_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     # one bounded drain (measured ~5x the whole join's work).  Scope the
     # state partitioning down for this query — the streaming analogue of
     # AQE coalescing — and restore the session setting after.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -2381,8 +2401,6 @@ def t_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.col("s_user").alias("user_id"),
         "signup_event_id",
@@ -11932,9 +11950,7 @@ def t_stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("__s"))
     )
     sink = f"t_stream_late_drop_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -11943,8 +11959,6 @@ def t_stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n_events",
@@ -13031,9 +13045,7 @@ def t_stream_update(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents")
     )
     sink = f"t_stream_update_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -13042,8 +13054,6 @@ def t_stream_update(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     emitted = spark.table(sink)
     return (
         emitted.groupBy(F.unix_millis(F.col("window.start")).alias("window_start_ms"))
@@ -13464,9 +13474,7 @@ def t_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
         how="left_outer",
     )
     sink = f"t_stream_left_outer_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -13475,8 +13483,6 @@ def t_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(sink)
         .filter(F.col("s_user") >= 0)
@@ -13547,9 +13553,7 @@ def t_stream_union(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
     )
     sink = f"t_stream_union_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _tiny_stream_conf(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -13558,8 +13562,6 @@ def t_stream_union(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n_events",
@@ -14210,14 +14212,15 @@ def t_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
     )
     sink = f"t_stream_static_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _tiny_stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         "n_name", "n_events", F.col("sum_cents").cast("long").alias("sum_cents")
     )
