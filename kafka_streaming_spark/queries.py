@@ -19799,18 +19799,23 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 #
 # UNFREEZE PREP (VERDICT r6 ask #7) — when the freeze lifts (post-r7,
 # never-checked 44 < 50), new registrations are triaged by real-user
-# value, NOT more analytics variants.  Ranked:
-#   1. Streaming rate-source soak witness: a sustained-load medallion
-#      run against the 4k ev/s baseline (reference README.md:10) with a
-#      throughput floor asserted over N minutes — the sustained-load
-#      equivalent of the per-batch bench number.  No env blocker.
-#   2. applyInArrow / mapInArrow surface: the Arrow-native sibling of
-#      the existing applyInPandas operators (lower serialization
-#      overhead for the multimodal decode boundary); register one
-#      grouped-map witness with a deterministic kernel + oracle.
-#   3. Streaming stateful timeout witness (applyInPandasWithState
-#      processing-time timeout path) — the one stateful-API branch
-#      without a registered witness.
+# value, NOT more analytics variants.  Ranked — items 1-3 are BUILT AND
+# PYTEST-GREEN as of round 7 (library + tests only; the @register
+# wrappers land in r8 per the freeze):
+#   1. Streaming rate-source soak witness — streaming/soak.py +
+#      tools/soak.py + tests/test_soak.py.  Measured on this box:
+#      3,643 ev/s sustained at 4,000 offered and 7,301 ev/s at 8,000
+#      offered over 60 s live windows, gold fold exact (SCALE.md).
+#   2. applyInArrow / mapInArrow surface — functions/arrowops.py
+#      (grouped_stats_arrow, token_stats_arrow) + tests/test_arrowops.py;
+#      both have DataFrame-equivalents asserted and SQL-expressible
+#      oracles ready for r8 registration.
+#   3. Stateful TTL witness — streaming/stateful.py::expiring_counter
+#      (ProcessingTimeTimeout) + the live-trigger test in
+#      test_streaming_pipeline.py.  NOTE: live-trigger-only (armed
+#      processing-time timeouts keep scheduling batches; availableNow
+#      never terminates) — the r8 witness must drive it like
+#      t_stream_* do but with processingTime + explicit stop.
 #   4. Avro source (f_avro_scan) — BLOCKED: no spark-avro datasource
 #      jar in pyspark/jars and no network (re-probed r7, DELTA.md);
 #      register only if a jar lands.

@@ -1,0 +1,144 @@
+"""Sustained-load soak harness: the rate source driving the full live
+medallion topology, measuring end-to-end throughput against the reference's
+published 4,000 events/s baseline (reference ``README.md:10``: "athletically
+handle events at least 4000 RPS"; the Rust publish daemon at
+``publish-daemon/src/publish_daemon.rs:78-147`` is the load generator this
+replaces with Spark's built-in rate source).
+
+Difference vs ``bench.py``'s ``streaming_medallion`` number: that one drains
+a pre-written finite backlog with ``availableNow`` (burst throughput); this
+one runs all three stages as CONCURRENT live queries against a source that
+produces rows in real time for ``duration_sec`` (sustained throughput), then
+drains the tail and checks the incremental gold state against the batch
+re-aggregation of everything that reached silver — so a soak that "keeps up"
+but corrupts the fold cannot pass.
+
+Scale shape: the rate source partitions its row range (``numPartitions``);
+every downstream stage is the same O(Δ) bucket-pruned commit path the
+backfill mode uses, so per-batch work is bounded by batch size, not by
+accumulated state — the property that lets the same topology hold at
+1000-executor scale.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streaming_spark.io.sources import rate_stream
+from kafka_streaming_spark.ops.aggregates import group_agg
+from kafka_streaming_spark.streaming.pipeline import MedallionPipeline
+
+
+def rate_events(
+    spark: SparkSession,
+    rows_per_second: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Map the built-in rate source onto EVENT_SCHEMA: ``value`` (a dense
+    monotonic counter) yields a unique id, a round-robin group, and a
+    deterministic score; the source's own ``timestamp`` is the event time,
+    so events are never late and the watermark path stays hot but
+    non-dropping (the publish daemon's near-realtime property,
+    publish_daemon.rs:94)."""
+    r = rate_stream(spark, rows_per_second)
+    return r.select(
+        F.concat(F.lit("ev-"), F.col("value")).alias("id"),
+        F.concat(F.lit("g"), (F.col("value") % n_groups)).alias("group_id"),
+        ((F.col("value") % 1000) / F.lit(10.0)).alias("score"),
+        F.unix_millis(F.col("timestamp")).alias("event_timestamp"),
+    )
+
+
+def _stage_progress(query) -> dict:
+    """Summarize a live query's recentProgress: batches, rows, mean/max
+    batch wall."""
+    progress = list(query.recentProgress)
+    rows = sum(int(p["numInputRows"]) for p in progress)
+    durs = [
+        int(p["durationMs"].get("triggerExecution", 0)) / 1000.0 for p in progress
+    ]
+    return {
+        "batches": len(progress),
+        "input_rows": rows,
+        "mean_batch_sec": round(sum(durs) / len(durs), 4) if durs else 0.0,
+        "max_batch_sec": round(max(durs), 4) if durs else 0.0,
+    }
+
+
+def soak_medallion(
+    spark: SparkSession,
+    root: str,
+    rows_per_second: int = 4000,
+    duration_sec: float = 30.0,
+    n_groups: int = 64,
+    watermark_delay: str = "10 seconds",
+) -> dict:
+    """Run the live three-stage medallion against a ``rows_per_second`` rate
+    source for ``duration_sec``, then stop the source, drain the tail with
+    ``availableNow`` restarts on the same checkpoints, and verify the fold.
+
+    Returns a metrics dict:
+
+    - ``silver_rows`` / ``silver_events_per_sec`` — end-to-end sustained
+      ingest (committed to the silver table, not just read from the source)
+      over the live window.
+    - ``kept_up`` — silver ingest ≥ 90% of what the source emitted while
+      live (the sustained-load pass/fail against ``rows_per_second``).
+    - ``gold_consistent`` — incremental gold state == batch re-aggregation
+      of silver (fold ≡ agg∘history), checked after the tail drain.
+    - per-stage ``stages.{bronze_to_silver,silver_to_gold,gold_to_serving}``
+      batch counts / rows / batch-wall stats from ``recentProgress``.
+    """
+    events = rate_events(spark, rows_per_second, n_groups)
+    pipe = MedallionPipeline(spark, root, watermark_delay=watermark_delay)
+    queries = pipe.start_all_live(events)
+    t0 = time.monotonic()
+    try:
+        time.sleep(duration_sec)
+    finally:
+        stages = {
+            q.name: _stage_progress(q) for q in queries
+        }
+        pipe.stop_all(queries)
+    live_elapsed = time.monotonic() - t0
+
+    # Tail drain: the rate source is gone, but silver commits the last live
+    # batch left in its CDF dir; availableNow on the SAME checkpoints folds
+    # the remainder so the consistency check sees a settled pipeline.
+    pipe.start_silver_to_gold(available_now=True).awaitTermination()
+    pipe.start_gold_to_serving(available_now=True).awaitTermination()
+
+    silver = pipe.silver.read().cache()
+    try:
+        silver_rows = silver.count()
+        expected = group_agg(
+            silver, keys=("group_id",), score_col="score", ts_col="event_timestamp"
+        )
+        gold = pipe.gold.read().drop("updated_at")
+        e = {r["group_id"]: r for r in expected.collect()}
+        g = {r["group_id"]: r for r in gold.collect()}
+        gold_consistent = set(e) == set(g) and all(
+            g[k]["event_count"] == e[k]["event_count"]
+            and g[k]["first_event_timestamp"] == e[k]["first_event_timestamp"]
+            and g[k]["last_event_timestamp"] == e[k]["last_event_timestamp"]
+            and abs(g[k]["cumulative_score"] - e[k]["cumulative_score"])
+            <= 1e-6 * max(1.0, abs(e[k]["cumulative_score"]))
+            for k in e
+        )
+    finally:
+        silver.unpersist()
+
+    produced = rows_per_second * live_elapsed
+    return {
+        "rows_per_second_target": rows_per_second,
+        "live_window_sec": round(live_elapsed, 2),
+        "silver_rows": silver_rows,
+        "silver_events_per_sec": round(silver_rows / live_elapsed, 1),
+        "kept_up": silver_rows >= 0.9 * produced,
+        "gold_groups": len(g),
+        "gold_consistent": gold_consistent,
+        "stages": stages,
+    }

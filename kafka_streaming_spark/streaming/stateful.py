@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -64,6 +65,79 @@ def running_counter(events: DataFrame) -> DataFrame:
         stateStructType=RUNNING_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EXPIRING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_id", StringType()),
+        StructField("event_count", LongType()),
+        StructField("cumulative_score", DoubleType()),
+        StructField("expired", BooleanType()),
+    ]
+)
+
+
+def expiring_counter(events: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Per-key running (count, sum) with a processing-time TTL — the
+    timeout branch of the ``applyInPandasWithState`` API (the one stateful
+    path ``running_counter`` doesn't exercise).
+
+    While a key keeps receiving data, every batch re-arms its timeout and
+    emits the running aggregate with ``expired = false``.  When a key goes
+    ``timeout_ms`` of processing time without data, the state store invokes
+    the function with ``state.hasTimedOut`` and an empty input iterator; the
+    operator emits one final ``expired = true`` row and removes the state —
+    the idle-session-finalization pattern (and the state-TTL pattern that
+    keeps unbounded-key streams from growing state forever, which is what
+    makes this safe at 100 TB key cardinalities).
+
+    Run it with a LIVE trigger (``processingTime``): once a processing-time
+    timeout is armed, the engine keeps scheduling micro-batches on its own,
+    so expirations flush promptly even with no new data.  The flip side
+    (measured, see ``test_expiring_counter_processing_time_timeout``):
+    ``availableNow`` drains never terminate with this operator — the
+    timeout-check batches keep the query alive — so the TTL path is
+    live-mode-only by construction.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (group_id,) = key
+        if state.hasTimedOut:
+            count, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "group_id": [group_id],
+                    "event_count": [count],
+                    "cumulative_score": [total],
+                    "expired": [True],
+                }
+            )
+            return
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["score"].sum())
+        state.update((count, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "group_id": [group_id],
+                "event_count": [count],
+                "cumulative_score": [total],
+                "expired": [False],
+            }
+        )
+
+    return events.groupBy("group_id").applyInPandasWithState(
+        update,
+        outputStructType=EXPIRING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
