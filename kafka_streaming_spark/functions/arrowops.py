@@ -77,6 +77,15 @@ def token_stats_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Equivalent built-in: ``F.length`` + ``F.size(F.split(...))``; this is
     the template for batch kernels that need an Arrow-only library (e.g.
     tokenizers operating on Arrow buffers) on the hot path.
+
+    Token definition: maximal runs separated by ASCII whitespace —
+    ``ascii_trim_whitespace`` + RE2 ``\\s+``, deliberately NOT the
+    Unicode-whitespace variant (``utf8_trim_whitespace`` trims U+00A0
+    etc., which Java/RE2 ``\\s`` does not match), so the count is
+    bit-identical to Spark's ``split(regexp_replace(text,
+    '^\\s+|\\s+$', ''), '\\s+')`` and to a DuckDB
+    ``regexp_split_to_array`` oracle.  Pinned by the hypothesis test in
+    ``test_properties.py``.
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -86,7 +95,7 @@ def token_stats_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             chars = pc.utf8_length(text)
             # split("") and split("   ") both yield [""] — trim first and
             # report 0 tokens for rows that are empty after trimming.
-            trimmed = pc.utf8_trim_whitespace(text)
+            trimmed = pc.ascii_trim_whitespace(text)
             tokens = pc.if_else(
                 pc.equal(pc.utf8_length(trimmed), 0),
                 pa.scalar(0, type=pa.int32()),

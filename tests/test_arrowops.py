@@ -56,24 +56,26 @@ def test_grouped_stats_arrow_plan_shuffles_once(spark):
     assert "BatchEvalPython" not in plan  # Arrow path, never row-at-a-time
 
 
+def _token_stats_builtin(df, id_col):
+    """The Catalyst-expression equivalent the kernel's docstring promises:
+    ASCII-whitespace tokens via regexp trim (NOT F.trim, which strips
+    spaces only and would disagree on tab/newline-edged strings)."""
+    txt = F.coalesce("text", F.lit(""))
+    trimmed = F.regexp_replace(txt, r"^\s+|\s+$", "")
+    return df.select(
+        id_col,
+        F.length(txt).alias("char_len"),
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("token_count"),
+    )
+
+
 def test_token_stats_arrow_matches_builtin(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     got = {r["doc_id"]: r for r in token_stats_arrow(docs, "doc_id", "text").collect()}
-    exp = {
-        r["doc_id"]: r
-        for r in docs.select(
-            "doc_id",
-            F.length(F.coalesce("text", F.lit(""))).alias("char_len"),
-            F.when(
-                F.length(F.trim(F.coalesce("text", F.lit("")))) == 0, F.lit(0)
-            )
-            .otherwise(
-                F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"))
-            )
-            .cast("long")
-            .alias("token_count"),
-        ).collect()
-    }
+    exp = {r["doc_id"]: r for r in _token_stats_builtin(docs, "doc_id").collect()}
     assert set(got) == set(exp) and len(got) > 10
     for k in exp:
         assert got[k]["char_len"] == exp[k]["char_len"], k
@@ -82,7 +84,15 @@ def test_token_stats_arrow_matches_builtin(spark):
 
 def test_token_stats_arrow_edge_rows(spark):
     df = spark.createDataFrame(
-        [(1, None), (2, ""), (3, "   "), (4, "one"), (5, " a  b\tc\nd ")],
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, " a  b\tc\nd "),
+            (6, "\tx\n"),  # tab/newline edges: F.trim would get this wrong
+            (7, " "),  # NBSP is NOT \s — one token, like Spark/DuckDB
+        ],
         "id int, text string",
     )
     got = {r["id"]: r for r in token_stats_arrow(df, "id", "text").collect()}
@@ -91,6 +101,8 @@ def test_token_stats_arrow_edge_rows(spark):
     assert (got[3]["char_len"], got[3]["token_count"]) == (3, 0)
     assert (got[4]["char_len"], got[4]["token_count"]) == (3, 1)
     assert (got[5]["char_len"], got[5]["token_count"]) == (10, 4)
+    assert (got[6]["char_len"], got[6]["token_count"]) == (3, 1)
+    assert (got[7]["char_len"], got[7]["token_count"]) == (1, 1)
 
 
 def test_token_stats_arrow_plan_is_narrow(spark):

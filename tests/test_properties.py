@@ -352,3 +352,43 @@ def test_prefix_filter_complete_on_random_corpora(spark, docs, t_micro):
             if inter * 1_000_000 >= t_micro * union:
                 want[(i, j)] = (inter, union)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.text(alphabet=" \t\n\r\x0b\x0c", max_size=3),
+                    st.text(min_size=1, max_size=6),
+                ),
+                max_size=5,
+            ).map("".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_token_stats_arrow_matches_catalyst_on_random_text(spark, texts):
+    """The Arrow token kernel must agree with its Catalyst-expression
+    contract on arbitrary unicode — including the two trim traps pinned in
+    its docstring: whitespace-class mismatches (ASCII \\s vs unicode
+    whitespace like NBSP) and edge tabs/newlines that plain F.trim leaves
+    behind."""
+    from kafka_streaming_spark.functions.arrowops import token_stats_arrow
+    from tests.test_arrowops import _token_stats_builtin
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r["id"]: (r["char_len"], r["token_count"])
+        for r in token_stats_arrow(df, "id", "text").collect()
+    }
+    exp = {
+        r["id"]: (r["char_len"], r["token_count"])
+        for r in _token_stats_builtin(df, "id").collect()
+    }
+    assert got == exp
