@@ -78,14 +78,21 @@ def token_stats_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the template for batch kernels that need an Arrow-only library (e.g.
     tokenizers operating on Arrow buffers) on the hot path.
 
-    Token definition: maximal runs separated by ASCII whitespace —
-    ``ascii_trim_whitespace`` + RE2 ``\\s+``, deliberately NOT the
-    Unicode-whitespace variant (``utf8_trim_whitespace`` trims U+00A0
-    etc., which Java/RE2 ``\\s`` does not match), so the count is
+    Token definition: maximal runs separated by Java-``\\s`` whitespace,
+    i.e. exactly ``[\\t-\\r ]`` (tab, LF, VT, FF, CR, space).  Two
+    whitespace-class traps are deliberately sidestepped so the count is
     bit-identical to Spark's ``split(regexp_replace(text,
     '^\\s+|\\s+$', ''), '\\s+')`` and to a DuckDB
-    ``regexp_split_to_array`` oracle.  Pinned by the hypothesis test in
-    ``test_properties.py``.
+    ``regexp_split_to_array(..., '[\\t-\\r ]+')`` oracle:
+
+    - NOT ``utf8_trim_whitespace`` — it trims Unicode whitespace (U+00A0
+      …) that Java/RE2 ``\\s`` never matches;
+    - NOT RE2 ``\\s`` — it EXCLUDES U+000B vertical tab, which Java
+      ``\\s`` includes, so the split pattern spells the class out as
+      ``[\\t-\\r ]+`` (Arrow's regex engine is RE2; Spark's is Java).
+
+    Both pinned by the hypothesis test in ``test_properties.py`` (its
+    alphabet generates NBSP and VT).
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -95,11 +102,13 @@ def token_stats_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             chars = pc.utf8_length(text)
             # split("") and split("   ") both yield [""] — trim first and
             # report 0 tokens for rows that are empty after trimming.
+            # ascii_trim_whitespace trims the C isspace() set = [\t-\r ],
+            # the same class the split uses.
             trimmed = pc.ascii_trim_whitespace(text)
             tokens = pc.if_else(
                 pc.equal(pc.utf8_length(trimmed), 0),
                 pa.scalar(0, type=pa.int32()),
-                pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")),
+                pc.list_value_length(pc.split_pattern_regex(trimmed, r"[\t-\r ]+")),
             )
             yield pa.RecordBatch.from_arrays(
                 [batch.column(id_col), chars, pc.cast(tokens, pa.int64())],

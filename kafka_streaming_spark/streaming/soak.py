@@ -92,6 +92,13 @@ def soak_medallion(
     - per-stage ``stages.{bronze_to_silver,silver_to_gold,gold_to_serving}``
       batch counts / rows / batch-wall stats from ``recentProgress``.
     """
+    # recentProgress keeps only numRecentProgressUpdates entries (default
+    # 100) — ASAP triggers overflow that in a long soak, silently turning
+    # the per-stage stats into trailing-window numbers.  Raise it for the
+    # run and restore after.
+    _progress_conf = "spark.sql.streaming.numRecentProgressUpdates"
+    _prev_progress = spark.conf.get(_progress_conf, None)
+    spark.conf.set(_progress_conf, "100000")
     events = rate_events(spark, rows_per_second, n_groups)
     pipe = MedallionPipeline(spark, root, watermark_delay=watermark_delay)
     queries = pipe.start_all_live(events)
@@ -99,11 +106,19 @@ def soak_medallion(
     try:
         time.sleep(duration_sec)
     finally:
+        # The live window ends when we BEGIN stopping: stop_all blocks on
+        # three in-flight batches (seconds), during which the source no
+        # longer produces — counting that time would deflate the measured
+        # rate and inflate the kept_up denominator.
+        live_elapsed = time.monotonic() - t0
         stages = {
             q.name: _stage_progress(q) for q in queries
         }
         pipe.stop_all(queries)
-    live_elapsed = time.monotonic() - t0
+        if _prev_progress is None:
+            spark.conf.unset(_progress_conf)
+        else:
+            spark.conf.set(_progress_conf, _prev_progress)
 
     # Tail drain: the rate source is gone, but silver commits the last live
     # batch left in its CDF dir; availableNow on the SAME checkpoints folds

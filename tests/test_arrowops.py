@@ -91,6 +91,7 @@ def test_token_stats_arrow_edge_rows(spark):
             (4, "one"),
             (5, " a  b\tc\nd "),
             (6, "\tx\n"),  # tab/newline edges: F.trim would get this wrong
+            (8, "a\x0bb"),  # VT IS Java \s but NOT RE2 \s — two tokens
             (7, " "),  # NBSP is NOT \s — one token, like Spark/DuckDB
         ],
         "id int, text string",
@@ -103,6 +104,7 @@ def test_token_stats_arrow_edge_rows(spark):
     assert (got[5]["char_len"], got[5]["token_count"]) == (10, 4)
     assert (got[6]["char_len"], got[6]["token_count"]) == (3, 1)
     assert (got[7]["char_len"], got[7]["token_count"]) == (1, 1)
+    assert (got[8]["char_len"], got[8]["token_count"]) == (3, 2)
 
 
 def test_token_stats_arrow_plan_is_narrow(spark):
