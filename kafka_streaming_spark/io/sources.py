@@ -58,3 +58,30 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def rate_micro_batch_stream(
+    spark: SparkSession,
+    rows_per_batch: int,
+    num_partitions: int | None = None,
+    start_timestamp_ms: int = 0,
+    advance_ms_per_batch: int = 1000,
+) -> DataFrame:
+    """``rate-micro-batch`` source: exactly ``rows_per_batch`` rows per
+    trigger with DETERMINISTIC values and timestamps — batch *k* carries
+    ``value`` in ``[k*rows_per_batch, (k+1)*rows_per_batch)`` and timestamp
+    ``start_timestamp_ms + k*advance_ms_per_batch``, independent of wall
+    clock.  The wall-clock `rate` source is the load generator; this one is
+    the REPRODUCIBLE streaming witness: a query over it has a closed-form
+    input, so its output is oracle-checkable (DuckDB ``range()``
+    arithmetic) the way file-replay witnesses are.
+    """
+    reader = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("startTimestamp", str(start_timestamp_ms))
+        .option("advanceMillisPerBatch", str(advance_ms_per_batch))
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()

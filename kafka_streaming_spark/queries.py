@@ -19805,7 +19805,12 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 #   1. Streaming rate-source soak witness — streaming/soak.py +
 #      tools/soak.py + tests/test_soak.py.  Measured on this box:
 #      3,643 ev/s sustained at 4,000 offered and 7,301 ev/s at 8,000
-#      offered over 60 s live windows, gold fold exact (SCALE.md).
+#      offered over 60 s live windows, gold fold exact; ceiling
+#      ~11-12.5k ev/s (SCALE.md).  For the REGISTERED witness, prefer
+#      the deterministic rate-micro-batch source
+#      (io/sources.py::rate_micro_batch_stream, pinned in
+#      test_soak.py): batch k = [k*R,(k+1)*R) with fixed stamps, so the
+#      oracle is closed-form DuckDB range() arithmetic.
 #   2. applyInArrow / mapInArrow surface — functions/arrowops.py
 #      (grouped_stats_arrow, token_stats_arrow) + tests/test_arrowops.py;
 #      both have DataFrame-equivalents asserted and SQL-expressible

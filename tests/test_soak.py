@@ -7,6 +7,8 @@ rate/duration so CI stays fast; tools/soak.py runs the full 4,000 events/s
 
 from __future__ import annotations
 
+import pytest
+
 from kafka_streaming_spark.streaming.soak import rate_events, soak_medallion
 
 
@@ -43,3 +45,96 @@ def test_soak_medallion_sustains_and_folds(spark, tmp_path_factory):
     # Every stage actually ran batches while live.
     assert m["stages"]["bronze_to_silver"]["input_rows"] > 0
     assert m["stages"]["bronze_to_silver"]["batches"] > 1
+
+
+def test_rate_micro_batch_is_deterministic(spark, tmp_path_factory):
+    """rate-micro-batch witness infra (staged for an r8 oracle-checked
+    registration): batch k carries exactly [k*R, (k+1)*R) with timestamps
+    advancing a fixed step per batch — closed-form input, so any query over
+    it is oracle-checkable without files."""
+    import time as _time
+
+    from kafka_streaming_spark.io.sources import rate_micro_batch_stream
+
+    root = str(tmp_path_factory.mktemp("rmb"))
+    rows_per_batch = 25
+    seen: dict[int, list[tuple]] = {}
+
+    def capture(batch_df, batch_id):
+        seen[batch_id] = [(r["value"], r["timestamp"]) for r in batch_df.collect()]
+
+    stream = rate_micro_batch_stream(
+        spark, rows_per_batch, num_partitions=2, start_timestamp_ms=1_700_000_000_000
+    )
+    q = (
+        stream.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 90
+        while _time.monotonic() < deadline and len(seen) < 3:
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert len(seen) >= 3
+    for k in (0, 1, 2):
+        vals = sorted(v for v, _ in seen[k])
+        assert vals == list(range(k * rows_per_batch, (k + 1) * rows_per_batch)), k
+        stamps = {ts for _, ts in seen[k]}
+        assert len(stamps) == 1  # whole batch shares one deterministic stamp
+        (ts,) = stamps
+        assert int(ts.timestamp() * 1000) == 1_700_000_000_000 + k * 1000
+
+
+def test_stage_restart_under_load_keeps_fold_exact(spark, tmp_path_factory):
+    """K4 exactly-once under LIVE load: stop the silver→gold stage mid-soak,
+    restart it from its checkpoint while bronze keeps committing, then drain
+    — the incremental gold state must still equal the batch re-aggregation
+    of silver exactly (no lost or double-folded micro-batch).  The
+    restart-recovery driver witness (t_stream_restart_recovery) pins this
+    on a finite replay; this pins it with the upstream still live."""
+    import time as _time
+
+    from kafka_streaming_spark.ops.aggregates import group_agg
+    from kafka_streaming_spark.streaming.pipeline import MedallionPipeline
+    from kafka_streaming_spark.streaming.soak import rate_events
+
+    root = str(tmp_path_factory.mktemp("restart_soak"))
+    events = rate_events(spark, rows_per_second=400, n_groups=8)
+    pipe = MedallionPipeline(spark, f"{root}/tables", watermark_delay="10 seconds")
+    q1 = pipe.start_bronze_to_silver(events, available_now=False)
+    q2 = pipe.start_silver_to_gold(available_now=False)
+    try:
+        _time.sleep(6)
+        q2.stop()  # stage outage while bronze keeps committing
+        q2.awaitTermination()
+        _time.sleep(3)
+        q2 = pipe.start_silver_to_gold(available_now=False)  # same checkpoint
+        _time.sleep(6)
+    finally:
+        q1.stop()
+        q1.awaitTermination()
+        q2.stop()
+        q2.awaitTermination()
+    # drain the tail so gold has folded everything silver committed
+    pipe.start_silver_to_gold(available_now=True).awaitTermination()
+
+    silver = pipe.silver.read()
+    assert silver.count() > 0
+    expected = {
+        r["group_id"]: r
+        for r in group_agg(
+            silver, keys=("group_id",), score_col="score", ts_col="event_timestamp"
+        ).collect()
+    }
+    gold = {r["group_id"]: r for r in pipe.gold.read().drop("updated_at").collect()}
+    assert set(gold) == set(expected)
+    for k, e in expected.items():
+        g = gold[k]
+        assert g["event_count"] == e["event_count"], k
+        assert g["cumulative_score"] == pytest.approx(e["cumulative_score"], rel=1e-9), k
+        assert g["first_event_timestamp"] == e["first_event_timestamp"], k
+        assert g["last_event_timestamp"] == e["last_event_timestamp"], k
