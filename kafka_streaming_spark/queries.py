@@ -19804,9 +19804,10 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 # wrappers land in r8 per the freeze):
 #   1. Streaming rate-source soak witness — streaming/soak.py +
 #      tools/soak.py + tests/test_soak.py.  Measured on this box:
-#      3,643 ev/s sustained at 4,000 offered and 7,301 ev/s at 8,000
-#      offered over 60 s live windows, gold fold exact; ceiling
-#      ~11-12.5k ev/s (SCALE.md).  For the REGISTERED witness, prefer
+#      bounded-lag sustained commit from 4k to 96k ev/s offered —
+#      70,400 ev/s committed at 96k (17.6x baseline), gold fold exact
+#      at every rate incl. overload; knee ~90k ev/s (SCALE.md).  For
+#      the REGISTERED witness, prefer
 #      the deterministic rate-micro-batch source
 #      (io/sources.py::rate_micro_batch_stream, pinned in
 #      test_soak.py): batch k = [k*R,(k+1)*R) with fixed stamps, so the

@@ -54,17 +54,22 @@ def rate_events(
 
 def _stage_progress(query) -> dict:
     """Summarize a live query's recentProgress: batches, rows, mean/max
-    batch wall."""
+    batch wall, and the batch-size shape (median/last/max input rows —
+    the falling-behind signal: against an unbounded source, a pipeline
+    that lags reads ever-bigger batches)."""
     progress = list(query.recentProgress)
-    rows = sum(int(p["numInputRows"]) for p in progress)
+    sizes = [int(p["numInputRows"]) for p in progress]
     durs = [
         int(p["durationMs"].get("triggerExecution", 0)) / 1000.0 for p in progress
     ]
     return {
         "batches": len(progress),
-        "input_rows": rows,
+        "input_rows": sum(sizes),
         "mean_batch_sec": round(sum(durs) / len(durs), 4) if durs else 0.0,
         "max_batch_sec": round(max(durs), 4) if durs else 0.0,
+        "median_batch_rows": sorted(sizes)[len(sizes) // 2] if sizes else 0,
+        "last_batch_rows": sizes[-1] if sizes else 0,
+        "max_batch_rows": max(sizes) if sizes else 0,
     }
 
 
@@ -85,8 +90,15 @@ def soak_medallion(
     - ``silver_rows`` / ``silver_events_per_sec`` — end-to-end sustained
       ingest (committed to the silver table, not just read from the source)
       over the live window.
-    - ``kept_up`` — silver ingest ≥ 90% of what the source emitted while
-      live (the sustained-load pass/fail against ``rows_per_second``).
+    - ``kept_up`` — the sustained-load pass/fail against
+      ``rows_per_second``, defined as BOUNDED LAG, not a raw totals ratio
+      (totals are dominated by the final in-flight batch — ~one batch of
+      rows never commits by construction, which at low rates is most of a
+      naive 10% budget): (a) the commit deficit vs offered is within two
+      max-size batches (+5% slack), AND (b) bronze batch sizes are not
+      diverging (last ≤ 2× median — against an unbounded source, a lagging
+      pipeline reads ever-bigger batches; a keeping-up one reads
+      constant-size batches).
     - ``gold_consistent`` — incremental gold state == batch re-aggregation
       of silver (fold ≡ agg∘history), checked after the tail drain.
     - per-stage ``stages.{bronze_to_silver,silver_to_gold,gold_to_serving}``
@@ -147,12 +159,19 @@ def soak_medallion(
         silver.unpersist()
 
     produced = rows_per_second * live_elapsed
+    bronze = stages.get("bronze_to_silver", {})
+    lag_rows = produced - silver_rows
+    lag_bounded = lag_rows <= 2 * bronze.get("max_batch_rows", 0) + 0.05 * produced
+    not_diverging = bronze.get("last_batch_rows", 0) <= 2 * max(
+        1, bronze.get("median_batch_rows", 0)
+    )
     return {
         "rows_per_second_target": rows_per_second,
         "live_window_sec": round(live_elapsed, 2),
         "silver_rows": silver_rows,
         "silver_events_per_sec": round(silver_rows / live_elapsed, 1),
-        "kept_up": silver_rows >= 0.9 * produced,
+        "kept_up": lag_bounded and not_diverging,
+        "lag_rows": int(lag_rows),
         "gold_groups": len(g),
         "gold_consistent": gold_consistent,
         "stages": stages,
