@@ -19782,7 +19782,12 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 # — but the r8 window MUST take those 44 first (listed below), topped up to
 # 50 with the least-recently-checked greens (r1 names).
 # ROUND-8 ROTATION NOTE — the 44 remaining never-checked names, in queue
-# order (all -> r8 window, + 6 least-recently-checked r1 greens as filler):
+# order (all -> r8 window).  Filler to 50 = the 6 least-recently-checked
+# greens (no name is r1-stale; every r1 name re-appeared in the r2
+# window, so the oldest coverage is r2): p_parse_project,
+# f_filter_routing, f_scalar_pack, d_datetime_pack, w_latest_per_key,
+# w_topk_per_group — core §2 operators, the right regression canaries.
+# The 44:
 # x_video_shot_detect,
 # x_compaction_plan, f_xml_scan, x_seasonal_decompose, x_decision_stump,
 # x_inverted_index, x_local_clustering, x_calibration_curve,
