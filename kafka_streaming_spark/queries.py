@@ -9812,6 +9812,11 @@ def x_kcore_trade(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("1 + count(*) div count(DISTINCT src)").alias("k")
     ).collect()[0]["k"]
     core = G.k_core(edges, int(k), rounds=2)
+    # k_core materializes each peeled shell (and now preserves caller
+    # caches instead of evicting them — ADVICE r6), so the raw edge list
+    # has served both its consumers; release it here or two full edge
+    # lists stay pinned through the final aggregate.
+    edges.unpersist()
     return core.agg(
         F.lit(int(k)).cast("long").alias("k"),
         F.countDistinct("src").alias("n_core_nodes"),
@@ -11252,11 +11257,17 @@ def x_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(c.select(F.lit("c_mktsegment"), F.col("c_mktsegment")))
     )
     cnt = s.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    n2 = F.sum("cnt") * F.sum("cnt")
+    # DECIMAL(38,0) moments: (n2 - Σcnt²)·1e6 wraps int64 near 200x
+    # (n2 ≤ 2.25e12 at 100×, ×1e6 → 2.25e18, only 4x headroom); the
+    # subtraction is exact in decimal, and the ×1e6/÷n2 runs in double
+    # on BOTH engines (DuckDB `/` on HUGEINT is float division), so the
+    # emitted micro value is bit-identical either way.
+    n2 = F.sum("cnt").cast("decimal(38,0)") * F.sum("cnt").cast("decimal(38,0)")
+    ssq = F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
     return cnt.groupBy("column_name").agg(
         F.count(F.lit(1)).alias("n_classes"),
         F.sum("cnt").alias("n_rows"),
-        ((n2 - F.sum(F.col("cnt") * F.col("cnt"))) * 1000000 / n2)
+        ((n2 - ssq).cast("double") * 1000000 / n2.cast("double"))
         .cast("long")
         .alias("impurity_micro"),
     )
@@ -11833,8 +11844,9 @@ def x_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     beside `x_quantile_normalize`'s rank form: every customer's account
     balance standardized against its nation's population mean/stddev as
     (n·x − S)/√(nQ − S²) in micro-units.  The three moment sums are
-    exact integers (cents; Q caps int64 around 10⁵ balance · 10⁹ rows
-    per group — switch to decimal(38,0) accumulation past that), then
+    exact integers (cents) accumulated in DECIMAL(38,0) — n·Q wraps
+    int64 already at the 10x customer replica, the oracle's HUGEINT
+    sums carry the same headroom — then
     ONE fixed IEEE chain (sub, sqrt, div, round) per row — transcendental-
     free and bit-identical cross-engine.  One groupBy to ≤25 stat rows,
     explicitly broadcast back (constant-bounded dimension) — the scan is
@@ -11844,10 +11856,15 @@ def x_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
         "c_nationkey",
         F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
     )
+    # DECIMAL(38,0) accumulation: per-row cents² fits int64 (≤1.2e12) but
+    # n·q ≈ n²·avg(cents²) wraps int64 already at the 10x customer replica
+    # (n ≈ 6000/nation → 1.4e19 > 2^63); the oracle's HUGEINT sums need
+    # this headroom mirrored.  Same doubles out at every non-wrapping
+    # scale (the cast-to-double chain is unchanged).
     st = x.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
     )
     j = x.join(F.broadcast(st), "c_nationkey")
     num = (F.col("n") * F.col("cents") - F.col("s")).cast("double")
@@ -13732,8 +13749,16 @@ def x_covariance_matrix(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("s.y").cast("long").alias("sy"),
         F.sum(F.col("s.x") * F.col("s.y")).cast("long").alias("sxy"),
     )
+    # DECIMAL bridge for the co-moment combination: n·sxy and sx·sy are
+    # ~1e18 at the 100x embeddings replica (9x headroom) and wrap past
+    # it; the VALUE of cov_num stays long-ranged, only the intermediate
+    # products need the width (DuckDB computes them in HUGEINT).
     return agg.withColumn(
-        "cov_num", (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+        "cov_num",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+        ).cast("long"),
     )
 
 
@@ -17432,9 +17457,14 @@ def x_pca_power_iter(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "di",
             "dj",
-            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).alias(
-                "cov_scaled"
-            ),
+            # DECIMAL bridge: n·sab ~1e18 at the 100x embeddings replica
+            # and the matvec below multiplies by a ≤1e6 normalizer —
+            # decimal all the way to the DIV (IntegralDivide accepts
+            # decimal, returns long), mirroring the oracle's HUGEINT.
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sab")
+                - F.col("sa").cast("decimal(38,0)") * F.col("sb")
+            ).alias("cov_scaled"),
         )
         .cache()
     )

@@ -227,6 +227,49 @@ _HEADROOM_AUDITED: dict[str, str] = {
     "x_temporal_join_size": "per-bucket count² ≤ 1e14 at 100×",
     # wedge/triangle counts ≤ row counts → product ≤ 10¹⁴ at 100×.
     "x_triangle_count": "count×count comparison ≤ 1e14 at 100×",
+    # -- DataFrame-API products (the round-7 lint extension) ------------
+    # sx/sy are sums of DECIMAL columns — Spark's sum(decimal) stays
+    # decimal, so every product below is decimal arithmetic; no int64
+    # path exists.
+    "a_stats_pack": "sx/sy/sxx/syy/sxy are DECIMAL sums — products are decimal",
+    "x_ab_test": "sx/sxx are DECIMAL sums — products are decimal",
+    # trailing window is ≤7 rows: n·t_n·2 ≤ 2·7·10⁷ = 1.4e8 at 100×.
+    "x_traffic_anomaly": "n·t_n·2 ≤ 1.4e8 at 100× (window ≤ 7)",
+    # per-row n_events·n_days ≤ 10⁷·5000 (calendar-bounded days); the
+    # windowed prefix sum ≤ 5000 such terms → ≤ 2.5e14 at 100×.
+    "x_cusum_drift": "prefix Σ(n_events·n_days) ≤ 2.5e14 at 100×",
+    # customer-grain contingency: o, rtot, ctot, nn ≤ 1.5e6 at 100× →
+    # o·nn ≤ 2.3e12; d² runs in double.
+    "x_chi2_independence": "o·nn ≤ 2.3e12 at 100×; d² in double",
+    # per-row degree products fit int64 (≤~1e12); every SUM of them is
+    # wrapped in dec() = DECIMAL(38,0) accumulation at the agg site.
+    "x_assortativity": "per-row x·y ≤ ~1e12; sums accumulate in DECIMAL",
+    # m ≤ 6e7 undirected trade edges at 100× → 4m² ≤ 1.5e16;
+    # degree_sum ≤ 2m → square ≤ 1.5e16.
+    "x_modularity": "4m² and degree_sum² ≤ 1.5e16 at 100×",
+    # cumulative counts ca ≤ na, cb ≤ nb ≤ 10⁷ events at 100× →
+    # ca·nb ≤ 1e14.
+    "x_ks_test": "ca·nb ≤ na·nb ≤ 1e14 at 100×",
+    # Σ ca·cb IS the exact join cardinality = |lineitem| ≤ 6e9 at 100×.
+    "x_join_size_estimate": "Σ ca·cb = join size ≤ 6e9 at 100×",
+    # rank identity: Σ nc·two_r ≤ 2N² = 2e14 at 100× (N ≤ 1e7 events).
+    "x_mann_whitney": "rank sums ≤ 2N² = 2e14 at 100×",
+    # c = per-(source,gram) count; Σc² ≤ (Σc)·max(c) ≤ 1e8·2.5e5 ≈
+    # 2.5e13 at 100× documents.
+    "x_source_similarity": "Σc² ≤ 2.5e13 at 100×",
+    # x = per-(event_type, day) count ≤ ~7e4 at 100× → x² ≤ 5e9/row;
+    # q ≤ 5000 calendar days · 5e9 = 2.5e13.
+    "x_fano_factor": "daily-count² ≤ 5e9/row; q ≤ 2.5e13 at 100×",
+    # n ≤ 1.5e6 points per cell at 100×, neighbor_cnt ≤ 8 →
+    # n·neighbor_cnt ≤ 1.2e7; neighbor_sum·2 ≤ 2.4e7.
+    "x_hotspot_cells": "n·neighbor_cnt ≤ 1.2e7 at 100×",
+    # per-row cnt² ≤ 2.25e12 fits int64, then cast to DECIMAL(38,0)
+    # BEFORE summation; the (n2 − Σcnt²)·1e6 combination runs in
+    # decimal/double (the r7 bridge).
+    "x_gini_impurity": "per-row cnt² ≤ 2.25e12; sums/combination DECIMAL",
+    # q and s are DECIMAL(38,0) sums since the r7 bridge — n·q and s·s
+    # are decimal arithmetic (the lint is textual and can't see types).
+    "x_zscore_normalize": "q/s are DECIMAL sums — n·q and s·s decimal",
 }
 
 
@@ -269,6 +312,18 @@ def test_spark_aggregate_products_have_decimal_headroom():
                 if mm.group(1).lower() in aliases and mm.group(2).lower() in aliases:
                     offenders.append((name, s.replace("\n", " ").strip()[:110]))
                     break
+        # DataFrame-API form of the same class: F.col("a") * F.col("b")
+        # where both names are aggregate outputs.  A DECIMAL bridge breaks
+        # the pattern (the .cast chain sits between col and *), so bridged
+        # products don't match.
+        for mm in re.finditer(
+            r'F\.col\(\s*"(\w+)"\s*\)\s*\*\s*F\.col\(\s*"(\w+)"\s*\)', src
+        ):
+            if mm.group(1).lower() in aliases and mm.group(2).lower() in aliases:
+                offenders.append(
+                    (name, f'F.col("{mm.group(1)}") * F.col("{mm.group(2)}")')
+                )
+                break
     assert not offenders, (
         "Spark-side product of two aggregate aliases without DECIMAL(38,0) "
         "headroom — Spark BIGINT wraps past 2^63 while DuckDB's SUM is "

@@ -3,9 +3,12 @@
 
 Times each query best-of-2 at sf0.1 and at the 100x replica
 (`.tmp/sf100r7`, built by make_scale_replica.py --factor 100
---replicate-customer with the r7 ck-offset fix; x_prefix_filter_join
-uses the 100x varied-documents replica `.tmp/sf10docs` since its input
-is the documents table).  Results go to SCALE.md by hand.
+--replicate-customer with the r7 ck-offset fix).  Two exceptions route
+to 10x replicas with the degenerate-regime rationale inline below and
+in SCALE.md: x_prefix_filter_join (10x varied documents,
+`.tmp/sf10docs_r7` — the 100x copy-cluster regime is output-quadratic
+and filled the disk) and x_dbscan_clusters (10x customers — density-
+quadratic at the fixed plane/eps).  Results go to SCALE.md by hand.
 
 Usage: python tools/bench_heavies_r7.py [query ...]
 """
@@ -26,7 +29,6 @@ from kafka_streaming_spark.queries import REGISTRY  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = "/root/testdata/sf0.1"
 REPLICA = os.path.join(REPO, ".tmp", "sf100r7")
-DOCS_REPLICA = os.path.join(REPO, ".tmp", "sf10docs")
 # x_dbscan_clusters is density-quadratic at a FIXED plane/eps by
 # construction (100x points on the same 100k² plane → ~10,000x pair
 # volume, an ~11G-row neighbor list) — its scale row runs at the 10x
