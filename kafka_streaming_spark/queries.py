@@ -11257,19 +11257,26 @@ def x_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(c.select(F.lit("c_mktsegment"), F.col("c_mktsegment")))
     )
     cnt = s.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    # DECIMAL(38,0) moments: (n2 - Σcnt²)·1e6 wraps int64 near 200x
-    # (n2 ≤ 2.25e12 at 100×, ×1e6 → 2.25e18, only 4x headroom); the
-    # subtraction is exact in decimal, and the ×1e6/÷n2 runs in double
-    # on BOTH engines (DuckDB `/` on HUGEINT is float division), so the
-    # emitted micro value is bit-identical either way.
+    # DECIMAL(38,0) moments + EXACT integral division: the old int64 path
+    # ((n2-Σcnt²)·1e6 as bigint) wrapped near 10x (n = orders grain →
+    # 1.5e7 rows at 100×, n2 = 2.25e14, ×1e6 = 2.25e20), and the old
+    # double-divide could in principle truncate 1-off against the
+    # oracle's exact HUGEINT `//` whenever the true ratio sits within a
+    # double ulp of an integer — decimal DIV mirrors `//` exactly at
+    # every scale.
     n2 = F.sum("cnt").cast("decimal(38,0)") * F.sum("cnt").cast("decimal(38,0)")
     ssq = F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
-    return cnt.groupBy("column_name").agg(
+    g = cnt.groupBy("column_name").agg(
         F.count(F.lit(1)).alias("n_classes"),
         F.sum("cnt").alias("n_rows"),
-        ((n2 - ssq).cast("double") * 1000000 / n2.cast("double"))
-        .cast("long")
-        .alias("impurity_micro"),
+        (n2 - ssq).alias("__num"),
+        n2.alias("__n2"),
+    )
+    return g.select(
+        "column_name",
+        "n_classes",
+        "n_rows",
+        F.expr("CAST((__num * 1000000) DIV __n2 AS BIGINT)").alias("impurity_micro"),
     )
 
 
@@ -11825,10 +11832,14 @@ def x_modularity(spark: SparkSession, sf: str) -> DataFrame:
              CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
       FROM customer
     ), st AS (
+      -- s and q stay HUGEINT (no BIGINT downcast): n*q - s*s wraps
+      -- int64 already at the 10x replica; the Spark side accumulates in
+      -- DECIMAL(38,0) for the same headroom.  Only the z_micro OUTPUT
+      -- is BIGINT.
       SELECT c_nationkey,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(cents) AS BIGINT) AS s,
-             CAST(SUM(cents * cents) AS BIGINT) AS q
+             SUM(cents) AS s,
+             SUM(cents * cents) AS q
       FROM x GROUP BY c_nationkey
     )
     SELECT x.c_custkey,
@@ -13707,13 +13718,15 @@ def f_bitwise_pack(spark: SparkSession, sf: str) -> DataFrame:
                  {'i': i - 1, 'j': j - 1, 'x': m[i], 'y': m[j]})))) AS s
       FROM m
     )
+    -- cov_num combines the sums in HUGEINT (no inner BIGINT downcasts:
+    -- n·sxy and sx·sy are ~1e18 at the 100x replica and wrap past it);
+    -- the OUTPUT columns are BIGINT-ranged values.
     SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(s.x) AS BIGINT) AS sx,
            CAST(SUM(s.y) AS BIGINT) AS sy,
            CAST(SUM(s.x * s.y) AS BIGINT) AS sxy,
-           CAST(COUNT(*) * CAST(SUM(s.x * s.y) AS BIGINT)
-                - CAST(SUM(s.x) AS BIGINT) * CAST(SUM(s.y) AS BIGINT)
+           CAST(COUNT(*) * SUM(s.x * s.y) - SUM(s.x) * SUM(s.y)
                 AS BIGINT) AS cov_num
     FROM p GROUP BY 1, 2
     """,
@@ -17391,11 +17404,14 @@ def x_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
         FROM embeddings
       )
     ), moments AS (
+      -- sums stay HUGEINT (no BIGINT downcasts): n·sab ~1e18 at the
+      -- 100x replica and the matvec multiplies by a ≤1e6 normalizer —
+      -- the Spark side carries the same width via DECIMAL(38,0).
       SELECT a.dim AS di, b.dim AS dj,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(a.x) AS BIGINT) AS sa,
-             CAST(SUM(b.x) AS BIGINT) AS sb,
-             CAST(SUM(a.x * b.x) AS BIGINT) AS sab
+             SUM(a.x) AS sa,
+             SUM(b.x) AS sb,
+             SUM(a.x * b.x) AS sab
       FROM vals a JOIN vals b ON a.vec_id = b.vec_id
       GROUP BY a.dim, b.dim
     ), s AS (
@@ -17404,17 +17420,17 @@ def x_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
       SELECT unnest(generate_series(0, 7)) AS dim,
              CAST(1000000 AS BIGINT) AS v
     ), w1 AS (
-      SELECT s.di AS dim, CAST(SUM(s.cov_scaled * v0.v) AS BIGINT) AS w
+      SELECT s.di AS dim, SUM(s.cov_scaled * v0.v) AS w
       FROM s JOIN v0 ON s.dj = v0.dim GROUP BY s.di
-    ), m1 AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS mw FROM w1
+    ), m1 AS (SELECT MAX(ABS(w)) AS mw FROM w1
     ), v1 AS (
-      SELECT dim, w // GREATEST(mw // 1000000, 1) AS v
+      SELECT dim, CAST(w // GREATEST(mw // 1000000, 1) AS BIGINT) AS v
       FROM w1 CROSS JOIN m1
     ), w2 AS (
-      SELECT s.di AS dim, CAST(SUM(s.cov_scaled * v1.v) AS BIGINT) AS w
+      SELECT s.di AS dim, SUM(s.cov_scaled * v1.v) AS w
       FROM s JOIN v1 ON s.dj = v1.dim GROUP BY s.di
-    ), m2 AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS mw FROM w2)
-    SELECT dim, w // GREATEST(mw // 1000000, 1) AS eigvec_micro
+    ), m2 AS (SELECT MAX(ABS(w)) AS mw FROM w2)
+    SELECT dim, CAST(w // GREATEST(mw // 1000000, 1) AS BIGINT) AS eigvec_micro
     FROM w2 CROSS JOIN m2
     """,
 )

@@ -54,11 +54,19 @@ def rate_events(
 
 def _stage_progress(query) -> dict:
     """Summarize a live query's recentProgress: batches, rows, mean/max
-    batch wall, and the batch-size shape (median/last/max input rows —
-    the falling-behind signal: against an unbounded source, a pipeline
-    that lags reads ever-bigger batches)."""
+    batch wall, and the batch-size shape — the falling-behind signal:
+    against an unbounded source, a pipeline that lags reads ever-bigger
+    batches.
+
+    Size statistics use only NON-EMPTY batches (stateful operators emit
+    0-row state-eviction/no-data micro-batches that would drag the
+    median toward zero at low rates), and ``steady_batch_rows`` is the
+    median of the SECOND HALF of them (the ramp-up's small first batches
+    are not the equilibrium the kept-up test should compare against)."""
     progress = list(query.recentProgress)
     sizes = [int(p["numInputRows"]) for p in progress]
+    nz = [s for s in sizes if s > 0]
+    tail = nz[len(nz) // 2 :]
     durs = [
         int(p["durationMs"].get("triggerExecution", 0)) / 1000.0 for p in progress
     ]
@@ -67,9 +75,10 @@ def _stage_progress(query) -> dict:
         "input_rows": sum(sizes),
         "mean_batch_sec": round(sum(durs) / len(durs), 4) if durs else 0.0,
         "max_batch_sec": round(max(durs), 4) if durs else 0.0,
-        "median_batch_rows": sorted(sizes)[len(sizes) // 2] if sizes else 0,
-        "last_batch_rows": sizes[-1] if sizes else 0,
-        "max_batch_rows": max(sizes) if sizes else 0,
+        "median_batch_rows": sorted(nz)[len(nz) // 2] if nz else 0,
+        "steady_batch_rows": sorted(tail)[len(tail) // 2] if tail else 0,
+        "last_batch_rows": nz[-1] if nz else 0,
+        "max_batch_rows": max(nz) if nz else 0,
     }
 
 
@@ -95,10 +104,13 @@ def soak_medallion(
       (totals are dominated by the final in-flight batch — ~one batch of
       rows never commits by construction, which at low rates is most of a
       naive 10% budget): (a) the commit deficit vs offered is within two
-      max-size batches (+5% slack), AND (b) bronze batch sizes are not
-      diverging (last ≤ 2× median — against an unbounded source, a lagging
-      pipeline reads ever-bigger batches; a keeping-up one reads
-      constant-size batches).
+      STEADY-STATE batches (+5% slack), AND (b) the last non-empty bronze
+      batch is ≤ 2× the steady-state batch size — against an unbounded
+      source, a lagging pipeline reads ever-bigger batches; a keeping-up
+      one reads constant-size ones.  "Steady-state" = median of the
+      post-ramp non-empty batches (0-row state-eviction micro-batches and
+      ramp-up's small first batches are both excluded — each skews the
+      naive median in a different direction).
     - ``gold_consistent`` — incremental gold state == batch re-aggregation
       of silver (fold ≡ agg∘history), checked after the tail drain.
     - per-stage ``stages.{bronze_to_silver,silver_to_gold,gold_to_serving}``
@@ -161,10 +173,15 @@ def soak_medallion(
     produced = rows_per_second * live_elapsed
     bronze = stages.get("bronze_to_silver", {})
     lag_rows = produced - silver_rows
-    lag_bounded = lag_rows <= 2 * bronze.get("max_batch_rows", 0) + 0.05 * produced
-    not_diverging = bronze.get("last_batch_rows", 0) <= 2 * max(
-        1, bronze.get("median_batch_rows", 0)
-    )
+    # Both tests compare against steady_batch_rows — the post-ramp
+    # non-empty-batch median — not the raw max (which a diverging run's
+    # own backlog batches would inflate, masking the divergence) and not
+    # the raw median (which ramp-up's small first batches would deflate,
+    # failing healthy runs).  Steady-state lag of an ASAP consumer is
+    # ~1-2 equilibrium batches of in-flight data.
+    steady = max(1, bronze.get("steady_batch_rows", 0))
+    lag_bounded = lag_rows <= 2 * steady + 0.05 * produced
+    not_diverging = bronze.get("last_batch_rows", 0) <= 2 * steady
     return {
         "rows_per_second_target": rows_per_second,
         "live_window_sec": round(live_elapsed, 2),
