@@ -11245,10 +11245,11 @@ def x_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
     `x_gini` (Lorenz wealth concentration): impurity measures categorical
     balance, not numeric inequality.  One unpivoted scan over the three
     profiled columns, one count-per-class shuffle, one per-column
-    reduce; output bounded by the column count.  Int64 bound: N²·10⁶
-    caps at N ≈ 3·10⁶ rows per column — beyond that drop the micro
-    factor to 10³ or accumulate in decimal(38,0) (DuckDB side is
-    HUGEINT-exact already)."""
+    reduce; output bounded by the column count.  Numeric headroom: the
+    N² and Σc² moments accumulate in DECIMAL(38,0) and the final ratio
+    uses exact decimal DIV (mirroring the oracle's HUGEINT ``//``), so
+    the bound is ~1e38 on N²·10⁶ — N up to ~1e16 rows per column, far
+    past any real corpus (DuckDB side is HUGEINT-exact already)."""
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     s = (

@@ -61,12 +61,22 @@ def _stage_progress(query) -> dict:
     Size statistics use only NON-EMPTY batches (stateful operators emit
     0-row state-eviction/no-data micro-batches that would drag the
     median toward zero at low rates), and ``steady_batch_rows`` is the
-    median of the SECOND HALF of them (the ramp-up's small first batches
-    are not the equilibrium the kept-up test should compare against)."""
+    median of the SECOND QUARTER of them — an EARLY post-ramp window.
+    The ramp-up's small first batches are not the equilibrium, but the
+    trailing half is wrong in the other direction: in a slowly diverging
+    run the backlog-inflated late batches would set the baseline
+    themselves, so a lag bound or a last≤2×steady check measured against
+    a trailing-window median scales with the divergence it exists to
+    detect.  An early window is fixed before divergence can accumulate,
+    so linear batch-size growth fails the checks instead of re-basing
+    them."""
     progress = list(query.recentProgress)
     sizes = [int(p["numInputRows"]) for p in progress]
     nz = [s for s in sizes if s > 0]
-    tail = nz[len(nz) // 2 :]
+    # Second quarter [n/4, n/2); for short runs (<4 non-empty batches)
+    # fall back to everything after the first batch, then to all of nz.
+    q1, q2 = len(nz) // 4, len(nz) // 2
+    steady_win = nz[q1:q2] or nz[1:] or nz
     durs = [
         int(p["durationMs"].get("triggerExecution", 0)) / 1000.0 for p in progress
     ]
@@ -76,7 +86,9 @@ def _stage_progress(query) -> dict:
         "mean_batch_sec": round(sum(durs) / len(durs), 4) if durs else 0.0,
         "max_batch_sec": round(max(durs), 4) if durs else 0.0,
         "median_batch_rows": sorted(nz)[len(nz) // 2] if nz else 0,
-        "steady_batch_rows": sorted(tail)[len(tail) // 2] if tail else 0,
+        "steady_batch_rows": (
+            sorted(steady_win)[len(steady_win) // 2] if steady_win else 0
+        ),
         "last_batch_rows": nz[-1] if nz else 0,
         "max_batch_rows": max(nz) if nz else 0,
     }
@@ -122,23 +134,30 @@ def soak_medallion(
     # run and restore after.
     _progress_conf = "spark.sql.streaming.numRecentProgressUpdates"
     _prev_progress = spark.conf.get(_progress_conf, None)
-    spark.conf.set(_progress_conf, "100000")
-    events = rate_events(spark, rows_per_second, n_groups)
-    pipe = MedallionPipeline(spark, root, watermark_delay=watermark_delay)
-    queries = pipe.start_all_live(events)
+    # Conf set AND query startup both live inside the try: an exception
+    # during startup (e.g. a bad checkpoint dir) must still restore the
+    # session conf and stop whatever queries already started.
+    queries: list = []
+    pipe = None
     t0 = time.monotonic()
     try:
+        spark.conf.set(_progress_conf, "100000")
+        events = rate_events(spark, rows_per_second, n_groups)
+        pipe = MedallionPipeline(spark, root, watermark_delay=watermark_delay)
+        queries = pipe.start_all_live(events)
+        t0 = time.monotonic()
         time.sleep(duration_sec)
     finally:
         # The live window ends when we BEGIN stopping: stop_all blocks on
         # three in-flight batches (seconds), during which the source no
         # longer produces — counting that time would deflate the measured
         # rate and inflate the kept_up denominator.
-        live_elapsed = time.monotonic() - t0
+        live_elapsed = time.monotonic() - t0 if queries else 0.0
         stages = {
             q.name: _stage_progress(q) for q in queries
         }
-        pipe.stop_all(queries)
+        if pipe is not None:
+            pipe.stop_all(queries)
         if _prev_progress is None:
             spark.conf.unset(_progress_conf)
         else:
@@ -173,12 +192,14 @@ def soak_medallion(
     produced = rows_per_second * live_elapsed
     bronze = stages.get("bronze_to_silver", {})
     lag_rows = produced - silver_rows
-    # Both tests compare against steady_batch_rows — the post-ramp
-    # non-empty-batch median — not the raw max (which a diverging run's
-    # own backlog batches would inflate, masking the divergence) and not
-    # the raw median (which ramp-up's small first batches would deflate,
-    # failing healthy runs).  Steady-state lag of an ASAP consumer is
-    # ~1-2 equilibrium batches of in-flight data.
+    # Both tests compare against steady_batch_rows — the EARLY post-ramp
+    # (second-quarter) non-empty-batch median — not the raw max (which a
+    # diverging run's own backlog batches would inflate, masking the
+    # divergence), not the raw median (which ramp-up's small first
+    # batches would deflate, failing healthy runs), and not a trailing
+    # window (which a slowly diverging run would re-base with its own
+    # inflated batches).  Steady-state lag of an ASAP consumer is ~1-2
+    # equilibrium batches of in-flight data.
     steady = max(1, bronze.get("steady_batch_rows", 0))
     lag_bounded = lag_rows <= 2 * steady + 0.05 * produced
     not_diverging = bronze.get("last_batch_rows", 0) <= 2 * steady

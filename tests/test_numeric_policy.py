@@ -300,6 +300,16 @@ def test_spark_aggregate_products_have_decimal_headroom():
             continue
         src = _spark_source(fn)
         aliases = _aggregate_aliases(src)
+        # Direct aggregate-expression products — F.sum(...) * F.sum(...)
+        # with no alias step at all (the pre-fix x_gini_impurity form).
+        # No alias check possible or needed: a raw product of two sums is
+        # the class regardless of names; the DECIMAL bridge again breaks
+        # the adjacency (.cast sits between the closing paren and *).
+        # Runs BEFORE the `aliases` gate below — an alias-free function is
+        # exactly the shape this pattern exists to catch.
+        for mm in re.finditer(r'(F\.sum\("?\w+"?\)\s*\*\s*F\.sum\()', src):
+            offenders.append((name, mm.group(1).replace("\n", " ")))
+            break
         if not aliases:
             continue
         for m in re.finditer(r'"((?:[^"\\]|\\.)*)"', src):
@@ -324,14 +334,6 @@ def test_spark_aggregate_products_have_decimal_headroom():
                     (name, f'F.col("{mm.group(1)}") * F.col("{mm.group(2)}")')
                 )
                 break
-        # Direct aggregate-expression products — F.sum(...) * F.sum(...)
-        # with no alias step at all (the pre-fix x_gini_impurity form).
-        # No alias check possible or needed: a raw product of two sums is
-        # the class regardless of names; the DECIMAL bridge again breaks
-        # the adjacency (.cast sits between the closing paren and *).
-        for mm in re.finditer(r'(F\.sum\("?\w+"?\)\s*\*\s*F\.sum\()', src):
-            offenders.append((name, mm.group(1).replace("\n", " ")))
-            break
     assert not offenders, (
         "Spark-side product of two aggregate aliases without DECIMAL(38,0) "
         "headroom — Spark BIGINT wraps past 2^63 while DuckDB's SUM is "
