@@ -221,6 +221,17 @@ def main() -> None:
         "n_queries": len(timings),
         "max_query_sec": max(timings.values()),
         "streaming_events_per_sec": round(n_events / stream_sec, 1),
+        # WHAT THAT NUMBER MEANS (pinned so a round-over-round delta can't
+        # be misread as a throughput regression): it is a BURST-DRAIN
+        # BACKFILL rate — the medallion draining a finite parquet replay
+        # of the events table with availableNow triggers, best-of-3, in
+        # its own JVM, run BEFORE the batch sweep starts.  It measures
+        # end-to-end pipeline wall time at this sf, and it varies with
+        # ambient box load.  The SUSTAINED-load number (bounded-lag
+        # commit rate against a live rate source, the figure comparable
+        # to the reference's 4k ev/s baseline) comes from the soak sweep:
+        # tools/soak.py, recorded in SCALE.md.
+        "streaming_mode": "burst_drain_backfill_best_of_3",
         # First-execution total (includes one-off codegen compile per
         # plan) — reported alongside the steady-state number above.
         "cold_total_sec": round(cold_total + stream_sec, 3),

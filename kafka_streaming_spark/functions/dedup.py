@@ -13,6 +13,14 @@ Core operators of a large-scale training-data pipeline, built Spark-first:
 - **SimHash**: 64-bit hyperplane sketch via explode + 64 conditional sums —
   one shuffle per corpus, Hamming-distance candidate filter.
 
+Choosing a pair miner at scale — copies vs content: the exact prefix-filter
+join (:func:`prefix_filter_pairs`) scales with corpora that grow by adding
+CONTENT (document frequencies stay bounded); corpora that grow by adding
+COPIES (crawl snapshots, mirrors) push both its candidate set and its exact
+output quadratic in copies-per-cluster — that regime belongs to the
+MinHash-LSH path, whose ``max_bucket`` cap bounds pair work regardless of
+copy count (details on :func:`prefix_filter_pairs`; measured in SCALE.md).
+
 Hashing/banding/verification are pure Column expressions (xxhash64 /
 aggregate / transform, whole-stage codegen).  The one Arrow kernel is the
 MinHash permutation-min (:func:`signatures_arrow`): Catalyst higher-order
@@ -731,6 +739,20 @@ def prefix_filter_pairs(
     exploded |cand|·|doc| token stream.  No step is quadratic in the
     corpus.  Returns ``(id_a, id_b, n_common, n_union, jaccard_micro)``
     with ``id_a < id_b``.
+
+    OPERATIONAL GUARDRAIL — copies vs content (SCALE.md r7 finding):
+    "not quadratic in the corpus" holds for corpora that grow by adding
+    CONTENT (new documents → new shingles → document frequencies stay
+    bounded).  It does NOT hold for corpora that grow by adding COPIES:
+    if every document sits in a c-copy duplicate cluster, every
+    shingle's df grows with c, the candidate set grows ~c² per cluster
+    — and so does the exact OUTPUT itself (all qualifying pairs is
+    inherently c² rows per cluster).  For copy-heavy corpora (crawl
+    snapshots, mirror-heavy web data) use the MinHash-LSH miner
+    (:func:`minhash_near_dup_pairs` / :func:`lsh_candidate_pairs` with
+    ``max_bucket=50``): its bucket cap bounds pair work per band no
+    matter how many copies collide, and downstream dedup needs cluster
+    membership (connected components), not every exact pair.
     """
     from pyspark.sql import Window
 

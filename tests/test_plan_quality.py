@@ -281,10 +281,31 @@ def _scan_signature(plan: str) -> list[list]:
     return sorted(out)
 
 
+# The ONLY physical-plan node types through which Python may enter a
+# registered query's plan — every one is Arrow-batched (vectorized IPC
+# between JVM and Python).  Explicit, not incidental: the sweep extracts
+# every Python/Pandas/Arrow-entry node from each plan and requires
+# membership here, so a new API (e.g. mapInArrow) is sanctioned by listing
+# it, and row-at-a-time nodes (BatchEvalPython, BatchEvalPythonUDTF) can
+# never slip in under a name the old substring ban didn't know.
+_PY_NODE_ALLOWED = {
+    "ArrowEvalPython",              # scalar pandas UDF
+    "AggregateInPandas",            # grouped-agg pandas UDF
+    "WindowInPandas",               # window pandas UDF
+    "MapInPandas",                  # mapInPandas
+    "FlatMapGroupsInPandas",        # applyInPandas
+    "FlatMapCoGroupsInPandas",      # cogrouped applyInPandas
+    "FlatMapGroupsInPandasWithState",  # applyInPandasWithState
+    "MapInArrow",                   # mapInArrow (functions/arrowops.py)
+    "FlatMapGroupsInArrow",         # applyInArrow (functions/arrowops.py)
+}
+
+
 def test_registry_wide_plan_invariants(spark):
     """Engine-wide sweep over EVERY registered query's optimized physical
-    plan: no row-at-a-time Python UDF ever appears (Python enters plans
-    only Arrow-batched), no Cartesian/broadcast-nested-loop product
+    plan: Python enters plans only through the Arrow-batched node
+    allow-list above (row-at-a-time BatchEvalPython can never appear),
+    no Cartesian/broadcast-nested-loop product
     outside the documented bounded-side allow-list, and — since round 6 —
     the query's Exchange and Sort counts must not exceed their FROZEN
     budgets (tests/plan_budgets.json, measured clean-room per query).
@@ -304,6 +325,7 @@ def test_registry_wide_plan_invariants(spark):
     """
     import json
     import os
+    import re
 
     budget_path = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
     with open(budget_path) as fh:
@@ -315,8 +337,19 @@ def test_registry_wide_plan_invariants(spark):
         # (extra numbered Exchange nodes) into this query's explain.
         spark.catalog.clearCache()
         plan = plan_of(spark, name)
-        if "BatchEvalPython" in plan:
-            failures.append(f"{name}: row-at-a-time Python UDF in plan")
+        py_nodes = set(
+            re.findall(
+                r"^\(\d+\) (\S*(?:Python|Pandas|InArrow)\S*)",
+                plan,
+                flags=re.MULTILINE,
+            )
+        )
+        bad_py = py_nodes - _PY_NODE_ALLOWED
+        if bad_py:
+            failures.append(
+                f"{name}: Python plan node(s) outside the Arrow-batched"
+                f" allow-list: {sorted(bad_py)}"
+            )
         has_product = (
             "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         )
@@ -683,6 +716,29 @@ def test_grouped_median_pandas_single_shuffle_arrow(spark):
     assert n_nodes(plan, "Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_arrow_grouped_stats_single_shuffle(spark):
+    """The applyInArrow witness: exactly one exchange (the group-key
+    shuffle), the Arrow grouped-map node present — same shuffle shape as
+    the pandas grouped-map path, but with no pandas conversion on either
+    batch edge.  No Python node outside the Arrow-batched set."""
+    plan = plan_of(spark, "x_arrow_grouped_stats")
+    assert n_nodes(plan, "Exchange") == 1
+    assert "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_arrow_token_stats_is_narrow(spark):
+    """The mapInArrow witness: a pure narrow pass — zero exchanges, zero
+    sorts, the MapInArrow node chained directly onto the documents scan
+    (which must read only the two needed columns)."""
+    plan = plan_of(spark, "x_arrow_token_stats")
+    assert n_nodes(plan, "Exchange") == 0
+    assert n_nodes(plan, "Sort") == 0
+    assert "MapInArrow" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
 
 
 def test_table_fingerprint_one_aggregate_per_table(spark):
