@@ -19962,6 +19962,7 @@ def t_stream_rate_soak(spark: SparkSession, sf: str) -> DataFrame:
             # Batch K's first row proves batches 0..K-1 committed fully
             # (memory-sink batches commit atomically, in order).
             deadline = _time.monotonic() + 120
+            done = 0
             while _time.monotonic() < deadline:
                 done = (
                     spark.table(sink)
@@ -19975,6 +19976,12 @@ def t_stream_rate_soak(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination()
+        if not done:
+            # Fail LOUDLY: a partial drain would otherwise surface as a
+            # baffling row-count mismatch in the driver compare.
+            raise RuntimeError(
+                f"t_stream_rate_soak: batch {K} did not commit within 120s"
+            )
     return (
         spark.table(sink)
         .filter(F.col("value") < R * K)
@@ -20079,6 +20086,7 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
         )
         try:
             deadline = _time.monotonic() + 120
+            n_expired = 0
             while _time.monotonic() < deadline:
                 n_expired = spark.table(sink).filter(F.col("expired")).count()
                 if n_expired >= n_groups:
@@ -20087,6 +20095,13 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination()
+        if n_expired < n_groups:
+            # Fail LOUDLY: partial expiry would otherwise surface as a
+            # baffling row-count mismatch in the driver compare.
+            raise RuntimeError(
+                f"t_stream_ttl_counter: only {n_expired}/{n_groups} groups"
+                " expired within 120s"
+            )
     return (
         spark.table(sink)
         .filter(F.col("expired"))
@@ -20120,6 +20135,26 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
 # value-triaged: Avro source stays BLOCKED (no spark-avro jar, no
 # network — DELTA.md); more analytics variants only where a
 # reference-parity or LLM-pipeline gap exists.
+#
+# ROUND-9 ROTATION (staged; computed from the r1-r7 CORRECTNESS union +
+# this r8 window): the 4 r8 registrations are the only never-checked
+# names; fill to 50 with the 35 remaining r2-coverage greens then the 11
+# alphabetically-first r3-coverage greens —
+#   x_arrow_grouped_stats, x_arrow_token_stats, t_stream_rate_soak,
+#   t_stream_ttl_counter,
+#   a_cube, a_distinct_count, a_incremental_fold, a_percentiles,
+#   a_pivot, g_rollup, j_anti_join, j_asof_join, j_band_join,
+#   j_semi_join, l_pagination, q13_cust_distribution, q18_large_orders,
+#   q22_idle_rich_customers, q3_revenue_by_segment, q4_priority_count,
+#   q5_region_rollup, s_set_except, s_set_intersect, s_set_union,
+#   t_session_window, t_sessionize, t_sliding_window, t_tumbling_window,
+#   w_analytic_pack, w_moving_avg, x_cosine_near_dup, x_cosine_topk,
+#   x_doc_bpe_tokens, x_doc_fingerprint, x_doc_lang_id, x_doc_quality,
+#   x_doc_token_stats, x_image_meta, x_ngram_jaccard_pairs,
+#   a_group_agg, a_grouping_sets, a_salted_agg, f_json_struct,
+#   f_regex_pack, j_cross_join, j_merge_insert_if_absent,
+#   p_explode_pack, q10_returned_items, q11_important_stock,
+#   q14_promo_share
 DRIVER_PRIORITY: list[str] = [
     # -- ROUND-8 WINDOW: the final 44 never-driver-checked names (in
     # the staged queue order from the round-7 rotation note) followed
