@@ -60,16 +60,23 @@ def _stage_progress(query) -> dict:
 
     Size statistics use only NON-EMPTY batches (stateful operators emit
     0-row state-eviction/no-data micro-batches that would drag the
-    median toward zero at low rates), and ``steady_batch_rows`` is the
-    median of the SECOND QUARTER of them — an EARLY post-ramp window.
-    The ramp-up's small first batches are not the equilibrium, but the
-    trailing half is wrong in the other direction: in a slowly diverging
-    run the backlog-inflated late batches would set the baseline
-    themselves, so a lag bound or a last≤2×steady check measured against
-    a trailing-window median scales with the divergence it exists to
-    detect.  An early window is fixed before divergence can accumulate,
-    so linear batch-size growth fails the checks instead of re-basing
-    them."""
+    median toward zero at low rates).  TWO batch-size baselines come out,
+    with different jobs (the r7-advice split):
+
+    - ``steady_batch_rows`` — median of the SECOND QUARTER, an EARLY
+      post-ramp window.  This anchors the DIVERGENCE check: it is fixed
+      before any backlog can accumulate, so a slowly diverging run
+      cannot re-base the threshold with its own inflated late batches
+      (the flaw in a trailing-window baseline).
+    - ``equil_batch_rows`` — median of the TRAILING HALF, the best
+      estimate of the EQUILIBRIUM batch (rate × batch-wall), which the
+      early window systematically under-reads in short runs (ASAP batch
+      sizes ramp geometrically toward equilibrium — measured at 16k
+      ev/s × 45 s: early median 80k vs equilibrium ~112k, enough to
+      fail a healthy run's lag bound).  This anchors the absolute LAG
+      bound — safe to take from the tail because the divergence check
+      above guards it: in a diverging run the tail median inflates, but
+      last/steady grows without bound and fails first."""
     progress = list(query.recentProgress)
     sizes = [int(p["numInputRows"]) for p in progress]
     nz = [s for s in sizes if s > 0]
@@ -77,6 +84,7 @@ def _stage_progress(query) -> dict:
     # fall back to everything after the first batch, then to all of nz.
     q1, q2 = len(nz) // 4, len(nz) // 2
     steady_win = nz[q1:q2] or nz[1:] or nz
+    equil_win = nz[q2:] or nz
     durs = [
         int(p["durationMs"].get("triggerExecution", 0)) / 1000.0 for p in progress
     ]
@@ -88,6 +96,9 @@ def _stage_progress(query) -> dict:
         "median_batch_rows": sorted(nz)[len(nz) // 2] if nz else 0,
         "steady_batch_rows": (
             sorted(steady_win)[len(steady_win) // 2] if steady_win else 0
+        ),
+        "equil_batch_rows": (
+            sorted(equil_win)[len(equil_win) // 2] if equil_win else 0
         ),
         "last_batch_rows": nz[-1] if nz else 0,
         "max_batch_rows": max(nz) if nz else 0,
@@ -116,13 +127,16 @@ def soak_medallion(
       (totals are dominated by the final in-flight batch — ~one batch of
       rows never commits by construction, which at low rates is most of a
       naive 10% budget): (a) the commit deficit vs offered is within two
-      STEADY-STATE batches (+5% slack), AND (b) the last non-empty bronze
-      batch is ≤ 2× the steady-state batch size — against an unbounded
-      source, a lagging pipeline reads ever-bigger batches; a keeping-up
-      one reads constant-size ones.  "Steady-state" = median of the
-      post-ramp non-empty batches (0-row state-eviction micro-batches and
-      ramp-up's small first batches are both excluded — each skews the
-      naive median in a different direction).
+      EQUILIBRIUM batches (+5% slack), where equilibrium = the
+      trailing-half non-empty-batch median, AND (b) the last non-empty
+      bronze batch is ≤ 2× the EARLY (second-quarter) batch median —
+      against an unbounded source, a lagging pipeline reads ever-bigger
+      batches; a keeping-up one reads constant-size ones.  The two
+      baselines deliberately differ (r7-advice split, rationale in
+      ``_stage_progress``): the divergence check's baseline is fixed
+      early so backlog growth can't re-base it; the lag bound's baseline
+      is the true equilibrium, which early batches under-read.  0-row
+      state-eviction micro-batches are excluded from both.
     - ``gold_consistent`` — incremental gold state == batch re-aggregation
       of silver (fold ≡ agg∘history), checked after the tail drain.
     - per-stage ``stages.{bronze_to_silver,silver_to_gold,gold_to_serving}``
@@ -192,16 +206,19 @@ def soak_medallion(
     produced = rows_per_second * live_elapsed
     bronze = stages.get("bronze_to_silver", {})
     lag_rows = produced - silver_rows
-    # Both tests compare against steady_batch_rows — the EARLY post-ramp
-    # (second-quarter) non-empty-batch median — not the raw max (which a
-    # diverging run's own backlog batches would inflate, masking the
-    # divergence), not the raw median (which ramp-up's small first
-    # batches would deflate, failing healthy runs), and not a trailing
-    # window (which a slowly diverging run would re-base with its own
-    # inflated batches).  Steady-state lag of an ASAP consumer is ~1-2
-    # equilibrium batches of in-flight data.
+    # Two baselines with two jobs (see _stage_progress): the LAG bound
+    # compares against the trailing-half EQUILIBRIUM median (steady-state
+    # lag of an ASAP consumer is ~1-2 equilibrium batches in flight; the
+    # early-window median under-reads equilibrium in short runs and fails
+    # healthy ones), while the DIVERGENCE check compares the last batch
+    # against the EARLY second-quarter median — fixed before backlog can
+    # accumulate, so linear batch growth fails it instead of re-basing
+    # it.  A diverging run can inflate the equilibrium median (and so the
+    # lag bound), but it cannot keep last/steady bounded — the pair is
+    # what makes kept_up meaningful.
     steady = max(1, bronze.get("steady_batch_rows", 0))
-    lag_bounded = lag_rows <= 2 * steady + 0.05 * produced
+    equil = max(1, bronze.get("equil_batch_rows", 0))
+    lag_bounded = lag_rows <= 2 * equil + 0.05 * produced
     not_diverging = bronze.get("last_batch_rows", 0) <= 2 * steady
     return {
         "rows_per_second_target": rows_per_second,

@@ -11,11 +11,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
+import sys
 import tempfile
 
-from kafka_streaming_spark.session import build_session
-from kafka_streaming_spark.streaming.soak import soak_medallion
+# Runnable as `python tools/soak.py` without PYTHONPATH: sys.path[0] is
+# tools/, not the repo root (same shim as the other tools/ CLIs).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_streaming_spark.session import build_session  # noqa: E402
+from kafka_streaming_spark.streaming.soak import soak_medallion  # noqa: E402
 
 
 def main() -> None:
