@@ -20109,6 +20109,72 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "f_binaryfile_scan",
+    """
+    SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.txt'
+             AS filename,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 64 AND text IS NOT NULL
+    """,
+)
+def f_binaryfile_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """RAW-ASSET ingest via the ``binaryFile`` source — the one scan
+    format the source matrix was missing, and the canonical entry point
+    for a multimodal corpus at 100 TB: image/audio/video dumps land as
+    FILES, and ``binaryFile`` reads them partition-parallel as
+    (path, modificationTime, length, content) rows with glob filtering
+    (``pathGlobFilter``) and recursive directory walks, feeding the
+    Arrow decode operators (``functions/multimodal.py``) without any
+    driver-side file listing loop.  Witness: the first 64 documents'
+    texts staged once as UTF-8 ``.txt`` files; the scan must recover
+    every file's name, exact byte length, and content md5 — DuckDB
+    reproduces all three analytically from the documents table
+    (md5/octet_length over the same UTF-8 bytes), so a truncated,
+    re-encoded, or dropped file breaks the hash.  Scale shape: listing
+    and reading parallelize across executors; the 4 MB-per-row guard
+    Spark applies to ``content`` is the right failure mode for stray
+    oversized assets (fail loud, not OOM)."""
+    import os
+    import re
+    import shutil
+    import uuid
+
+    d = load_table(spark, sf, "documents")
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/binaryfile_scan_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        rows = (
+            d.filter((F.col("doc_id") < 64) & F.col("text").isNotNull())
+            .select("doc_id", "text")
+            .collect()  # bounded: ≤ 64 rows, staging only
+        )
+        for r in rows:
+            name = f"doc_{int(r['doc_id']):05d}.txt"
+            with open(os.path.join(build, "src", name), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(src)
+    )
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 # ROUND-8 ROTATION (CORRECTNESS_r07 digested): r7 checked 50 keys — all 50
 # green (rows+schema+hash), zero errors; union r1-r7 = 283/327 checked, all
 # passing, 44 never-checked.  This window = those final 44 (queue order
@@ -20141,7 +20207,7 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
 # names; fill to 50 with the 35 remaining r2-coverage greens then the 11
 # alphabetically-first r3-coverage greens —
 #   x_arrow_grouped_stats, x_arrow_token_stats, t_stream_rate_soak,
-#   t_stream_ttl_counter,
+#   t_stream_ttl_counter, f_binaryfile_scan,
 #   a_cube, a_distinct_count, a_incremental_fold, a_percentiles,
 #   a_pivot, g_rollup, j_anti_join, j_asof_join, j_band_join,
 #   j_semi_join, l_pagination, q13_cust_distribution, q18_large_orders,
@@ -20153,8 +20219,7 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
 #   x_doc_token_stats, x_image_meta, x_ngram_jaccard_pairs,
 #   a_group_agg, a_grouping_sets, a_salted_agg, f_json_struct,
 #   f_regex_pack, j_cross_join, j_merge_insert_if_absent,
-#   p_explode_pack, q10_returned_items, q11_important_stock,
-#   q14_promo_share
+#   p_explode_pack, q10_returned_items, q11_important_stock
 DRIVER_PRIORITY: list[str] = [
     # -- ROUND-8 WINDOW: the final 44 never-driver-checked names (in
     # the staged queue order from the round-7 rotation note) followed
