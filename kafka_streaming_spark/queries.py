@@ -19834,8 +19834,10 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 
 # =========================================================================
 # ROUND-8 REGISTRATIONS — the freeze lifted per its own terms (never-checked
-# 44 < 50 after r7).  Three surfaces built and pytest-green in r7, registered
-# here with oracles (VERDICT r7 ask #2); all queue for the r9 driver window.
+# 44 < 50 after r7).  The three surfaces built and pytest-green in r7 are
+# registered here with oracles (VERDICT r7 ask #2), plus one genuine
+# source-format gap found during the round (f_binaryfile_scan, below);
+# all five queue for the r9 driver window.
 # =========================================================================
 
 
