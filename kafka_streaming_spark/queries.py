@@ -19837,7 +19837,9 @@ def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
 # 44 < 50 after r7).  The three surfaces built and pytest-green in r7 are
 # registered here with oracles (VERDICT r7 ask #2), plus one genuine
 # source-format gap found during the round (f_binaryfile_scan, below);
-# all five queue for the r9 driver window.
+# all six queue for the r9 driver window (x_observed_metrics and
+# f_binaryfile_scan are the two genuine-gap additions: DQ observability
+# and raw-asset ingest).
 # =========================================================================
 
 
@@ -20177,6 +20179,73 @@ def f_binaryfile_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_observed_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_props,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms,
+           CAST(SUM(event_id % 1000) AS BIGINT) AS id_checksum
+    FROM events
+    """,
+)
+def x_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-QUALITY OBSERVABILITY via ``DataFrame.observe`` — the
+    zero-extra-pass counter API every production pipeline wants at
+    100 TB: named aggregate metrics (row counts, null counts, watermark
+    min/max, integer checksums) are computed AS A SIDE EFFECT of the
+    action the job already runs — no second scan, no ``.count()`` tax
+    per metric — and surface through ``Observation.get`` (batch) or
+    ``StreamingQueryProgress.observedMetrics`` (per micro-batch; pinned
+    by ``test_streaming_observed_metrics``).  The witness attaches five
+    metrics to an events scan, drives ONE action, and returns the
+    observed values as a 1-row DataFrame; the oracle recomputes them as
+    plain aggregates, so any metric the observation under- or
+    over-counts breaks the hash.  Every metric is order-independent by
+    construction (counts, min/max, and an exact integer checksum —
+    never a float sum, whose accumulation order Spark does not pin)."""
+    from pyspark.sql import Observation
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_props"),
+        F.min(F.unix_millis("ts")).alias("min_ts_ms"),
+        F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+        F.sum(F.col("event_id") % 1000).cast("long").alias("id_checksum"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the one action
+    got = obs.get
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("n_null_props", LongType()),
+            StructField("min_ts_ms", LongType()),
+            StructField("max_ts_ms", LongType()),
+            StructField("id_checksum", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["n_null_props"]),
+                int(got["min_ts_ms"]),
+                int(got["max_ts_ms"]),
+                int(got["id_checksum"]),
+            )
+        ],
+        schema,
+    )
+
+
 # ROUND-8 ROTATION (CORRECTNESS_r07 digested): r7 checked 50 keys — all 50
 # green (rows+schema+hash), zero errors; union r1-r7 = 283/327 checked, all
 # passing, 44 never-checked.  This window = those final 44 (queue order
@@ -20209,7 +20278,7 @@ def f_binaryfile_scan(spark: SparkSession, sf: str) -> DataFrame:
 # names; fill to 50 with the 35 remaining r2-coverage greens then the 11
 # alphabetically-first r3-coverage greens —
 #   x_arrow_grouped_stats, x_arrow_token_stats, t_stream_rate_soak,
-#   t_stream_ttl_counter, f_binaryfile_scan,
+#   t_stream_ttl_counter, f_binaryfile_scan, x_observed_metrics,
 #   a_cube, a_distinct_count, a_incremental_fold, a_percentiles,
 #   a_pivot, g_rollup, j_anti_join, j_asof_join, j_band_join,
 #   j_semi_join, l_pagination, q13_cust_distribution, q18_large_orders,
@@ -20221,7 +20290,7 @@ def f_binaryfile_scan(spark: SparkSession, sf: str) -> DataFrame:
 #   x_doc_token_stats, x_image_meta, x_ngram_jaccard_pairs,
 #   a_group_agg, a_grouping_sets, a_salted_agg, f_json_struct,
 #   f_regex_pack, j_cross_join, j_merge_insert_if_absent,
-#   p_explode_pack, q10_returned_items, q11_important_stock
+#   p_explode_pack, q10_returned_items
 DRIVER_PRIORITY: list[str] = [
     # -- ROUND-8 WINDOW: the final 44 never-driver-checked names (in
     # the staged queue order from the round-7 rotation note) followed

@@ -894,3 +894,50 @@ def test_expiring_counter_processing_time_timeout(spark, tmp_path_factory):
     finally:
         query.stop()
         query.awaitTermination()
+
+
+def test_streaming_observed_metrics(spark, tmp_path_factory):
+    """DataFrame.observe on a STREAMING frame: named data-quality metrics
+    ride every micro-batch through ``StreamingQueryProgress.observedMetrics``
+    — no second pass, no foreachBatch counting job.  With
+    ``maxFilesPerTrigger=1`` over three staged files, every batch must
+    carry its own (row count, integer checksum) and the per-batch metrics
+    must sum EXACTLY to the batch aggregate over the whole source — an
+    under- or double-counted micro-batch breaks the equality."""
+    from pyspark.sql import functions as F
+
+    from kafka_streaming_spark.io.sources import file_stream
+
+    root = str(tmp_path_factory.mktemp("observe"))
+    src = f"{root}/src"
+    schema = "id long, score long"
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 100 + j, (i * 100 + j) % 97) for j in range(50)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    expected = spark.read.parquet(src).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("score").alias("chk")
+    ).collect()[0]
+
+    stream = file_stream(
+        spark, src, spark.createDataFrame([], schema).schema, max_files_per_trigger=1
+    ).observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("score").cast("long").alias("chk"),
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = [
+        p["observedMetrics"]["dq"]
+        for p in q.recentProgress
+        if p["observedMetrics"].get("dq") and p["numInputRows"] > 0
+    ]
+    assert len(per_batch) == 3  # one metrics row per file-batch
+    assert sum(m["n_rows"] for m in per_batch) == expected["n"]
+    assert sum(m["chk"] for m in per_batch) == expected["chk"]
