@@ -148,6 +148,84 @@ def _tiny_stream_conf(spark: SparkSession, partitions: int = 4):
         spark.conf.set(prov_key, prev_prov)
 
 
+@contextmanager
+def _tws_stream_conf(spark: SparkSession, partitions: int = 4):
+    """Confine a transformWithState witness drain to few shuffle
+    partitions and the ROCKSDB state store — the opposite provider
+    choice from :func:`_tiny_stream_conf`, because TWS state uses
+    multiple column families, which HDFSBackedStateStoreProvider
+    rejects outright (``multipleColumnFamiliesNotSupported``, measured
+    r9).  Restores both session confs afterward."""
+    part_key = "spark.sql.shuffle.partitions"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_parts = spark.conf.get(part_key)
+    prev_prov = spark.conf.get(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(part_key, str(partitions))
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(part_key, prev_parts)
+        spark.conf.set(prov_key, prev_prov)
+
+
+#: Poll deadlines (seconds), one per attempt, for the live-trigger
+#: witnesses (t_stream_rate_soak / t_stream_ttl_counter).  Two entries =
+#: one retry: their only driver shot per round is a real processingTime
+#: drain, and on a heavily shared driver box a single transient deadline
+#: miss would cost a full round (VERDICT r8 note #1).  The second miss
+#: still fails loudly.  Tests monkeypatch this to (0.0, 120.0) to force a
+#: first-attempt miss and exercise the retry path.
+_LIVE_POLL_DEADLINES: tuple[float, ...] = (120.0, 120.0)
+
+
+def _drain_live_sink(spark, what, start_query, is_done, poll_sec=0.2):
+    """Drive a LIVE ``processingTime`` stream into a uuid-named memory
+    sink until ``is_done(sink_table)`` holds, with one fresh-sink retry
+    on a poll-deadline miss (`_LIVE_POLL_DEADLINES`).  Returns the name
+    of the sink whose drain completed — the caller must aggregate it,
+    MATERIALIZE the (small) result, and ``dropTempView`` it (ADVICE r8:
+    a uuid-named memory sink left registered retains its drained rows
+    for the life of the session).  A failed attempt's sink is dropped
+    here before the retry."""
+    import time as _time
+    import uuid as _uuid
+
+    for deadline_sec in _LIVE_POLL_DEADLINES:
+        sink = f"{what}_{_uuid.uuid4().hex[:8]}"
+        q = start_query(sink)
+        done = False
+        try:
+            deadline = _time.monotonic() + deadline_sec
+            while _time.monotonic() < deadline:
+                if is_done(spark.table(sink)):
+                    done = True
+                    break
+                _time.sleep(poll_sec)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        if done:
+            return sink
+        spark.catalog.dropTempView(sink)
+    # Fail LOUDLY after the final attempt: a partial drain would
+    # otherwise surface as a baffling row-count mismatch in the driver
+    # compare.
+    raise RuntimeError(
+        f"{what}: drain did not complete within any of "
+        f"{len(_LIVE_POLL_DEADLINES)} poll deadlines "
+        f"{_LIVE_POLL_DEADLINES}"
+    )
+
+
 # ===========================================================================
 # §2.3 Projections / scalar expressions
 # ===========================================================================
@@ -8518,7 +8596,8 @@ def x_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
     shingle's df grow with the copy count and the candidate set — and
     the exact OUTPUT itself — quadratic in copies per cluster.  For
     copy-heavy corpora use the MinHash-LSH path
-    (``functions/dedup.py::minhash_lsh_pairs``, ``max_bucket=50``),
+    (``functions/dedup.py::minhash_near_dup_pairs`` over
+    ``lsh_candidate_pairs``, ``max_bucket=50``),
     whose bucket cap bounds pair work per band no matter how many
     copies collide."""
     d = load_table(spark, sf, "documents")
@@ -19942,9 +20021,11 @@ def t_stream_rate_soak(spark: SparkSession, sf: str) -> DataFrame:
     measures THROUGHPUT; reference deployment shape:
     stream-processor/main.py + publish_daemon.rs).  Rows from batches ≥ K
     that commit before the stop are filtered out by the closed-form
-    bound, so the result is identical however long the stop takes."""
-    import time as _time
-    import uuid
+    bound, so the result is identical however long the stop takes.
+    One fresh-sink retry on a poll-deadline miss (VERDICT r8 note #1);
+    the K-row aggregate is materialized and the memory sink dropped
+    before returning (ADVICE r8 — no temp-view retention)."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from kafka_streaming_spark.io.sources import rate_micro_batch_stream
 
@@ -19952,41 +20033,25 @@ def t_stream_rate_soak(spark: SparkSession, sf: str) -> DataFrame:
     stream = rate_micro_batch_stream(
         spark, R, num_partitions=4, start_timestamp_ms=1_700_000_000_000
     )
-    sink = f"t_stream_rate_soak_{uuid.uuid4().hex[:8]}"
     with _tiny_stream_conf(spark):
-        q = (
-            stream.select("value", F.unix_millis("timestamp").alias("ts_ms"))
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        try:
+        sink = _drain_live_sink(
+            spark,
+            "t_stream_rate_soak",
+            lambda name: (
+                stream.select(
+                    "value", F.unix_millis("timestamp").alias("ts_ms")
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            ),
             # Batch K's first row proves batches 0..K-1 committed fully
             # (memory-sink batches commit atomically, in order).
-            deadline = _time.monotonic() + 120
-            done = 0
-            while _time.monotonic() < deadline:
-                done = (
-                    spark.table(sink)
-                    .filter(F.col("value") >= R * K)
-                    .limit(1)
-                    .count()
-                )
-                if done:
-                    break
-                _time.sleep(0.2)
-        finally:
-            q.stop()
-            q.awaitTermination()
-        if not done:
-            # Fail LOUDLY: a partial drain would otherwise surface as a
-            # baffling row-count mismatch in the driver compare.
-            raise RuntimeError(
-                f"t_stream_rate_soak: batch {K} did not commit within 120s"
-            )
-    return (
+            lambda t: t.filter(F.col("value") >= R * K).limit(1).count() > 0,
+        )
+    rows = (
         spark.table(sink)
         .filter(F.col("value") < R * K)
         .groupBy(F.expr(f"CAST(value DIV {R} AS BIGINT)").alias("batch_id"))
@@ -19996,7 +20061,19 @@ def t_stream_rate_soak(spark: SparkSession, sf: str) -> DataFrame:
             F.min("ts_ms").alias("ts_ms"),
             F.countDistinct("ts_ms").alias("n_stamps"),
         )
+        .collect()  # bounded: exactly K = 6 rows
     )
+    spark.catalog.dropTempView(sink)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("value_sum", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("n_stamps", LongType()),
+        ]
+    )
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
 
 
 @register(
@@ -20032,11 +20109,11 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import re
     import shutil
-    import time as _time
     import uuid
 
     from pyspark.sql.types import (
         DoubleType,
+        LongType,
         StringType,
         StructField,
         StructType,
@@ -20078,39 +20155,41 @@ def t_stream_ttl_counter(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     stream = spark.readStream.schema(schema).parquet(src)
-    sink = f"t_stream_ttl_counter_{uuid.uuid4().hex[:8]}"
     with _tiny_stream_conf(spark):
-        q = (
-            expiring_counter(stream, timeout_ms=500)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .trigger(processingTime="0 seconds")
-            .start()
+        # One fresh-sink retry on a poll-deadline miss (VERDICT r8 note
+        # #1): each attempt gets its own memory sink and (implicit)
+        # checkpoint, and a second miss still fails loudly — partial
+        # expiry would otherwise surface as a baffling row-count
+        # mismatch in the driver compare.
+        sink = _drain_live_sink(
+            spark,
+            "t_stream_ttl_counter",
+            lambda name: (
+                expiring_counter(stream, timeout_ms=500)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(processingTime="0 seconds")
+                .start()
+            ),
+            lambda t: t.filter(F.col("expired")).count() >= n_groups,
+            poll_sec=0.25,
         )
-        try:
-            deadline = _time.monotonic() + 120
-            n_expired = 0
-            while _time.monotonic() < deadline:
-                n_expired = spark.table(sink).filter(F.col("expired")).count()
-                if n_expired >= n_groups:
-                    break
-                _time.sleep(0.25)
-        finally:
-            q.stop()
-            q.awaitTermination()
-        if n_expired < n_groups:
-            # Fail LOUDLY: partial expiry would otherwise surface as a
-            # baffling row-count mismatch in the driver compare.
-            raise RuntimeError(
-                f"t_stream_ttl_counter: only {n_expired}/{n_groups} groups"
-                " expired within 120s"
-            )
-    return (
+    rows = (
         spark.table(sink)
         .filter(F.col("expired"))
         .select("group_id", "event_count", "cumulative_score")
+        .collect()  # bounded: one row per group (8 groups)
     )
+    spark.catalog.dropTempView(sink)
+    out_schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("event_count", LongType()),
+            StructField("cumulative_score", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)
 
 
 @register(
@@ -20232,18 +20311,135 @@ def x_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
             StructField("id_checksum", LongType()),
         ]
     )
+    # On an empty table the observed aggregates come back as
+    # n_rows=0 and None for sum/min/max — mirror the oracle's NULL row
+    # instead of raising TypeError on int(None) (ADVICE r8).
+    as_long = lambda v: None if v is None else int(v)  # noqa: E731
     return spark.createDataFrame(
         [
             (
                 int(got["n_rows"]),
-                int(got["n_null_props"]),
-                int(got["min_ts_ms"]),
-                int(got["max_ts_ms"]),
-                int(got["id_checksum"]),
+                as_long(got["n_null_props"]),
+                as_long(got["min_ts_ms"]),
+                as_long(got["max_ts_ms"]),
+                as_long(got["id_checksum"]),
             )
         ],
         schema,
     )
+
+
+@register(
+    "t_stream_tws_counter",
+    """
+    SELECT CAST(user_id % 8 AS VARCHAR) AS group_id,
+           COUNT(*) AS event_count,
+           CAST(SUM(event_id % 1000) AS DOUBLE) AS cumulative_score
+    FROM events GROUP BY 1
+    """,
+)
+def t_stream_tws_counter(spark: SparkSession, sf: str) -> DataFrame:
+    """TRANSFORMWITHSTATE witness (``transformWithStateInPandas`` —
+    Spark 4.x's successor stateful API: typed value-state handles,
+    composable state variables, timer hooks).  Gap closed (VERDICT r8
+    ask #3): through round 8 this was the engine's only
+    coded-but-never-executed runtime path, import-gated on a missing
+    protobuf; ``streaming/protobuf_compat.py`` now locates the
+    pure-Python runtime inside the public Google Cloud SDK and injects
+    it into the TWS state-server workers, so the path EXECUTES here.
+    The witness folds every events row into a per-group running
+    (count, sum) via ``running_counter_tws`` — kept semantically
+    identical to ``running_counter`` (applyInPandasWithState), with the
+    two runtimes asserted equal row-for-row by
+    ``test_tws_equiv_apply_in_pandas_with_state`` — and drains it with
+    ``availableNow`` (TWS terminates under availableNow in
+    ``timeMode="None"``; only armed processing-time timers prevent
+    termination, see ``t_stream_ttl_counter``).  Requires the RocksDB
+    state store (TWS state = multiple column families, which the
+    HDFS-backed provider rejects) — ``_tws_stream_conf`` scopes that
+    choice to the drain.  Oracle: the plain batch groupBy.
+    Determinism: scores are integral doubles (event_id % 1000), exact
+    at any accumulation order.  The per-group aggregate is materialized
+    and the memory sink dropped before returning (no temp-view
+    retention)."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_streaming_spark.streaming.stateful import running_counter_tws
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_tws_counter_{slug}"
+    src = f"{base}/src"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        staged = ev.select(
+            (F.col("user_id") % 8).cast("string").alias("group_id"),
+            (F.col("event_id") % 1000).cast("double").alias("score"),
+        )
+        staged.coalesce(1).write.parquet(f"{build}/p0")
+        part = glob.glob(f"{build}/p0/*.parquet")[0]
+        shutil.copy(part, f"{build}/src/f0.parquet")
+        shutil.rmtree(f"{build}/p0")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    sink = f"t_stream_tws_counter_{uuid.uuid4().hex[:8]}"
+    with _tws_stream_conf(spark):
+        q = (
+            running_counter_tws(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Update-mode sink holds one running row per group per batch; the
+    # single staged file yields one batch, but take the final (max-count)
+    # row per group anyway — counts are monotone, so the struct max is
+    # the total whatever the batching.
+    rows = (
+        spark.table(sink)
+        .groupBy("group_id")
+        .agg(F.max(F.struct("event_count", "cumulative_score")).alias("f"))
+        .select("group_id", "f.event_count", "f.cumulative_score")
+        .collect()  # bounded: one row per group (8 groups)
+    )
+    spark.catalog.dropTempView(sink)
+    out_schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("event_count", LongType()),
+            StructField("cumulative_score", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)
 
 
 # ROUND-8 ROTATION (CORRECTNESS_r07 digested): r7 checked 50 keys — all 50
@@ -20292,65 +20488,65 @@ def x_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
 #   f_regex_pack, j_cross_join, j_merge_insert_if_absent,
 #   p_explode_pack, q10_returned_items
 DRIVER_PRIORITY: list[str] = [
-    # -- ROUND-8 WINDOW: the final 44 never-driver-checked names (in
-    # the staged queue order from the round-7 rotation note) followed
-    # by 6 least-recently-checked green canaries (oldest coverage is
-    # r2 — core §2 operators, the right regression canaries).  After
-    # this window EVERY registry query has a driver row (327/327).
-    # The registration freeze lifts this round per its own terms
-    # (never-checked 44 < 50): the soak / Arrow / TTL witnesses
-    # register below and queue for the r9 window.
-    "x_video_shot_detect",
-    "x_compaction_plan",
-    "f_xml_scan",
-    "x_seasonal_decompose",
-    "x_decision_stump",
-    "x_inverted_index",
-    "x_local_clustering",
-    "x_calibration_curve",
-    "x_revenue_bridge",
-    "x_ngram_novelty",
-    "x_source_similarity",
-    "x_did_estimate",
-    "x_fifo_allocation",
-    "x_cohort_ltv",
-    "x_concurrency_sweep",
-    "x_window_funnel",
-    "x_pca_power_iter",
-    "x_conformal_interval",
-    "x_changepoint",
-    "x_audio_vad_segments",
-    "x_dict_encoding_advisor",
-    "x_order_reconciliation",
-    "x_sliced_eval",
-    "x_markov_next_event",
-    "x_weighted_quantiles",
-    "x_fd_histogram",
-    "x_bounce_rate",
-    "x_kfold_cv_ols",
-    "x_fano_factor",
-    "x_interarrival_quantiles",
-    "x_peak_detection",
-    "x_join_fanout_audit",
-    "x_als_item_step",
-    "x_temporal_join_size",
-    "x_lag_features",
-    "x_share_of_total",
-    "x_budget_allocation",
-    "x_pk_audit",
-    "x_zonemap_audit",
-    "x_topic_scores",
-    "x_holt_backtest",
-    "x_holt_winters",
-    "x_stratified_estimate",
-    "x_hotspot_cells",
-    # least-recently-checked canaries (r2 coverage):
-    "p_parse_project",
-    "f_filter_routing",
-    "f_scalar_pack",
-    "d_datetime_pack",
-    "w_latest_per_key",
-    "w_topk_per_group",
+    # -- ROUND-9 WINDOW (rotated per the staged plan above, plus this
+    # round's one registration): the 6 round-8 registrations and the
+    # r9 TWS witness (all never driver-checked) first, then the 35
+    # remaining r2-coverage greens, then 8 alphabetically-first
+    # r3-coverage greens (q10_returned_items, already green r3, was
+    # dropped to keep the window at 50).  After this window all 334
+    # registry queries carry a driver CORRECTNESS row.
+    "t_stream_tws_counter",
+    "x_arrow_grouped_stats",
+    "x_arrow_token_stats",
+    "t_stream_rate_soak",
+    "t_stream_ttl_counter",
+    "f_binaryfile_scan",
+    "x_observed_metrics",
+    # least-recently-checked fills (r2 coverage):
+    "a_cube",
+    "a_distinct_count",
+    "a_incremental_fold",
+    "a_percentiles",
+    "a_pivot",
+    "g_rollup",
+    "j_anti_join",
+    "j_asof_join",
+    "j_band_join",
+    "j_semi_join",
+    "l_pagination",
+    "q13_cust_distribution",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "q3_revenue_by_segment",
+    "q4_priority_count",
+    "q5_region_rollup",
+    "s_set_except",
+    "s_set_intersect",
+    "s_set_union",
+    "t_session_window",
+    "t_sessionize",
+    "t_sliding_window",
+    "t_tumbling_window",
+    "w_analytic_pack",
+    "w_moving_avg",
+    "x_cosine_near_dup",
+    "x_cosine_topk",
+    "x_doc_bpe_tokens",
+    "x_doc_fingerprint",
+    "x_doc_lang_id",
+    "x_doc_quality",
+    "x_doc_token_stats",
+    "x_image_meta",
+    "x_ngram_jaccard_pairs",
+    # r3-coverage fills:
+    "a_group_agg",
+    "a_grouping_sets",
+    "a_salted_agg",
+    "f_json_struct",
+    "f_regex_pack",
+    "j_cross_join",
+    "j_merge_insert_if_absent",
+    "p_explode_pack",
 ]
 
 

@@ -80,9 +80,13 @@ def _stage_progress(query) -> dict:
     progress = list(query.recentProgress)
     sizes = [int(p["numInputRows"]) for p in progress]
     nz = [s for s in sizes if s > 0]
-    # Second quarter [n/4, n/2); for short runs (<4 non-empty batches)
-    # fall back to everything after the first batch, then to all of nz.
-    q1, q2 = len(nz) // 4, len(nz) // 2
+    # Second quarter [n/4, n/2); q1 is floored at 1 so the FIRST (ramp)
+    # batch can never anchor the steady window — for 2-3 non-empty
+    # batches len(nz)//4 == 0 and nz[0:1] would be exactly the ramp
+    # batch, making the divergence check (last <= 2*steady) false-fail
+    # short healthy runs.  Fall back to everything after the first
+    # batch, then to all of nz (single-batch runs).
+    q1, q2 = max(1, len(nz) // 4), len(nz) // 2
     steady_win = nz[q1:q2] or nz[1:] or nz
     equil_win = nz[q2:] or nz
     durs = [

@@ -148,17 +148,23 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
     identical to ``running_counter`` so tests can assert the two stateful
     runtimes agree.
 
-    Requires a working ``protobuf`` install (the TWS state server speaks
-    protobuf to the JVM); import-gated because this container ships a
-    broken one — ``running_counter`` (applyInPandasWithState) is the
+    Requires a ``google.protobuf`` runtime (the TWS state server speaks
+    protobuf to the JVM).  This container has no pip install, but
+    ``protobuf_compat`` locates the pure-Python runtime inside the public
+    Google Cloud SDK and scopes it to driver + TWS workers (see that
+    module's docstring); only if NO runtime can be located does this
+    raise — ``running_counter`` (applyInPandasWithState) is the
     dependency-free fallback with identical semantics."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_tws_worker_env,
+    )
+
+    if ensure_tws_worker_env(events.sparkSession) is None:
+        # pragma: no cover - env-dependent
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf; "
             "use running_counter (applyInPandasWithState) instead"
-        ) from exc
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

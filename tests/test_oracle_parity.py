@@ -117,3 +117,30 @@ def test_oracle_no_hugeint_or_list(duck, name):
     types = [str(t).upper() for t in duck.sql(sql).types]
     bad = [t for t in types if "HUGEINT" in t or "[]" in t or t.startswith(("LIST", "MAP", "STRUCT"))]
     assert not bad, f"{name}: oracle produces driver-hostile types {bad}; CAST/serialize them"
+
+
+def test_observed_metrics_empty_events(spark, tmp_path_factory):
+    """ADVICE r8: on an EMPTY events table the observed sum/min/max come
+    back as None — the witness must emit the same NULL row the DuckDB
+    oracle produces instead of raising ``TypeError`` on ``int(None)``."""
+    import pyspark.sql.types as T
+
+    sf_dir = str(tmp_path_factory.mktemp("empty_sf"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame([], schema).write.parquet(f"{sf_dir}/events.parquet")
+    fn, _sql = REGISTRY["x_observed_metrics"]
+    row = fn(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_null_props"] is None
+    assert row["min_ts_ms"] is None
+    assert row["max_ts_ms"] is None
+    assert row["id_checksum"] is None

