@@ -1,0 +1,3663 @@
+"""round-4 misc batch + graph/link miners — split from the monolithic queries.py (round 9,
+VERDICT r8 ask #7).  Mechanical move: query bodies are verbatim;
+registration order is preserved by the import order in
+``kafka_streaming_spark/queries/__init__.py``, so ``REGISTRY`` /
+``DRIVER_PRIORITY`` iteration is unchanged."""
+
+from kafka_streaming_spark.queries._core import *  # noqa: F401,F403
+from kafka_streaming_spark.queries._core import (  # noqa: F401
+    _bucket_ms,
+    _drain_live_sink,
+    _fixed,
+    _round_fixed,
+    _tiny_stream_conf,
+    _tws_stream_conf,
+)
+
+# ===========================================================================
+# Driver ordering
+# ===========================================================================
+#
+# The driver's correctness gate checks the FIRST 50 names of ``queries()``
+# in iteration order (it recorded the identical 50-key set in rounds 1-2).
+# Rounds 1-2 verified the original first 50; this list rotates the 37
+# queries that have never had a driver CORRECTNESS row into the window,
+# followed by the near-dup queries whose oracles are new this round, then
+# the long-green flagships.  Names absent from this list keep registration
+# order after it.
+
+@register(
+    "f_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS metric,
+           CAST(ROUND(p_size * 1000000.0) AS BIGINT) / 1000000.0 AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice',
+           CAST(ROUND(p_retailprice * 1000000.0) AS BIGINT) / 1000000.0
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def f_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` ≡ SQL UNPIVOT / melt):
+    one row per (id, metric) with the metric name as data — the feature-
+    table normalization step.  Map-side only (no shuffle: unpivot is a
+    generate, the mirror of pivot's aggregate)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="__v",
+    ).select(
+        "p_partkey",
+        "metric",
+        _round_fixed(F.col("__v"), 6).alias("value"),
+    )
+
+
+@register(
+    "a_grouping_id",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(lang, '<all>') AS lang_dim,
+           CAST(GROUPING(event_type) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT e.event_type, d.lang
+      FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id
+    )
+    GROUP BY GROUPING SETS ((event_type, lang), (event_type), (lang), ())
+    """,
+)
+def a_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with GROUPING() disambiguation — the
+    general form of cube/rollup (`a_cube`/`g_rollup` cover the special
+    cases): four explicit aggregation levels in ONE pass (Expand + single
+    shuffle), with the grouping id separating a real NULL group from a
+    rolled-up one.  Expressed through the SQL surface (``spark.sql``) over
+    a broadcast-joined dimension."""
+    e = load_table(spark, sf, "events")
+    d = load_table(spark, sf, "documents")
+    joined = e.join(
+        F.broadcast(d), e["event_id"] % 500 == d["doc_id"]
+    ).select("event_type", "lang")
+    joined.createOrReplaceTempView("__gs_src")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(lang, '<all>') AS lang_dim,
+               CAST(GROUPING(event_type) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM __gs_src
+        GROUP BY GROUPING SETS ((event_type, lang), (event_type), (lang), ())
+        """
+    )
+
+
+@register(
+    "x_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(ROUND(value * 1000.0) AS BIGINT) AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1
+                  WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL THEN 1
+                  ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id,
+           CAST(MIN(s) AS BIGINT) AS island_start_ms,
+           CAST(MAX(e) AS BIGINT) AS island_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands GROUP BY user_id, island_id
+    """,
+)
+def x_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval merging: per user, coalesce overlapping /
+    touching activity intervals ([ts, ts + value·1s]) into maximal islands
+    — the classic downtime-merge / coverage-consolidation operator (the
+    aggregation complement of `x_interval_overlap`'s pairwise join).  A
+    running MAX(end) over the start-sorted per-key frame detects island
+    breaks (strictly-greater start ⇒ gap), a running SUM numbers them: one
+    window shuffle on the key, no self-join.  All epoch-ms integer
+    arithmetic; (s, event_id) ordering pins ties identically in both
+    engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("s"),
+        (
+            F.unix_millis(F.col("ts"))
+            + F.round(F.col("value") * 1000).cast("long")
+        ).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # running-sum order must be UNIQUE per key ((s, event_id), never
+    # (s, e)): with a tie, the engines may order the new_island=1 row
+    # differently and hand tied rows different island ids
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    max_prev = F.max("e").over(prev)
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(max_prev.isNull() | (F.col("s") > max_prev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        (F.sum("new_island").over(run) - 1).cast("long").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start_ms"),
+        F.max("e").alias("island_end_ms"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@register(
+    "x_trend_slope",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS slope_milli_cents_per_day
+    FROM sums
+    """,
+)
+def x_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend: the least-squares slope of value-over-time per
+    event type from the FOUR power sums (n, Σx, Σy, Σxy, Σxx) — one
+    partial-aggregatable pass, no sort, no window; the grouped-regression
+    operator (`regr_slope`) in the engine's exact-integer form (x = day
+    index, y = cents, slope emitted in milli-cents/day via integer
+    division — both engines truncate identically, and the bounded ranges
+    keep every intermediate under 2^63)."""
+    e = load_table(spark, sf, "events")
+    pts = e.select(
+        "event_type",
+        (F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long") - 19723).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.expr("((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx)").alias(
+            "slope_milli_cents_per_day"
+        ),
+    )
+
+
+@register(
+    "x_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, value, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           value AS last_value,
+           epoch_ms(ts) AS applied_at_ms
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def x_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog application: collapse a per-key op stream to the
+    final snapshot — last writer wins, and a trailing tombstone (here
+    ``event_type = 'error'`` stands in for a delete op) removes the key
+    entirely.  The core of every snapshot-from-changelog rebuild
+    (Debezium→table, Delta CDF compaction — the batch form of the
+    reference's last-writer-wins serving view, ``tomongo.py:9-17``, with
+    delete semantics added).  One window shuffle on the key; deterministic
+    (ts, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.unix_millis(F.col("ts")).alias("applied_at_ms"),
+        )
+    )
+
+
+@register(
+    "x_fk_integrity_audit",
+    """
+    SELECT 'orders->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def x_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit — the data-contract check every
+    warehouse load runs: per foreign key, total rows and orphan rows
+    (children whose parent is missing).  Parent keys are unique, so the
+    left join never multiplies; small parents broadcast, the
+    lineitem→orders pair shuffles on the key (at 100 TB swap in a bloom
+    probe before the join — same output, ~no shuffle for the clean-FK
+    common case)."""
+
+    def audit(child, parent, ck, pk, label):
+        on = child[ck] == parent[pk]
+        return child.join(parent, on, "left").agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(parent[pk].isNull(), 1)).alias("n_orphans"),
+        )
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = F.broadcast(load_table(spark, sf, "customer"))
+    p = F.broadcast(load_table(spark, sf, "part"))
+    s = F.broadcast(load_table(spark, sf, "supplier"))
+    return (
+        audit(o, c, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(audit(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionByName(audit(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(audit(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"))
+    )
+
+
+@register(
+    "x_quantile_normalize",
+    """
+    WITH comp AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS c
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      WHERE i <= 4
+    )
+    SELECT vec_id, pos,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(ROUND(percent_rank() OVER w * 1000000.0) AS BIGINT) / 1000000.0
+             AS pr
+    FROM comp
+    WINDOW w AS (PARTITION BY pos ORDER BY c)
+    """,
+)
+def x_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of an embedding table
+    — the feature-engineering transform that makes dimensions comparable
+    regardless of their marginal distribution (rank / percent_rank within
+    each dimension).  Shown for the first 4 dimensions to bound output.
+    Scale shape: explode once, ONE window shuffle partitioned by
+    dimension — each dimension's ranking is an independent partition, so
+    the plan parallelizes across dimensions instead of sorting the whole
+    matrix."""
+    emb = load_table(spark, sf, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "c")
+    ).filter(F.col("pos") < 4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pos").orderBy("c")
+    return comp.select(
+        "vec_id",
+        "pos",
+        F.rank().over(w).cast("long").alias("rnk"),
+        _round_fixed(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "x_tfidf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ((n.n_docs * 1000000) // df.df) AS score_micro
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score_micro
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def x_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with a LINEAR
+    inverse-document-frequency (``idf_micro = N*1e6 DIV df`` — exact
+    integer arithmetic, so ranking ties break identically in both engines;
+    log-idf reorders nothing for top-k head terms at these df ranges and
+    would put a float in the ORDER BY).  The keyword-extraction /
+    doc-characterization operator.  Scale shape: tf is one grouped
+    aggregate, df one term-keyed aggregate joined back on the term key,
+    N a 1-row broadcast, top-k one window on doc_id."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * F.expr("(n_docs * 1000000) DIV df")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score_micro")
+    )
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    """DuckDB replica of synchronous majority-vote label propagation on
+    the undirected supplier ↔ customer trade graph, rounds unrolled: per
+    round each node takes its most frequent neighbor label (tie → smallest
+    label), expressed as a row_number over the (node, label) counts."""
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS a, o_custkey + 100000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(f""", l{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM edges e JOIN l{i} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{iters} GROUP BY label
+    ORDER BY size DESC, community ASC LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@register("x_label_propagation", _lpa_oracle())
+def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection via synchronous majority-vote label propagation
+    (2 rounds) on the undirected supplier ↔ customer trade graph — the
+    community-structure workload next to PageRank (influence) and the
+    connected-components solver (reachability).  Deterministic variant:
+    ties break to the smallest label, so both engines agree bit-for-bit
+    with the rounds unrolled.  Scale shape: edge list cached once, each
+    round one node-keyed join + one count aggregate + one arg-max
+    AGGREGATE (max_by over a (count, -label) struct — map-side partials,
+    no per-node window sort).  Top-20 communities by (size, label)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    lab = G.label_propagation(G.undirect(pairs), iters=2, broadcast_labels=True)
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "x_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    c AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT mxd FROM mx)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    ), seg AS (
+      SELECT CASE WHEN recency_days <= 365 AND frequency >= 12 THEN 'champion'
+                  WHEN recency_days <= 365 THEN 'recent'
+                  WHEN frequency >= 12 THEN 'loyal_lapsed'
+                  ELSE 'at_risk' END AS segment,
+             recency_days, frequency, m
+      FROM c
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(m) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS total_revenue,
+           CAST((SUM(recency_days) * 1000000) // COUNT(*) AS BIGINT)
+             AS avg_recency_micro,
+           CAST((SUM(frequency) * 1000000) // COUNT(*) AS BIGINT)
+             AS avg_frequency_micro
+    FROM seg GROUP BY segment
+    """,
+)
+def x_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order vs the corpus max date — a 1-row broadcast), Frequency (order
+    count) and Monetary (exact DECIMAL revenue), bucketed into business
+    segments by fixed thresholds, rolled up per segment.  Averages are
+    exact integer micro-units (``SUM*1e6 DIV COUNT``) so no float ever
+    enters the comparison.  Scale shape: ONE groupBy on the customer key
+    does all three metrics in a single pass; the max-date is a 1-row
+    cross-joined broadcast; the segment rollup shuffles 4 groups."""
+    o = load_table(spark, sf, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__m"),
+    )
+    seg = cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("mxd"), F.col("__last")).alias("recency_days"),
+        "frequency",
+        "__m",
+    ).select(
+        F.when(
+            (F.col("recency_days") <= 365) & (F.col("frequency") >= 12),
+            F.lit("champion"),
+        )
+        .when(F.col("recency_days") <= 365, F.lit("recent"))
+        .when(F.col("frequency") >= 12, F.lit("loyal_lapsed"))
+        .otherwise(F.lit("at_risk"))
+        .alias("segment"),
+        "recency_days",
+        "frequency",
+        "__m",
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dfix(F.sum("__m"), "total_revenue"),
+        F.expr("(sum(recency_days) * 1000000) DIV count(1)")
+        .cast("long")
+        .alias("avg_recency_micro"),
+        F.expr("(sum(frequency) * 1000000) DIV count(1)")
+        .cast("long")
+        .alias("avg_frequency_micro"),
+    )
+
+
+@register(
+    "x_kfold_split",
+    """
+    WITH f AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 5 AS fold,
+             n_chars
+      FROM documents
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(n.total - COUNT(*) AS BIGINT) AS n_train_docs
+    FROM f CROSS JOIN n
+    GROUP BY fold, n.total
+    """,
+)
+def x_kfold_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5(doc_id) byte mod 5 — stable under corpus growth (a doc never
+    changes folds when other docs are added) and engine-portable, the
+    same retry-safe no-rand() contract as the sampling family.  Emits
+    per-fold held-out size plus the complementary training-set size via
+    a 1-row broadcast of the corpus count.  Scale shape: one narrow
+    projection, one 5-group aggregate."""
+    d = load_table(spark, sf, "documents")
+    f = d.select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("long"),
+            F.lit(5),
+        ).alias("fold"),
+        "n_chars",
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        f.crossJoin(F.broadcast(n))
+        .groupBy("fold", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "total_chars",
+            (F.col("total") - F.col("n_docs")).alias("n_train_docs"),
+        )
+    )
+
+
+@register(
+    "x_ewma_smooth",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day_num, a.cnt,
+           CAST(SUM(b.cnt * (1 << CAST(7 - (a.day_num - b.day_num) AS INTEGER)))
+                AS BIGINT) AS ews
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day_num BETWEEN a.day_num - 7 AND a.day_num
+    GROUP BY a.event_type, a.day_num, a.cnt
+    """,
+)
+def x_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted trailing smoothing of the daily event-count
+    series, exact-integer form: ews(day) = Σ_{lag=0..7} cnt(day-lag) ·
+    2^(7-lag) — the α=½ EWMA numerator in fixed point, so both engines
+    agree bit-for-bit (a float pow() would not).  The time-series
+    smoothing / trend-baseline operator behind the traffic-anomaly
+    monitor.  Scale shape: the RAW data is reduced by one day-grain
+    groupBy first; the lag join then runs on the tiny day×type aggregate
+    (calendar-bounded, independent of row scale — broadcast)."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)))
+        .cast("long")
+        .alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    b = daily.select(
+        F.col("event_type").alias("__et"),
+        F.col("day_num").alias("__day"),
+        F.col("cnt").alias("__cnt"),
+    )
+    j = daily.join(
+        F.broadcast(b),
+        (F.col("event_type") == F.col("__et"))
+        & (F.col("__day") >= F.col("day_num") - 7)
+        & (F.col("__day") <= F.col("day_num")),
+    )
+    w = F.expr("shiftleft(1, cast(7 - (day_num - __day) as int))")
+    return j.groupBy("event_type", "day_num", "cnt").agg(
+        F.sum(F.col("__cnt") * w).alias("ews")
+    )
+
+
+@register(
+    "x_source_cap",
+    """
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def x_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (class balancing): keep at most 10 docs per
+    source, chosen by md5(doc_id) order — a deterministic uniform draw
+    that is stable under corpus growth *within* the kept prefix and needs
+    no rand().  The "no single crawl domain may dominate the mixture"
+    operator.  Scale shape: one window partitioned on the source key; at
+    100 TB with mega-sources, pre-filter with a calibrated hash threshold
+    (``uniform_sample``) so the window sorts only ~cap-sized groups."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "x_target_encode",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ), cat AS (
+      SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_cat
+      FROM c GROUP BY o_orderpriority
+    ), g AS (
+      SELECT CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS prior_cents
+      FROM c
+    )
+    SELECT c.o_orderkey, c.o_orderpriority, cat.n_cat,
+           CAST(CAST(cat.sum_cents - c.cents AS HUGEINT) * 1000000
+                // (cat.n_cat - 1) AS BIGINT) AS loo_micro_cents,
+           CAST((cat.sum_cents - c.cents + 100 * g.prior_cents)
+                // (cat.n_cat - 1 + 100) AS BIGINT) AS smooth_cents
+    FROM c JOIN cat USING (o_orderpriority) CROSS JOIN g
+    WHERE c.o_orderkey % 20 = 0
+    """,
+)
+def x_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out + m-estimate TARGET ENCODING (the categorical→numeric
+    feature-prep operator for tabular ML): each order's priority category
+    is replaced by the mean target (total price) of the OTHER rows in the
+    category — LOO so a row never leaks its own label — plus the m=100
+    Bayesian-smoothed variant that shrinks small categories toward the
+    global prior.  All integer-cent arithmetic (exact in both engines);
+    category stats are one groupBy producing ~5 rows joined back
+    broadcast, the global prior is a 1-row broadcast — the encode pass is
+    map-side at any scale.  Output bounded to the `orderkey % 20` slice
+    (the encoding is computed over the full table).  The LOO micro shift
+    runs through a DECIMAL(38,0)/HUGEINT intermediate: category sums pass
+    the BIGINT·10^6 ceiling at ~100x driver scale (caught by the 100x
+    self-bench, which ANSI mode turns into a hard error instead of a
+    silent wrap)."""
+    c = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cat = c.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_cat"),
+    )
+    glob = c.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div count(*)").alias("prior_cents")
+    )
+    return (
+        c.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "n_cat",
+            # 128-bit intermediate — see x_abc_analysis (category sums
+            # pass the BIGINT*10^6 ceiling at ~100x driver scale)
+            F.expr(
+                "CAST((CAST(sum_cents - cents AS DECIMAL(38,0)) * 1000000)"
+                " div (n_cat - 1) AS BIGINT)"
+            ).alias("loo_micro_cents"),
+            F.expr(
+                "(sum_cents - cents + 100 * prior_cents) div (n_cat - 1 + 100)"
+            ).alias("smooth_cents"),
+        )
+    )
+
+
+@register(
+    "x_table_fingerprint",
+    """
+    WITH h_orders AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat_ws('|', 'orders', o_orderkey, o_custkey, o_orderstatus,
+                         o_orderpriority)), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    ), h_customer AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat_ws('|', 'customer', c_custkey, c_name, c_nationkey,
+                         c_mktsegment)), 1, 15)) AS BIGINT) AS h
+      FROM customer
+    ), h_lineitem AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat_ws('|', 'lineitem', l_orderkey, l_linenumber, l_partkey,
+                         l_returnflag)), 1, 15)) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fingerprint,
+           CAST(MIN(h) AS BIGINT) AS min_hash, CAST(MAX(h) AS BIGINT) AS max_hash
+    FROM h_orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+           CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT) FROM h_customer
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+           CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT) FROM h_lineitem
+    """,
+)
+def x_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent TABLE FINGERPRINT (replication / migration audit):
+    one 60-bit portable row hash per row over the stable identity columns,
+    reduced with the commutative-associative XOR aggregate — two tables
+    are byte-equal on those columns iff (n_rows, xor, min, max) agree, and
+    the check costs ONE scan + a 1-row aggregate per table, no sort, no
+    shuffle of data rows (partial XOR per partition, combine on the
+    driver-side single group).  This is how you verify a 100 TB copy
+    without comparing 100 TB: fingerprints compose (XOR of partition
+    fingerprints = table fingerprint), so per-partition fingerprints can
+    be stored once and re-verified incrementally.  Doubles/timestamps are
+    deliberately excluded from the hash input (float formatting is not
+    portable across engines); a table name tag salts each table's hash
+    family so identical key tuples in different tables cannot cancel."""
+    def fp(table: str, cols: list[str]) -> DataFrame:
+        t = load_table(spark, sf, table)
+        h = D.portable_hash60(
+            F.concat_ws("|", F.lit(table), *[F.col(c).cast("string") for c in cols])
+        )
+        return t.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_fingerprint"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        ).select(F.lit(table).alias("table_name"), "n_rows",
+                 "xor_fingerprint", "min_hash", "max_hash")
+
+    return (
+        fp("orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+        .unionAll(fp("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]))
+        .unionAll(fp("lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"]))
+    )
+
+
+@register(
+    "x_grouped_median_pandas",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.5)
+             AS median_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def x_grouped_median_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow GROUPED-MAP witness (`applyInPandas`): exact per-user median
+    spend computed inside a pandas function — the escape hatch for
+    whole-group semantics the built-ins can't stream (rank-based robust
+    stats, per-entity model fits; see `x_trend_slope` for the aggregate
+    route when closed forms exist).  Scale shape is the RIGHT one for
+    grouped-map: the group key (user) has high cardinality and bounded
+    per-group size, so groups parallelize across executors and no single
+    pandas frame can blow an executor — the opposite of grouping by a
+    low-cardinality column, which this pattern must avoid at 100 TB.
+    One shuffle on the group key, Arrow-batched both directions, zero
+    row-at-a-time Python.  Integer-cent inputs make the even-count
+    midpoint average exact in IEEE, so numpy's median and DuckDB's
+    quantile_cont are bit-identical."""
+    import pandas as pd
+
+    e = load_table(spark, sf, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_cents": [float(np.median(pdf["cents"].to_numpy()))],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        med, "user_id bigint, n_events bigint, median_cents double"
+    )
+
+
+@register(
+    "x_bfs_hops",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 100000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ), d0 AS (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM pairs WHERE u <= 10
+    ), d1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.dst, d0.dist + 1 FROM edges e JOIN d0 ON e.src = d0.node
+      ) GROUP BY node
+    ), d2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.dst, d1.dist + 1 FROM edges e JOIN d1 ON e.src = d1.node
+      ) GROUP BY node
+    ), d3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.dst, d2.dist + 1 FROM edges e JOIN d2 ON e.src = d2.node
+      ) GROUP BY node
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM d3 GROUP BY dist
+    """,
+)
+def x_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the supplier↔customer trade graph
+    (:func:`kafka_streaming_spark.functions.graph.bfs_distances`): hop
+    distance from the 10 lowest-id suppliers, 3 synchronous rounds — the
+    k-hop-neighborhood primitive (fraud blast radius, recall expansion,
+    dependency fallout).  min()-relaxation makes every round
+    order-independent, so the unrolled-CTE oracle is bit-identical.
+    Output is the per-distance layer profile (count, min/max/sum of node
+    ids) — a fixed ≤4-row frame at any scale.  Completes the iterative
+    graph family: PageRank (mass propagation), label propagation
+    (majority vote), connected components (min-label convergence), BFS
+    (shortest hops) all share the join+groupBy round shape."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    seeds = pairs.filter(F.col("u") <= 10).select(F.col("u").alias("node"))
+    dist = G.bfs_distances(
+        G.undirect(pairs), seeds, rounds=3, broadcast_frontier=True
+    )
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+        F.sum("node").cast("long").alias("sum_node"),
+    )
+
+
+@register(
+    "x_prefix_filter_join",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+             ))) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT id, COUNT(*) AS n FROM toks GROUP BY id
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT id, tok, row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn
+      FROM toks JOIN dfreq USING (tok)
+    ), pre AS (
+      SELECT r.id, r.tok
+      FROM ranked r JOIN sz USING (id)
+      WHERE rn <= n - ((500000 * n + 999999) // 1000000) + 1
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+    ), inter AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand
+      JOIN toks ta ON ta.id = id_a
+      JOIN toks tb ON tb.id = id_b AND tb.tok = ta.tok
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+           CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_micro
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE n_common * 1000000 >= 500000 * (sa.n + sb.n - n_common)
+    """,
+)
+def x_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 0.5 over word trigrams via PREFIX
+    FILTERING (:func:`kafka_streaming_spark.functions.dedup.
+    prefix_filter_pairs`) — the third leg of the near-dup stack: exact
+    like the quadratic `x_ngram_jaccard_pairs` baseline, scalable like
+    the approximate MinHash-LSH path, with neither's weakness.  Each
+    document joins only on its RAREST ``|d|-ceil(t|d|)+1`` shingles
+    (pigeonhole guarantees no qualifying pair is missed — pinned against
+    the exhaustive baseline in ``test_dedup_clusters.py``), so candidate
+    fan-out is bounded by rare-shingle document frequency, not corpus
+    size.  Verification is integer cross-multiplied — no float in any
+    predicate, bit-identical in DuckDB.
+
+    OPERATIONAL GUARDRAIL (copies vs content, SCALE.md r7): prefix
+    filtering bounds candidate fan-out by rare-shingle DOCUMENT
+    FREQUENCY, so it scales with corpora that grow by adding CONTENT.
+    A corpus that grows by adding COPIES (crawl snapshots, mirrored
+    pages — every doc sitting in a 100-duplicate cluster) makes every
+    shingle's df grow with the copy count and the candidate set — and
+    the exact OUTPUT itself — quadratic in copies per cluster.  For
+    copy-heavy corpora use the MinHash-LSH path
+    (``functions/dedup.py::minhash_near_dup_pairs`` over
+    ``lsh_candidate_pairs``, ``max_bucket=50``),
+    whose bucket cap bounds pair work per band no matter how many
+    copies collide."""
+    d = load_table(spark, sf, "documents")
+    return D.prefix_filter_pairs(d, n=3, threshold_micro=500_000)
+
+
+@register(
+    "x_pareto_frontier",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents
+      FROM part
+    ), fl AS (
+      SELECT p_partkey, p_brand, p_size, cents,
+             COALESCE(MAX(p_size) OVER (
+               PARTITION BY p_brand ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               AS max_size_cheaper,
+             MAX(p_size) OVER (PARTITION BY p_brand, cents)
+               AS max_size_same_price
+      FROM p
+    )
+    SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size, cents
+    FROM fl
+    WHERE max_size_cheaper < p_size AND max_size_same_price <= p_size
+    """,
+)
+def x_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand PARETO FRONTIER (skyline operator): parts not dominated
+    on (price ↓, size ↑) — a part is dominated if some same-brand part is
+    no worse on both axes and strictly better on one.  The naive skyline
+    is a quadratic self-join; this is the sort-based O(n log n) rewrite:
+    one window pass per brand ordered by price, where a part survives iff
+    its size beats the running max over all STRICTLY-cheaper parts
+    (RANGE … 1 PRECEDING keeps price ties out of that frame) and nothing
+    at its exact price is strictly larger.  Two window functions over the
+    same partitioning → one shuffle total; no join at all.  Duplicate
+    (price, size) points all survive (none strictly dominates another) —
+    same tie semantics in both engines."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "cents")
+    return (
+        p.withColumn(
+            "max_size_cheaper", F.coalesce(F.max("p_size").over(w_cheaper), F.lit(-1))
+        )
+        .withColumn("max_size_same_price", F.max("p_size").over(w_same))
+        .filter(
+            (F.col("max_size_cheaper") < F.col("p_size"))
+            & (F.col("max_size_same_price") <= F.col("p_size"))
+        )
+        .select(
+            "p_partkey", "p_brand", F.col("p_size").cast("long").alias("p_size"), "cents"
+        )
+    )
+
+
+@register(
+    "x_seasonal_baseline",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), dowagg AS (
+      SELECT day_num % 7 AS dow, CAST(SUM(n_events) AS BIGINT) AS dow_total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT d.day_num, d.day_num % 7 AS dow, d.n_events,
+           CAST(d.n_events * a.n_days * 1000000 // a.dow_total AS BIGINT)
+             AS ratio_to_dow_mean_micro
+    FROM daily d JOIN dowagg a ON d.day_num % 7 = a.dow
+    """,
+)
+def x_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week SEASONAL BASELINE (the seasonality-aware complement of
+    the trailing-window spike monitor `x_traffic_anomaly`): each day's
+    traffic expressed as an integer-micro ratio to the mean of ITS
+    weekday — Monday dips score against Mondays, not the weekly blend.
+    Weekday buckets come from ``epoch_day % 7`` (engine-neutral pure
+    integer; no locale-dependent DOW function on either side).  Scale
+    shape: raw events reduce to one row per day FIRST (one groupBy), the
+    7-row weekday profile is a broadcast join back — nothing after the
+    first aggregate touches event volume."""
+    e = load_table(spark, sf, "events").select(
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num")
+    )
+    daily = e.groupBy("day_num").agg(F.count(F.lit(1)).alias("n_events"))
+    dowagg = daily.groupBy((F.col("day_num") % 7).alias("dow")).agg(
+        F.sum("n_events").cast("long").alias("dow_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        daily.withColumn("dow", F.col("day_num") % 7)
+        .join(F.broadcast(dowagg), "dow")
+        .select(
+            "day_num",
+            "dow",
+            "n_events",
+            F.expr("n_events * n_days * 1000000 div dow_total").alias(
+                "ratio_to_dow_mean_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "x_image_phash_dedup",
+    """
+    WITH px AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0,
+             doc_id % 40 AS g, doc_id // 40 AS pert
+      FROM documents WHERE doc_id < 240
+    ), cell AS (
+      SELECT doc_id, p,
+             ((p // 8) * h0) // 8 AS si, ((p % 8) * w0) // 8 AS sj, g, pert
+      FROM px, unnest(generate_series(0, 63)) AS t(p)
+    ), gray AS (
+      SELECT doc_id, p,
+             ((si + 2*sj + g + CASE WHEN (si + sj) % 13 = 0 THEN pert ELSE 0 END) % 256
+              + (si + 2*sj + g + CASE WHEN (si + sj) % 13 = 0 THEN pert ELSE 0 END + 37) % 256
+              + (si + 2*sj + g + CASE WHEN (si + sj) % 13 = 0 THEN pert ELSE 0 END + 74) % 256
+             ) // 3 AS gray
+      FROM cell
+    ), tot AS (
+      SELECT doc_id, SUM(gray) AS total FROM gray GROUP BY doc_id
+    ), hashes AS (
+      SELECT g.doc_id,
+             CAST(SUM(CASE WHEN g.gray * 64 >= t.total AND g.p >= 32
+                           THEN CAST(1 AS BIGINT) << (g.p - 32) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN g.gray * 64 >= t.total AND g.p < 32
+                           THEN CAST(1 AS BIGINT) << g.p ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM gray g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM hashes GROUP BY hash_hi, hash_lo
+    """,
+)
+def x_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE near-dup dedup via perceptual average-hash — the multimodal
+    analogue of text exact-dedup: deterministic gradient images (6 per
+    base pattern, with a small sparse per-copy perturbation so the bytes
+    differ but the perception doesn't) are encoded as REAL PNGs, decoded
+    back (``decode_image_pixels``), aHashed (``average_hash``: 8×8
+    nearest-neighbor downsample → integer grayscale → mean-threshold
+    bits), and bucketed by hash with a min-id keeper.  The oracle knows
+    nothing of PNG or numpy: it replays the downsample index math and the
+    integer hash analytically from the generation formula, so agreement
+    proves the whole encode→decode→hash→dedup chain byte-exact — and that
+    perceptually-identical-but-byte-different copies really do collapse.
+    Scale shape: Arrow ``mapInPandas`` decode+hash (no shuffle), then one
+    hash groupBy — same plan as `x_doc_exact_dedup`."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from kafka_streaming_spark.functions.multimodal import (
+        average_hash,
+        decode_image_pixels,
+        encode_png,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 240).select("doc_id")
+
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                g, pert = d % 40, d // 40
+                i = np.arange(h).reshape(h, 1, 1)
+                j = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                mask = ((i + j) % 13 == 0).astype(np.int64)
+                px = ((i + 2 * j + 37 * c + g + mask * pert) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    hashed = average_hash(decode_image_pixels(ids.mapInPandas(gen, gen_schema)))
+    return hashed.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("asset_id").alias("keeper_id"),
+        F.max("asset_id").alias("max_id"),
+    )
+
+
+@register(
+    "x_hll_mergeability",
+    """
+    WITH per AS (
+      SELECT o_orderpriority AS group_key,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT group_key, exact_distinct, CAST(1 AS BIGINT) AS sketch_ok FROM per
+    UNION ALL
+    SELECT 'ALL',
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+           CAST(1 AS BIGINT)
+    """,
+)
+def x_hll_mergeability(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL SKETCH ALGEBRA witness — the property that makes distinct
+    counts tractable at 100 TB: per-group Datasketches HLL sketches
+    (`hll_sketch_agg`) are built ONCE, then the global estimate comes
+    from `hll_union_agg` over the 5 tiny group sketches — no second scan
+    of the data, and the same algebra extends to per-partition /
+    per-day sketches unioned across any slice.  Driver-checkable via the
+    `a_approx_sketch` invariant-flag pattern: the output carries the
+    EXACT distinct counts (DuckDB-computable) plus a flag asserting each
+    sketch estimate lands within 5% of its exact value (lgK=12 ⇒ ~1.6%
+    std error; 5% ≈ 3σ) — the oracle pins the flags at 1, so a hash
+    match certifies both the per-group sketches and the merged union
+    met their accuracy contract."""
+    o = load_table(spark, sf, "orders").select("o_orderpriority", "o_custkey")
+    per = o.groupBy(F.col("o_orderpriority").alias("group_key")).agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) * 20 <= exact
+    ).cast("long")
+    per_rows = per.select(
+        "group_key",
+        "exact_distinct",
+        ok(F.expr("hll_sketch_estimate(sk)"), F.col("exact_distinct")).alias(
+            "sketch_ok"
+        ),
+    )
+    merged = per.agg(F.expr("hll_union_agg(sk)").alias("usk"))
+    glob_exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    all_row = (
+        merged.crossJoin(F.broadcast(glob_exact))
+        .select(
+            F.lit("ALL").alias("group_key"),
+            "exact_distinct",
+            ok(F.expr("hll_sketch_estimate(usk)"), F.col("exact_distinct")).alias(
+                "sketch_ok"
+            ),
+        )
+    )
+    return per_rows.unionAll(all_row)
+
+
+@register(
+    "x_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS k_anonymous,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 0 ELSE COUNT(*) END AS BIGINT)
+             AS suppressed_rows
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def x_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """K-ANONYMITY audit (privacy governance, k=5): every quasi-identifier
+    combination (nation × market segment) with its equivalence-class
+    size, whether it meets the k threshold, and how many rows a
+    suppression pass would redact — the pre-release check before
+    publishing a dataset keyed on quasi-identifiers.  One groupBy over
+    the QI columns; the output is bounded by the QI domain product
+    (|nations|·|segments|), not the row count, at any scale."""
+    c = load_table(spark, sf, "customer")
+    n = F.count(F.lit(1))
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        n.alias("group_size"),
+        (n >= 5).cast("long").alias("k_anonymous"),
+        F.when(n >= 5, F.lit(0)).otherwise(n).cast("long").alias("suppressed_rows"),
+    )
+
+
+@register(
+    "x_dau_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day_num
+    ), wau AS (
+      SELECT s.spine_day AS day_num, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM ud, unnest(generate_series(ud.day_num, ud.day_num + 6)) AS s(spine_day)
+      GROUP BY 1
+    )
+    SELECT d.day_num, d.dau, w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_micro
+    FROM dau d JOIN wau w USING (day_num)
+    """,
+)
+def x_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU / stickiness (the product-health KPI): daily active
+    users, trailing-7-day active users, and their ratio in integer
+    micro-units.  The trailing distinct is NOT a sliding-window
+    re-aggregation of raw events: events first collapse to distinct
+    (day, user) pairs (one dedup shuffle — the only pass over event
+    volume), then each pair votes for the 7 spine days it keeps a user
+    "weekly-active" (explode ×7) and a count-distinct per spine day
+    finishes the job.  Joining back to DAU days drops the trailing ghost
+    days past the observation window.  Scale: everything after the first
+    dedup is proportional to |user-days|·7, independent of raw event
+    multiplicity."""
+    ud = (
+        load_table(spark, sf, "events")
+        .select(
+            F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias(
+                "day_num"
+            ),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("day_num"),
+            "user_id",
+        )
+        .groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day_num")
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_micro"),
+        )
+    )
+
+
+@register(
+    "x_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    ), p AS (
+      SELECT day_num, n_events,
+             SUM(n_events * n_days - total)
+               OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING) AS pref,
+             total
+      FROM daily CROSS JOIN tot
+    ), q AS (
+      SELECT day_num, n_events, pref, total,
+             MIN(pref) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
+               AS pref_min
+      FROM p
+    )
+    SELECT day_num, n_events,
+           CAST(pref - LEAST(pref_min, 0) AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN (pref - LEAST(pref_min, 0)) * 8 > total THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm
+    FROM q
+    """,
+)
+def x_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection on daily traffic — the classic
+    sequential drift monitor: ``s_t = max(0, s_{t-1} + (x_t - mean))``
+    alarms when cumulative positive deviation exceeds a day's mean
+    volume.  The recursion LOOKS inherently sequential, but the closed
+    form ``s_t = P_t - min(0, min_{j≤t} P_j)`` (prefix sums minus their
+    running minimum) turns it into two stacked window frames — fully
+    parallel, no recursion, bit-identical in SQL.  All integer: daily
+    deviations are scaled by ``n_days`` (``x_t·n - total``) so the mean
+    never becomes a fraction.  Scale shape: raw events reduce to the day
+    grain first; the ordered window then runs over days, not events (the
+    single-partition window is bounded by the calendar, and per-entity
+    CUSUM would partition by entity)."""
+    e = load_table(spark, sf, "events").select(
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num")
+    )
+    daily = e.groupBy("day_num").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    p = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("pref", F.sum(F.col("n_events") * F.col("n_days") - F.col("total")).over(w))
+        .withColumn("pref_min", F.min("pref").over(w))
+    )
+    cusum = F.col("pref") - F.least(F.col("pref_min"), F.lit(0))
+    return p.select(
+        "day_num",
+        "n_events",
+        cusum.cast("long").alias("cusum_scaled"),
+        # alarm at cusum > mean-day/8 (total/8 in the n_days-scaled units):
+        # tight enough to fire on the synthetic corpus's mild runs, so the
+        # flag column is exercised non-vacuously at test scale
+        (cusum * 8 > F.col("total")).cast("long").alias("alarm"),
+    )
+
+
+@register(
+    "x_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM rev
+    ), c AS (
+      SELECT l_suppkey, rev_cents, total_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev CROSS JOIN tot
+    )
+    SELECT l_suppkey, rev_cents,
+           CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT)
+             AS cum_share_micro,
+           CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def x_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto (80-15-5) classification of suppliers by revenue —
+    the inventory-management "which 20% of suppliers carry 80% of
+    revenue" operator: rank by revenue, classify by the cumulative share
+    INCLUDING the supplier's own contribution (A ≤ 80%, B ≤ 95%, else C),
+    all thresholds integer cross-multiplied.  Scale shape: lineitem
+    reduces to one row per supplier first (one groupBy); the global
+    ordered window then runs over the supplier dimension — ~10^6 rows at
+    100 TB, the documented single-partition-window bound (range-partition
+    the sort if the dimension itself becomes huge).  Total order pinned
+    by (revenue desc, suppkey) so ties never reorder across engines."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("cents").cast("long").alias("rev_cents"))
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .select(
+            "l_suppkey",
+            "rev_cents",
+            # 128-bit intermediate: cum·10^6 overflows BIGINT once total
+            # revenue passes ~9e12 cents (hit at the 100x self-bench);
+            # the DECIMAL(38,0) product divides back into BIGINT range
+            F.expr(
+                "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
+                " div total_cents AS BIGINT)"
+            ).alias("cum_share_micro"),
+            F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+            .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@register(
+    "x_item_cf_topk",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ), item_cnt AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS pop FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.item_a, p.item_b, p.cooc,
+             CAST(p.cooc * p.cooc * 1000000 // (ca.pop * cb.pop) AS BIGINT)
+               AS cos2_micro
+      FROM pairs p
+      JOIN item_cnt ca ON p.item_a = ca.item
+      JOIN item_cnt cb ON p.item_b = cb.item
+    ), ranked AS (
+      SELECT item_a, item_b, cooc, cos2_micro,
+             row_number() OVER (PARTITION BY item_a
+                                ORDER BY cos2_micro DESC, cooc DESC, item_b)
+               AS rn
+      FROM scored
+    )
+    SELECT item_a, CAST(rn AS BIGINT) AS rn, item_b, cooc, cos2_micro
+    FROM ranked WHERE rn <= 3 AND item_a < 40
+    """,
+)
+def x_item_cf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ITEM-ITEM collaborative filtering ("customers who bought X also
+    bought"): top-3 neighbors per item by cosine similarity over order
+    co-occurrence.  Cosine = cooc/√(pop_a·pop_b) needs a square root —
+    ranked instead by its SQUARE in integer micro-units
+    (``cooc²·10⁶ // (pop_a·pop_b)``), a monotone transform, so the
+    ranking is exact and bit-identical with no float anywhere; ties
+    pinned by (cooc, neighbor id).  Scale shape: identical to
+    `x_market_basket` (pair generation confined within the order key,
+    bounded by basket²), plus one row_number window partitioned by item
+    — output bounded to items < 40 for the driver, top-3 each."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    # cached: the basket list feeds the count tables AND both pairing
+    # sides — uncached, the lineitem distinct re-executes per consumer
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct().cache()
+    item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("pop"))
+    a = items.select("l_orderkey", F.col("item").alias("item_a"))
+    b = items.select("l_orderkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    ca = item_cnt.select(F.col("item").alias("item_a"), F.col("pop").alias("pa"))
+    cb = item_cnt.select(F.col("item").alias("item_b"), F.col("pop").alias("pb"))
+    scored = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            F.expr("cooc * cooc * 1000000 div (pa * pb)").alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cos2_micro").desc(), F.col("cooc").desc(), F.col("item_b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("item_a") < 40))
+        .select("item_a", F.col("rn").cast("long").alias("rn"), "item_b", "cooc", "cos2_micro")
+    )
+
+
+@register(
+    "x_attribution",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('view','click','signup')
+                  THEN event_type END AS touch,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('view','click','signup','purchase')
+    ), w AS (
+      SELECT user_id, is_p,
+             last_value(touch IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+             first_value(touch IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+      FROM u
+    )
+    SELECT COALESCE(lt, '(none)') AS channel, 'last_touch' AS model,
+           CAST(COUNT(*) AS BIGINT) AS conversions
+    FROM w WHERE is_p = 1 GROUP BY 1
+    UNION ALL
+    SELECT COALESCE(ft, '(none)'), 'first_touch', CAST(COUNT(*) AS BIGINT)
+    FROM w WHERE is_p = 1 GROUP BY 1
+    """,
+)
+def x_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing ATTRIBUTION (first-touch vs last-touch): every purchase
+    credits (a) the user's most recent preceding touch event and (b)
+    their earliest touch on record; purchases with no prior touch land in
+    '(none)'.  Both models come from ONE pass — a single user-partitioned
+    ordered window computing `last(touch, ignoreNulls)` and
+    `first(touch, ignoreNulls)` over the strictly-preceding frame
+    (ties broken by event_id, so the credit is deterministic even under
+    same-millisecond events) — then two small channel aggregates.  Scale
+    shape: one shuffle on user_id for the window, aggregates over a
+    handful of channels; the multi-touch extension (position decay)
+    reuses the same frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), F.col("event_type")
+        ).alias("touch"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = u.select(
+        "is_p",
+        F.last("touch", ignorenulls=True).over(w).alias("lt"),
+        F.first("touch", ignorenulls=True).over(w).alias("ft"),
+    ).filter(F.col("is_p") == 1)
+    last_t = scored.groupBy(
+        F.coalesce("lt", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions")).select(
+        "channel", F.lit("last_touch").alias("model"), "conversions"
+    )
+    first_t = scored.groupBy(
+        F.coalesce("ft", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions")).select(
+        "channel", F.lit("first_touch").alias("model"), "conversions"
+    )
+    return last_t.unionAll(first_t)
+
+
+@register(
+    "x_twap",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num,
+             epoch_ms(ts) AS ms, event_id,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT user_id, day_num, cents,
+             lead(ms) OVER (PARTITION BY user_id, day_num
+                            ORDER BY ms, event_id) - ms AS gap_ms
+      FROM e
+    )
+    SELECT user_id, day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_ms IS NULL THEN 0 ELSE cents * gap_ms END)
+                * 1000000
+                // SUM(CASE WHEN gap_ms IS NULL THEN 0 ELSE gap_ms END)
+                AS BIGINT) AS twap_micro_cents
+    FROM g GROUP BY user_id, day_num
+    HAVING SUM(CASE WHEN gap_ms IS NULL THEN 0 ELSE gap_ms END) > 0
+    """,
+)
+def x_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-WEIGHTED average value per user-day (the TWAP/metering
+    operator: a price that held for 6 hours must outweigh one that held
+    for a minute — plain AVG is wrong whenever observations are
+    irregular).  Each event's value is weighted by the milliseconds until
+    the user's next same-day event (the last observation carries no
+    forward weight); all integer (cents × ms, micro-unit division),
+    single-event days drop via the zero-duration HAVING guard.  Scale
+    shape: one window shuffle on (user, day) for the lead(), then a
+    standard two-phase aggregate on the same key — the window
+    partitioning is reused by the groupBy, so AQE plans one effective
+    repartitioning."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day_num"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day_num").orderBy("ms", "event_id")
+    g = e.withColumn("gap_ms", F.lead("ms").over(w) - F.col("ms"))
+    wsum = F.sum(
+        F.when(F.col("gap_ms").isNull(), 0).otherwise(F.col("cents") * F.col("gap_ms"))
+    )
+    dur = F.sum(F.when(F.col("gap_ms").isNull(), 0).otherwise(F.col("gap_ms")))
+    return (
+        g.groupBy("user_id", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            wsum.alias("__w"),
+            dur.alias("__d"),
+        )
+        .filter(F.col("__d") > 0)
+        .select(
+            "user_id",
+            "day_num",
+            "n_events",
+            F.expr("__w * 1000000 div __d").alias("twap_micro_cents"),
+        )
+    )
+
+
+@register(
+    "x_prefix_rollup",
+    """
+    WITH w AS (
+      SELECT p_partkey, regexp_split_to_array(p_type, ' ') AS words,
+             CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents
+      FROM part
+    ), lv AS (
+      SELECT p_partkey, cents, i AS level,
+             array_to_string(list_slice(words, 1, i), ' ') AS prefix
+      FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    )
+    SELECT prefix, CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM lv GROUP BY prefix, level
+    """,
+)
+def x_prefix_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """HIERARCHICAL PREFIX ROLLUP (the URL-path / category-tree
+    aggregation): every part contributes to each ancestor node of its
+    type path ("STANDARD ANODIZED BRASS" → level-1 "STANDARD", level-2
+    "STANDARD ANODIZED", level-3 full), giving counts and revenue at
+    every depth of the hierarchy in ONE pass — explode the path prefixes
+    (bounded by path depth), one groupBy.  Unlike GROUPING SETS over
+    fixed columns (`a_grouping_sets`), the hierarchy here lives INSIDE a
+    string column with variable depth — the shape of web-path and
+    taxonomy rollups.  Scale: output bounded by distinct tree nodes;
+    explode factor = depth (≤3 here); map-side partial aggregation
+    applies."""
+    p = load_table(spark, sf, "part").select(
+        F.split(F.col("p_type"), " ").alias("words"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    lv = p.select(
+        "cents",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words)),"
+                " i -> struct(i AS level, array_join(slice(words, 1, i), ' ') AS prefix))"
+            )
+        ).alias("lp"),
+    )
+    return (
+        lv.select("cents", F.col("lp.level").cast("long").alias("level"), F.col("lp.prefix").alias("prefix"))
+        .groupBy("prefix", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "x_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs
+    ), benford(digit, expected_micro) AS (
+      VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+             (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    )
+    SELECT b.digit, COALESCE(obs.n, 0) AS n,
+           CAST(COALESCE(obs.n, 0) * 1000000 // tot.total AS BIGINT)
+             AS observed_micro,
+           CAST(b.expected_micro AS BIGINT) AS expected_micro,
+           CAST(abs(COALESCE(obs.n, 0) * 1000000 // tot.total
+                    - b.expected_micro) AS BIGINT) AS abs_dev_micro
+    FROM benford b LEFT JOIN obs ON b.digit = obs.digit CROSS JOIN tot
+    """,
+)
+def x_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit (the fraud/fabrication screen for
+    financial columns): observed leading-digit shares of order totals
+    against the log10(1+1/d) expectation, with absolute deviations — all
+    in integer micro-units (the nine Benford constants are hard-coded
+    micro literals in BOTH engine texts, so no float log ever runs).
+    The leading digit comes from the CENTS integer's decimal string, not
+    the double (float formatting is not portable).  Scale shape: one
+    digit groupBy (9 groups), a 9-row literal table joined broadcast, a
+    1-row total — the audit costs one scan regardless of table size.
+    Synthetic uniform prices do NOT follow Benford — the deviations are
+    the point: the audit flags exactly such distributions."""
+    d = load_table(spark, sf, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    benford = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        ["digit", "expected_micro"],
+    )
+    share = F.expr("coalesce(n, 0) * 1000000 div total")
+    return (
+        benford.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            share.alias("observed_micro"),
+            F.col("expected_micro").cast("long").alias("expected_micro"),
+            F.abs(share - F.col("expected_micro")).cast("long").alias("abs_dev_micro"),
+        )
+    )
+
+
+@register(
+    "x_gini",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS i
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
+                * 1000000
+                // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_micro
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def x_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """GINI COEFFICIENT of revenue concentration per nation — the
+    inequality complement of `x_abc_analysis`: from the rank-sum identity
+    ``G = (2·Σᵢ i·xᵢ - (n+1)·Σx) / (n·Σx)`` over ascending-sorted
+    customer revenues, emitted in exact integer micro-units (one
+    cross-multiplied division at the very end; rank ties pinned by
+    custkey so the rank-weighted sum is deterministic — the identity's
+    value is tie-order-independent anyway since tied x's swap equal
+    products).  Scale shape: orders reduce to one row per customer (one
+    groupBy), ranks come from a window partitioned by nation over the
+    customer DIMENSION, then one aggregate — event-volume independent
+    after the first reduction.  Overflow bound: the rank-weighted sum is
+    ≤ n²·max_cents — switch the accumulator to DECIMAL(38,0) (and keep
+    the final micro division) once n·√max_cents approaches 2^31."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    r = rev.withColumn("i", F.row_number().over(w))
+    return r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        # 128-bit intermediate: the numerator·10^6 product passes the
+        # BIGINT ceiling already at sf0.1 nation sizes (caught by the
+        # full-registry sf0.1 parity sweep, faulted under ANSI mode)
+        F.expr(
+            "CAST((CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)"
+            " AS DECIMAL(38,0)) * 1000000)"
+            " div (count(*) * sum(cents)) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+@register(
+    "x_weighted_median",
+    """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), agg AS (
+      SELECT l_returnflag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM li GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, price_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM agg
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MIN(tot_w) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum_w >= tot_w
+    GROUP BY l_returnflag
+    """,
+)
+def x_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED MEDIAN per group (robust stats the built-in percentile
+    can't weight): the smallest price whose cumulative quantity-weight
+    reaches half the group's total — the lower weighted median, selected
+    by integer cross-multiplication (``2·cum ≥ tot``), no interpolation,
+    no float.  Scale shape: raw lineitem first collapses to one row per
+    (group, distinct value) — the decisive reduction when values repeat —
+    then one window partitioned by group and a min-aggregate.  At
+    extreme distinct-value cardinality the same structure runs on a
+    value-histogram (bucket the cents) for an approximate weighted
+    median with bounded error."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    agg = li.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = agg.withColumn("cum_w", F.sum("w").over(wc)).withColumn(
+        "tot_w", F.sum("w").over(wt)
+    )
+    return (
+        c.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.min("tot_w").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "x_binned_interval_join",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_ms(ts) AS s_ms FROM events
+      WHERE event_type = 'signup'
+    ), p AS (
+      SELECT user_id, epoch_ms(ts) AS p_ms FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.s_ms, p.p_ms, CAST(p.p_ms - s.s_ms AS BIGINT) AS lag_ms
+    FROM s JOIN p ON s.user_id = p.user_id
+      AND p.p_ms >= s.s_ms AND p.p_ms < s.s_ms + 3600000
+    """,
+)
+def x_binned_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LARGE×LARGE temporal band join via TIME-BIN BLOCKING — the batch
+    twin of the watermarked stream-stream interval join
+    (`t_stream_interval_join`), and the shape that survives when NEITHER
+    side broadcasts: a raw ``p.ts BETWEEN s.ts AND s.ts+1h`` theta join
+    degenerates to per-key nested loops, so instead each signup is
+    EXPLODED into the (at most two) hour bins its window touches and the
+    join runs as an equi-join on ``(user, bin)`` with the exact band
+    predicate as a residual filter.  Equi-join ⇒ hash-partitioned
+    shuffle, no nested loop, and the bin fan-out is bounded by
+    ``ceil(window/bin)+1 = 2``.  The oracle states the SEMANTIC theta
+    join (DuckDB's optimizer handles small data); equality proves the
+    blocking rewrite exact.  Bin width = band width is the fan-out/
+    selectivity sweet spot; skewed users additionally salt within
+    (user, bin)."""
+    e = load_table(spark, sf, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.unix_millis("ts").alias("s_ms")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_millis("ts").alias("p_ms")
+    )
+    BIN = 3_600_000
+    s_binned = s.select(
+        "user_id",
+        "s_ms",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_ms div {BIN}"), F.expr(f"(s_ms + {BIN - 1}) div {BIN}")
+            )
+        ).alias("bin"),
+    )
+    p_binned = p.withColumn("bin", F.expr(f"p_ms div {BIN}"))
+    return (
+        s_binned.join(p_binned, ["user_id", "bin"])
+        .filter(
+            (F.col("p_ms") >= F.col("s_ms")) & (F.col("p_ms") < F.col("s_ms") + BIN)
+        )
+        .select(
+            "user_id", "s_ms", "p_ms", (F.col("p_ms") - F.col("s_ms")).alias("lag_ms")
+        )
+    )
+
+
+@register(
+    "x_longest_streak",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_num
+      FROM events
+    ), isl AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+               AS grp
+      FROM ud
+    ), streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day_num) AS BIGINT) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start
+    FROM best WHERE rn = 1 AND user_id < 100
+    """,
+)
+def x_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
+    """LONGEST CONSECUTIVE-DAY STREAK per user (the engagement/gamified
+    metric): the discrete gaps-and-islands identity — consecutive days
+    share a constant ``day - row_number`` — groups each run in one window
+    pass, then a per-user argmax picks the longest (earliest start breaks
+    ties).  The INTERVAL twin (`x_interval_merge`) coalesces overlapping
+    time ranges; this is the integer-grid form.  Scale shape: events
+    collapse to distinct user-days first, both windows partition on the
+    user key (one shuffle, reused), output bounded to users < 100."""
+    from pyspark.sql import Window
+
+    ud = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias(
+                "day_num"
+            ),
+        )
+        .distinct()
+    )
+    wi = Window.partitionBy("user_id").orderBy("day_num")
+    isl = ud.withColumn("grp", F.col("day_num") - F.row_number().over(wi))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day_num").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("user_id") < 100))
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
+
+
+@register(
+    "f_map_pack",
+    """
+    WITH arr AS (
+      SELECT event_id, generate_series(1, 1 + event_id % 4) AS ks
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           CAST(len(ks) AS INTEGER) AS n_keys,
+           CAST(COALESCE(list_aggregate(
+             list_filter(list_transform(ks, k -> k * event_id + k),
+                         x -> x % 2 = 0), 'sum'), 0) AS BIGINT) AS sum_even_vals,
+           CAST(event_id AS BIGINT) AS lookup_1,
+           CAST(len(ks) + 1 AS INTEGER) AS n_after_concat
+    FROM arr
+    """,
+)
+def f_map_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """MAP-typed column surface (§2.9 completion alongside the array
+    `f_hof_pack`): ``map_from_arrays`` construction, ``transform_values``,
+    ``map_filter``, ``map_values`` fold, ``element_at`` lookup, and
+    ``map_concat`` — all JVM-side Catalyst map expressions, zero
+    shuffles.  Outputs are scalars (maps never reach the checked schema),
+    and the oracle recomputes them with plain list arithmetic — DuckDB
+    needs no map type to certify the values."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    ks = F.sequence(F.lit(1).cast("long"), 1 + F.col("event_id") % 4)
+    m = F.map_from_arrays(ks, F.transform(ks, lambda k: k * F.col("event_id")))
+    tv = F.transform_values(m, lambda k, v: v + k)
+    mf = F.map_filter(tv, lambda k, v: v % 2 == 0)
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.aggregate(
+            F.map_values(mf), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_even_vals"),
+        F.element_at(m, F.lit(1).cast("long")).alias("lookup_1"),
+        F.size(F.map_concat(m, F.create_map(F.lit(0).cast("long"), F.lit(7).cast("long")))).alias(
+            "n_after_concat"
+        ),
+    )
+
+
+@register(
+    "x_pii_redact",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1 (555) 123-4567' ELSE '' END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM enriched
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                + len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]'))
+                AS BIGINT) AS n_redactions,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS n_chars_after
+    FROM red
+    WHERE text <> redacted
+    """,
+)
+def x_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII REDACTION transform — the rewrite half of the governance pair
+    (`x_pii_scan` is the triage half): plant deterministic email/URL/
+    phone strings, then chain three global ``regexp_replace`` passes
+    (email → URL → phone, fixed order so overlapping matches resolve
+    identically everywhere) and emit the redaction count plus the md5 of
+    the REDACTED text — the oracle recomputes the same replacements, so
+    a hash match certifies byte-identical redacted output, not just
+    matching counts.  Patterns are lookahead-free (Java regex ≡ RE2).
+    Pure map-side column expressions; rows only for docs that changed."""
+    d = load_table(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://example.org/doc/"), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call +1 (555) 123-4567")).otherwise(
+            ""
+        ),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    e = d.select(F.col("doc_id"), text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(url), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(phone), 0))
+    )
+    return (
+        e.withColumn("redacted", redacted)
+        .filter(F.col("text") != F.col("redacted"))
+        .select(
+            "doc_id",
+            n_red.cast("long").alias("n_redactions"),
+            F.md5("redacted").alias("redacted_md5"),
+            F.length("redacted").cast("long").alias("n_chars_after"),
+        )
+    )
+
+
+@register(
+    "x_kcore_trade",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 100000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ), kv AS (
+      SELECT 1 + COUNT(*) // COUNT(DISTINCT src) AS k FROM edges
+    ), d1 AS (
+      SELECT src, COUNT(*) AS c FROM edges GROUP BY src
+    ), keep1 AS (
+      SELECT src FROM d1 CROSS JOIN kv WHERE c >= k
+    ), e1 AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN keep1 a ON e.src = a.src JOIN keep1 b ON e.dst = b.src
+    ), d2 AS (
+      SELECT src, COUNT(*) AS c FROM e1 GROUP BY src
+    ), keep2 AS (
+      SELECT src FROM d2 CROSS JOIN kv WHERE c >= k
+    ), e2 AS (
+      SELECT e.src, e.dst FROM e1 e
+      JOIN keep2 a ON e.src = a.src JOIN keep2 b ON e.dst = b.src
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM kv) AS k,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_core_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_core_edges,
+           CAST(SUM(DISTINCT src) AS BIGINT) AS sum_node,
+           CAST(MIN(src) AS BIGINT) AS min_node,
+           CAST(MAX(src) AS BIGINT) AS max_node
+    FROM e2
+    """,
+)
+def x_kcore_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """K-CORE of the trade graph
+    (:func:`kafka_streaming_spark.functions.graph.k_core`): two peeling
+    rounds removing nodes below k = 1 + average degree — the dense-core
+    extraction that strips marginal participants before community/
+    influence analysis (the "remove the long tail, keep the engine room"
+    operator).  k derives from the graph itself (integer mean degree), so
+    the query stays non-vacuous at every scale factor even though
+    absolute degrees grow ~linearly with SF.  Deterministic (degree
+    thresholds have no tie ambiguity) ⇒ the peels unroll exactly into
+    CTEs.  Completes the iterative-graph family: PageRank, label
+    propagation, connected components, BFS, triangles, k-core.  One
+    bounded scalar collect (the 1-row k), same policy as the CC round
+    scalar."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + 100000).alias("v"),
+        )
+        .distinct()
+    )
+    # cache: the distinct-pair build feeds BOTH the k scalar and round-1
+    # peeling — without it the lineitem⋈orders distinct executes twice
+    edges = G.undirect(pairs).cache()
+    k = edges.agg(
+        F.expr("1 + count(*) div count(DISTINCT src)").alias("k")
+    ).collect()[0]["k"]
+    core = G.k_core(edges, int(k), rounds=2)
+    # k_core materializes each peeled shell (and now preserves caller
+    # caches instead of evicting them — ADVICE r6), so the raw edge list
+    # has served both its consumers; release it here or two full edge
+    # lists stay pinned through the final aggregate.
+    edges.unpersist()
+    return core.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.countDistinct("src").alias("n_core_nodes"),
+        F.count(F.lit(1)).alias("n_core_edges"),
+        F.sum_distinct(F.col("src")).cast("long").alias("sum_node"),
+        F.min("src").alias("min_node"),
+        F.max("src").alias("max_node"),
+    )
+
+
+@register(
+    "x_chi2_independence",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg, n_name AS nat
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), obs AS (
+      SELECT seg, nat, COUNT(*) AS o FROM base GROUP BY seg, nat
+    ), rt AS (
+      SELECT seg, COUNT(*) AS rtot FROM base GROUP BY seg
+    ), ct AS (
+      SELECT nat, COUNT(*) AS ctot FROM base GROUP BY nat
+    ), tot AS (
+      SELECT COUNT(*) AS nn FROM base
+    ), grid AS (
+      SELECT r.seg, c.nat, r.rtot, c.ctot, COALESCE(o.o, 0) AS o, t.nn
+      FROM rt r CROSS JOIN ct c CROSS JOIN tot t
+      LEFT JOIN obs o ON o.seg = r.seg AND o.nat = c.nat
+    ), cells AS (
+      SELECT seg, nat, nn,
+             CAST(FLOOR(
+               CAST(o * nn - rtot * ctot AS DOUBLE)
+               * CAST(o * nn - rtot * ctot AS DOUBLE)
+               / (CAST(nn AS DOUBLE) * CAST(rtot AS DOUBLE)
+                  * CAST(ctot AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS cell_micro
+      FROM grid
+    ), agg AS (
+      SELECT MAX(nn) AS n_obs,
+             COUNT(DISTINCT seg) AS r_levels,
+             COUNT(DISTINCT nat) AS c_levels,
+             CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro
+      FROM cells
+    )
+    SELECT CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(r_levels AS BIGINT) AS r_levels,
+           CAST(c_levels AS BIGINT) AS c_levels,
+           CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+           chi2_micro,
+           CAST(FLOOR(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+                           / (CAST(n_obs AS DOUBLE)
+                              * CAST(LEAST(r_levels - 1, c_levels - 1)
+                                     AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS cramers_v_micro
+    FROM agg
+    """,
+)
+def x_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST between two categorical columns
+    (market segment × nation over customers) — the categorical-association
+    screen of feature selection and drift audits, with Cramér's V as the
+    normalized effect size.  Numeric policy: every per-cell term
+    ``(O·N − R·C)² / (N·R·C)`` is computed from EXACT BIGINT factors
+    through a fixed chain of IEEE-deterministic double ops (multiply /
+    divide / sqrt are correctly rounded, identical across engines), then
+    floored to a per-cell micro BIGINT — so the SUM is order-independent
+    integer arithmetic and hash-stable, the same trick the other micro
+    queries use but extended to a two-sided expected-counts grid.  The
+    grid is the cross join of the two marginal tables (≤ r×c = 125 rows,
+    CONSTANT at every SF — the only cross join), left-joined against
+    observed cells so zero-observed cells still contribute their
+    expected-count mass.  Scale shape: raw rows reduce to three marginal
+    aggregates + one contingency groupBy, everything after is
+    constant-size."""
+    c = load_table(spark, sf, "customer").select("c_mktsegment", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat"))
+        .cache()
+    )
+    obs = base.groupBy("seg", "nat").agg(F.count(F.lit(1)).alias("o"))
+    rt = base.groupBy("seg").agg(F.count(F.lit(1)).alias("rtot"))
+    ct = base.groupBy("nat").agg(F.count(F.lit(1)).alias("ctot"))
+    tot = base.agg(F.count(F.lit(1)).alias("nn"))
+    grid = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["seg", "nat"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    d = F.col("o") * F.col("nn") - F.col("rtot") * F.col("ctot")
+    cells = grid.select(
+        "seg",
+        "nat",
+        "nn",
+        F.floor(
+            d.cast("double")
+            * d.cast("double")
+            / (
+                F.col("nn").cast("double")
+                * F.col("rtot").cast("double")
+                * F.col("ctot").cast("double")
+            )
+            * F.lit(1000000.0)
+        ).alias("cell_micro"),
+    )
+    agg = cells.agg(
+        F.max("nn").alias("n_obs"),
+        F.countDistinct("seg").alias("r_levels"),
+        F.countDistinct("nat").alias("c_levels"),
+        F.sum("cell_micro").cast("long").alias("chi2_micro"),
+    )
+    return agg.select(
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+        .cast("long")
+        .alias("dof"),
+        "chi2_micro",
+        F.floor(
+            F.sqrt(
+                (F.col("chi2_micro").cast("double") / F.lit(1000000.0))
+                / (
+                    F.col("n_obs").cast("double")
+                    * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1).cast(
+                        "double"
+                    )
+                )
+            )
+            * F.lit(1000000.0)
+        ).alias("cramers_v_micro"),
+    )
+
+
+@register(
+    "x_grid_nearest_join",
+    """
+    WITH sg AS (
+      SELECT s_suppkey,
+             CAST(concat('0x', substr(md5('xs' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS sx,
+             CAST(concat('0x', substr(md5('ys' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS sy
+      FROM supplier
+    ), qg AS (
+      SELECT c_custkey,
+             CAST(concat('0x', substr(md5('xc' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS cx,
+             CAST(concat('0x', substr(md5('yc' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS cy
+      FROM customer WHERE c_custkey <= 500
+    ), cand AS (
+      SELECT q.c_custkey, s.s_suppkey,
+             (s.sx - q.cx) * (s.sx - q.cx)
+             + (s.sy - q.cy) * (s.sy - q.cy) AS dist2
+      FROM qg q
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+      JOIN sg s ON s.sx // 20000 = q.cx // 20000 + ox.dx
+              AND s.sy // 20000 = q.cy // 20000 + oy.dy
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rn
+      FROM cand
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(s_suppkey AS BIGINT) AS nearest_suppkey,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_grid_nearest_join(spark: SparkSession, sf: str) -> DataFrame:
+    """GRID-BLOCKED SPATIAL NEAREST-NEIGHBOR JOIN — the geohash/grid-cell
+    blocking pattern for spatial joins at scale: points land in fixed
+    cells (coord ÷ 20000 on a 1M×1M integer plane → 50×50 grid), each
+    query probes only its 3×3 cell neighborhood (a 9-way key-offset
+    equi-join — never a distance cross join), and the nearest candidate
+    wins by exact integer squared distance with key tiebreak.  The same
+    shape serves geo point-of-interest lookup, sensor-to-station
+    assignment, and any metric-space blocking where a cell bound on the
+    search radius holds.  Coordinates derive from the cross-engine md5
+    hash family (:func:`~kafka_streaming_spark.functions.dedup.portable_hash60`)
+    so both engines see identical geometry; the query side is a bounded
+    key range (≤500), candidates per query are bounded by cell density.
+    Matched-only semantics: a query with an empty neighborhood is
+    correctly absent (the blocked form's contract — widen the grid, not
+    the join, to lower the miss rate).  Nearest-per-query is a struct-min
+    AGGREGATE (not a window sort) on the Spark side; the oracle's
+    row_number form is the same argmin."""
+    sup = load_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.pmod(
+            D.portable_hash60(F.concat(F.lit("xs"), F.col("s_suppkey").cast("string"))),
+            F.lit(1000000),
+        ).alias("sx"),
+        F.pmod(
+            D.portable_hash60(F.concat(F.lit("ys"), F.col("s_suppkey").cast("string"))),
+            F.lit(1000000),
+        ).alias("sy"),
+    )
+    qry = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("xc"), F.col("c_custkey").cast("string"))
+                ),
+                F.lit(1000000),
+            ).alias("cx"),
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("yc"), F.col("c_custkey").cast("string"))
+                ),
+                F.lit(1000000),
+            ).alias("cy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    )
+    cand = qry.join(
+        sup,
+        (F.expr("sx DIV 20000") == F.expr("cx DIV 20000") + F.col("dx"))
+        & (F.expr("sy DIV 20000") == F.expr("cy DIV 20000") + F.col("dy")),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx"))
+            + (F.col("sy") - F.col("cy")) * (F.col("sy") - F.col("cy"))
+        ).alias("dist2"),
+    )
+    return (
+        cand.groupBy("c_custkey")
+        .agg(
+            F.min(
+                F.struct(F.col("dist2").alias("d"), F.col("s_suppkey").alias("k"))
+            ).alias("m")
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("m.k").cast("long").alias("nearest_suppkey"),
+            F.col("m.d").cast("long").alias("dist2"),
+        )
+    )
+
+
+def _nation_daily_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared series builder for the per-nation time-series operators
+    (`x_acf_lag`, `x_sax_symbols`, `x_rolling_median`): one row per
+    (nation, day) with exact revenue cents — raw orders reduce here
+    FIRST, so every downstream window runs on the ~nation×2400-row
+    series, never on order volume."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT)").alias(
+            "day"
+        ),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nat"), "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+
+
+@register(
+    "x_acf_lag",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT nat, day, x,
+             lag(x, 1) OVER (PARTITION BY nat ORDER BY day) AS x1,
+             lag(x, 7) OVER (PARTITION BY nat ORDER BY day) AS x7
+      FROM daily
+    ), stats AS (
+      SELECT nat, day, x, x1, x7,
+             COUNT(*) OVER (PARTITION BY nat) AS nn,
+             CAST(SUM(x) OVER (PARTITION BY nat) AS BIGINT) AS s
+      FROM lagged
+    ), terms AS (
+      SELECT nat, nn,
+             CAST(FLOOR(CAST(nn * x - s AS DOUBLE)
+                        * CAST(nn * x - s AS DOUBLE)
+                        / 10000000000000.0) AS BIGINT) AS den_t,
+             CASE WHEN x1 IS NULL THEN NULL ELSE
+               CAST(FLOOR(CAST(nn * x - s AS DOUBLE)
+                          * CAST(nn * x1 - s AS DOUBLE)
+                          / 10000000000000.0) AS BIGINT) END AS num1_t,
+             CASE WHEN x7 IS NULL THEN NULL ELSE
+               CAST(FLOOR(CAST(nn * x - s AS DOUBLE)
+                          * CAST(nn * x7 - s AS DOUBLE)
+                          / 10000000000000.0) AS BIGINT) END AS num7_t
+      FROM stats
+    ), byn AS (
+      SELECT nat, MAX(nn) AS n_days,
+             CAST(SUM(den_t) AS BIGINT) AS den,
+             CAST(SUM(num1_t) AS BIGINT) AS num1,
+             CAST(SUM(num7_t) AS BIGINT) AS num7
+      FROM terms GROUP BY nat
+    )
+    SELECT nat AS n_name, CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(num AS DOUBLE) * 1000000.0
+                      / CAST(den AS DOUBLE), 0) AS BIGINT) AS acf_micro
+    FROM (
+      SELECT nat, n_days, den, 1 AS lag_k, num1 AS num FROM byn
+      UNION ALL
+      SELECT nat, n_days, den, 7 AS lag_k, num7 AS num FROM byn
+    )
+    """,
+)
+def x_acf_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG-k AUTOCORRELATION (sample ACF at lags 1 and 7) of each
+    nation's daily revenue series — the time-series diagnostic behind
+    seasonality detection and forecast-model selection (`x_seasonal_baseline`
+    asserts a weekly profile; this MEASURES whether one exists).  Mean
+    centering is cross-multiplied into integers (``n·xₜ − S``) so no
+    float mean ever forms; each lag product flows through one fixed
+    IEEE-deterministic double multiply and a 1e13-scaled floor to a
+    per-row micro BIGINT, making both sums order-independent exact
+    integers (overflow-safe through a 100× replica: |n·x−S| ≲ 1e13 ⇒
+    term ≲ 1e13, ×2400 days ≪ 2⁶³).  Scale shape: raw orders reduce to
+    one row per (nation, day) FIRST; the lag/stat windows and the final
+    fold run on the ~nation×2400-row daily table, one partition-key
+    shuffle end-to-end.  Row-lag semantics over observed days (standard
+    sparse-series ACF); denominator spans all n terms, numerator the
+    n−k overlapped pairs."""
+    daily = _nation_daily_cents(spark, sf)
+    from pyspark.sql.window import Window
+
+    wo = Window.partitionBy("nat").orderBy("day")
+    wp = Window.partitionBy("nat")
+    stats = (
+        daily.withColumn("x1", F.lag("x", 1).over(wo))
+        .withColumn("x7", F.lag("x", 7).over(wo))
+        .withColumn("nn", F.count(F.lit(1)).over(wp))
+        .withColumn("s", F.sum("x").over(wp).cast("long"))
+    )
+    dev = (F.col("nn") * F.col("x") - F.col("s")).cast("double")
+    scale = F.lit(10000000000000.0)
+
+    def _lag_term(col: str) -> Column:
+        lagdev = (F.col("nn") * F.col(col) - F.col("s")).cast("double")
+        return F.when(
+            F.col(col).isNull(), F.lit(None).cast("long")
+        ).otherwise(F.floor(dev * lagdev / scale))
+
+    terms = stats.select(
+        "nat",
+        "nn",
+        F.floor(dev * dev / scale).alias("den_t"),
+        _lag_term("x1").alias("num1_t"),
+        _lag_term("x7").alias("num7_t"),
+    )
+    byn = terms.groupBy("nat").agg(
+        F.max("nn").alias("n_days"),
+        F.sum("den_t").cast("long").alias("den"),
+        F.sum("num1_t").cast("long").alias("num1"),
+        F.sum("num7_t").cast("long").alias("num7"),
+    )
+    unioned = byn.select(
+        "nat", "n_days", "den", F.lit(1).alias("lag_k"), F.col("num1").alias("num")
+    ).unionAll(
+        byn.select(
+            "nat", "n_days", "den", F.lit(7).alias("lag_k"), F.col("num7").alias("num")
+        )
+    )
+    return unioned.select(
+        F.col("nat").alias("n_name"),
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("num").cast("double") * F.lit(1000000.0) / F.col("den").cast("double"), 0)
+        .cast("long")
+        .alias("acf_micro"),
+    )
+
+
+@register(
+    "x_bitmap_rollup",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      FROM events
+    ), mn AS (
+      SELECT MIN(day) AS min_day FROM e
+    ), slots AS (
+      SELECT user_id, event_type, day - min_day AS slot
+      FROM e CROSS JOIN mn WHERE day - min_day < 63
+    ), masks AS (
+      SELECT user_id, event_type,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(slot AS INTEGER)) AS BIGINT)
+               AS mask
+      FROM slots GROUP BY user_id, event_type
+    ), j AS (
+      SELECT a.user_id, a.mask AS ma, b.mask AS mb
+      FROM (SELECT user_id, mask FROM masks WHERE event_type = 'click') a
+      JOIN (SELECT user_id, mask FROM masks WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+    )
+    SELECT CAST(bit_count(ma & mb) AS BIGINT) AS overlap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(bit_count(ma | mb)) AS BIGINT) AS sum_union_days,
+           CAST(SUM(bit_count(ma)) AS BIGINT) AS sum_click_days
+    FROM j GROUP BY 1
+    """,
+)
+def x_bitmap_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """BITMAP-INDEX ACTIVITY ROLLUP — the roaring-bitmap/audience-segment
+    pattern in pure engine integers: each user's active days over a
+    63-day window collapse into ONE BIGINT bitset (``bit_or`` of
+    ``1 << slot``), after which audience intersections are bitwise AND +
+    popcount on 8-byte values instead of day-level joins.  Here: users
+    active in BOTH 'click' and 'purchase', histogrammed by number of
+    co-active days, with union/click-day mass per bucket.  This is the
+    compose-without-rescanning property for set-membership — segment
+    overlap matrices at 100 TB become k² mask joins on pre-reduced
+    per-user rows, never k² event scans.  The 63-slot bound keeps the
+    bitset inside a signed BIGINT (no sign-bit aliasing); the only
+    collect-free scalar is the 1-row min-day broadcast.  Output ≤ 64
+    histogram rows."""
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day"),
+    )
+    mn = e.agg(F.min("day").alias("min_day"))
+    slots = (
+        e.crossJoin(F.broadcast(mn))
+        .withColumn("slot", F.col("day") - F.col("min_day"))
+        .filter(F.col("slot") < 63)
+    )
+    masks = (
+        slots.groupBy("user_id", "event_type")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(slot AS INT)))"
+            ).alias("mask")
+        )
+        .cache()  # feeds both audience filters — one event scan, not two
+    )
+    a = masks.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("mask").alias("ma")
+    )
+    b = masks.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("mask").alias("mb")
+    )
+    j = a.join(b, "user_id")
+    return (
+        j.groupBy(
+            F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+            .cast("long")
+            .alias("overlap_days")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.bit_count(F.col("ma").bitwiseOR(F.col("mb"))))
+            .cast("long")
+            .alias("sum_union_days"),
+            F.sum(F.bit_count(F.col("ma"))).cast("long").alias("sum_click_days"),
+        )
+    )
+
+
+@register(
+    "x_golden_record",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+                  AS BIGINT) AS ck
+      FROM documents
+    ), sizes AS (
+      SELECT ck, COUNT(*) AS n_members FROM d GROUP BY ck HAVING COUNT(*) > 1
+    ), m AS (
+      SELECT d.* FROM d JOIN sizes USING (ck)
+    ), lang_rank AS (
+      SELECT ck, lang, ROW_NUMBER() OVER (
+        PARTITION BY ck ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM m GROUP BY ck, lang
+    ), src_rank AS (
+      SELECT ck, source, ROW_NUMBER() OVER (
+        PARTITION BY ck ORDER BY COUNT(*) DESC, source) AS rn
+      FROM m GROUP BY ck, source
+    ), base AS (
+      SELECT ck, CAST(MIN(doc_id) AS BIGINT) AS golden_id,
+             CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM m GROUP BY ck
+    )
+    SELECT b.ck, b.golden_id, b.best_n_chars, b.n_members,
+           l.lang AS modal_lang, s.source AS modal_source
+    FROM base b
+    JOIN (SELECT ck, lang FROM lang_rank WHERE rn = 1) l USING (ck)
+    JOIN (SELECT ck, source FROM src_rank WHERE rn = 1) s USING (ck)
+    """,
+)
+def x_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """GOLDEN-RECORD CONSOLIDATION — the survivorship step after entity
+    blocking: records blocked into candidate-duplicate clusters (here the
+    40-char text prefix through the cross-engine md5 hash — the blocking
+    key under which the corpus's planted near-dup variants collide at
+    every SF) are merged into ONE canonical row per cluster: modal lang
+    and modal source (most frequent wins, lexicographic tiebreak), the
+    longest variant's n_chars, the smallest doc_id as the surviving key.
+    Mode-per-group is a count-then-struct-MIN aggregate (``min((-cnt,
+    val))``) — two key-partitioned aggregations, never a per-cluster
+    window sort over members; all three per-cluster branches join back
+    on the cluster key (co-partitioned, AQE-coalesced).  Singleton
+    blocks are excluded — consolidation output is exactly the clusters
+    where a merge decision existed."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        D.portable_hash60(F.substring(F.col("text"), 1, 40)).alias("ck"),
+    )
+    sizes = (
+        d.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+    m = d.join(sizes.select("ck"), "ck", "left_semi").cache()
+
+    def _mode(col: str, out: str) -> DataFrame:
+        return (
+            m.groupBy("ck", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("ck")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col(col).alias("v"))
+                ).alias("mm")
+            )
+            .select("ck", F.col("mm.v").alias(out))
+        )
+
+    base = m.groupBy("ck").agg(
+        F.min("doc_id").cast("long").alias("golden_id"),
+        F.max("n_chars").cast("long").alias("best_n_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        base.join(_mode("lang", "modal_lang"), "ck")
+        .join(_mode("source", "modal_source"), "ck")
+        .select(
+            "ck",
+            "golden_id",
+            "best_n_chars",
+            "n_members",
+            "modal_lang",
+            "modal_source",
+        )
+    )
+
+
+@register(
+    "x_decile_lift",
+    """
+    WITH hist AS (
+      SELECT n_chars AS score, COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+      FROM documents GROUP BY n_chars
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(SUM(pos) AS BIGINT) AS total_pos
+      FROM hist
+    ), cum AS (
+      SELECT score, n, pos,
+             COALESCE(CAST(SUM(n) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS cum_before
+      FROM hist
+    ), dec AS (
+      SELECT 1 + 10 * cum_before // total_n AS decile,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM cum CROSS JOIN tot
+      GROUP BY 1
+    ), folded AS (
+      SELECT decile, n_rows, n_pos,
+             CAST(SUM(n_rows) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      FROM dec
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+           CAST(n_pos * 1000000 // n_rows AS BIGINT) AS rate_micro,
+           cum_n, cum_pos,
+           CAST(cum_pos * total_n * 1000000 // (cum_n * total_pos)
+                AS BIGINT) AS cum_lift_micro
+    FROM folded CROSS JOIN tot
+    """,
+)
+def x_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """DECILE LIFT / GAINS TABLE — the model-evaluation ranking audit
+    (here: does the n_chars 'score' concentrate English docs in its top
+    deciles?): rows ranked by score, cut into population deciles, each
+    reporting positive rate and cumulative lift vs the base rate.  The
+    100 TB shape is the whole point: NO global row sort or ntile —
+    scores first collapse to a bounded value histogram (distinct
+    n_chars, constant-order cardinality), deciles derive from cumulative
+    counts over that histogram (``1 + 10·cum_before ÷ N``), and the two
+    ordered windows run over the histogram (~300 rows) and the decile
+    table (≤10 rows).  Ties share a decile (cut points never split a
+    score value — documented gains-table semantics).  All ratios are
+    nonneg integer micro-units; lift cross-multiplies
+    ``cum_pos·N / (cum_n·P)`` exactly (overflow-safe through 100×:
+    cum_pos·N·1e6 ≲ 2.5e17 ≪ 2⁶³)."""
+    d = load_table(spark, sf, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
+    )
+    hist = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_pos").cast("long").alias("pos")
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.sum("pos").cast("long").alias("total_pos"),
+    )
+    from pyspark.sql.window import Window
+
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(wdesc).cast("long"), F.lit(0))
+    )
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.lit(1) + F.expr("10 * cum_before DIV total_n")).alias("decile")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    folded = dec.withColumn(
+        "cum_n", F.sum("n_rows").over(wcum).cast("long")
+    ).withColumn("cum_pos", F.sum("n_pos").over(wcum).cast("long"))
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_rows",
+        "n_pos",
+        F.expr("n_pos * 1000000 DIV n_rows").cast("long").alias("rate_micro"),
+        "cum_n",
+        "cum_pos",
+        F.expr("cum_pos * total_n * 1000000 DIV (cum_n * total_pos)")
+        .cast("long")
+        .alias("cum_lift_micro"),
+    )
+
+
+@register(
+    "x_rrf_fusion",
+    """
+    WITH cand AS (
+      SELECT term, doc_id, n_chars,
+             (length(text) - length(replace(text, term, '')))
+               // length(term) AS tf
+      FROM documents
+      CROSS JOIN (SELECT unnest(['data', 'stream', 'batch']) AS term) t
+    ), hits AS (
+      SELECT term, doc_id, n_chars, tf FROM cand WHERE tf > 0
+    ), ra AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rk
+      FROM hits
+    ), rb AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM hits
+    ), fused AS (
+      SELECT COALESCE(a.term, b.term) AS term,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.rk AS rank_tf, b.rk AS rank_len,
+             COALESCE(1000000 // (60 + a.rk), 0)
+             + COALESCE(1000000 // (60 + b.rk), 0) AS rrf_micro
+      FROM (SELECT * FROM ra WHERE rk <= 20) a
+      FULL OUTER JOIN (SELECT * FROM rb WHERE rk <= 20) b
+        ON a.term = b.term AND a.doc_id = b.doc_id
+    )
+    SELECT term, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(rank_tf, 0) AS BIGINT) AS rank_tf,
+           CAST(COALESCE(rank_len, 0) AS BIGINT) AS rank_len,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rk AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY rrf_micro DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def x_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
+    (keyword + semantic lists merged by ``Σ 1/(60+rank)``, here in exact
+    integer micro units): per query term, candidates rank once by term
+    frequency and once by a second signal (length prior standing in for
+    the dense-retriever score — the fusion algebra is the operator),
+    top-20 of each list full-outer-merge, fused top-10 wins.  Absent
+    ranks contribute 0 (the defining RRF property — presence in both
+    lists compounds).  Scale shape: the per-term candidate set prunes to
+    tf>0 BEFORE any window (postings, not corpus), both rank windows
+    push the small-k top-k limit below their sorts, the merge join is
+    two ≤20-row lists per term.  Determinism: doc_id tiebreaks at every
+    rank; tf from replace-length arithmetic (no regex, no tokenizer
+    divergence)."""
+    terms = F.array(F.lit("data"), F.lit("stream"), F.lit("batch"))
+    d = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars", "text", F.explode(terms).alias("term"))
+        .withColumn(
+            "tf",
+            (
+                (F.length("text") - F.length(F.expr("replace(text, term, '')")))
+                / F.length("term")
+            ).cast("long"),
+        )
+        .filter(F.col("tf") > 0)
+        .select("term", "doc_id", "n_chars", "tf")
+        .cache()
+    )
+    ra = top_k_per_group(
+        d, ["term"], [F.col("tf").desc(), F.col("doc_id").asc()], 20, "rank_tf"
+    ).select("term", "doc_id", "rank_tf")
+    rb = top_k_per_group(
+        d, ["term"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 20, "rank_len"
+    ).select("term", "doc_id", "rank_len")
+    fused = (
+        ra.join(rb, ["term", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(
+                F.expr("1000000 DIV (60 + rank_tf)").cast("long"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000 DIV (60 + rank_len)").cast("long"), F.lit(0)
+            ),
+        )
+        .withColumn("rank_tf", F.coalesce(F.col("rank_tf"), F.lit(0)))
+        .withColumn("rank_len", F.coalesce(F.col("rank_len"), F.lit(0)))
+    )
+    return top_k_per_group(
+        fused,
+        ["term"],
+        [F.col("rrf_micro").desc(), F.col("doc_id").asc()],
+        10,
+        "fused_rank",
+    ).select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank_tf").cast("long").alias("rank_tf"),
+        F.col("rank_len").cast("long").alias("rank_len"),
+        F.col("rrf_micro").cast("long").alias("rrf_micro"),
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+@register(
+    "x_sax_symbols",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), framed AS (
+      SELECT nat,
+             (day - MIN(day) OVER (PARTITION BY nat)) // 30 AS frame,
+             x
+      FROM daily
+    ), paa AS (
+      SELECT nat, frame,
+             CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_cents
+      FROM framed GROUP BY nat, frame
+    ), sym AS (
+      SELECT nat, frame,
+             substr('abcd',
+                    CAST(NTILE(4) OVER (PARTITION BY nat
+                                        ORDER BY mean_cents, frame)
+                         AS INTEGER), 1) AS s
+      FROM paa
+    )
+    SELECT nat AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           string_agg(s, '' ORDER BY frame) AS sax
+    FROM sym GROUP BY nat
+    """,
+)
+def x_sax_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX SYMBOLIZATION (Symbolic Aggregate approXimation) of each
+    nation's daily revenue series — the time-series indexing/motif-mining
+    front end: Piecewise Aggregate Approximation over 30-day frames
+    (integer mean cents, exact ``sum ÷ n``), then each frame quantized
+    to a 4-letter alphabet by ITS nation's own distribution (NTILE over
+    the per-nation frame means, frame-id tiebreak → fully deterministic
+    without the Gaussian-breakpoint float table), concatenated in frame
+    order into one motif string per nation.  Downstream, equal substrings
+    = candidate motifs and string distance lower-bounds series distance —
+    the classic reason to symbolize at 100 TB.  Scale shape: raw orders
+    reduce to (nation, day) FIRST, frames reduce again (~80 per nation),
+    every window runs on the reduced tables along the nation
+    partitioning; the ordered concat is an array_sort fold, not a
+    driver collect."""
+    daily = _nation_daily_cents(spark, sf)
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("nat")
+    framed = daily.select(
+        "nat",
+        ((F.col("day") - F.min("day").over(wp)) / 30).cast("long").alias("frame"),
+        "x",
+    )
+    paa = framed.groupBy("nat", "frame").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mean_cents")
+    )
+    wq = Window.partitionBy("nat").orderBy("mean_cents", "frame")
+    sym = paa.select(
+        "nat",
+        "frame",
+        F.substring(F.lit("abcd"), F.ntile(4).over(wq), 1).alias("s"),
+    )
+    return (
+        sym.groupBy("nat")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(frame, s))),"
+                " p -> p.s), '')"
+            ).alias("sax"),
+        )
+        .select(F.col("nat").alias("n_name"), "n_frames", "sax")
+    )
+
+
+@register(
+    "x_ols_normal_eq",
+    """
+    WITH raw AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+      FROM raw GROUP BY flag
+    ), m AS (
+      SELECT flag, n, sx1, sx2, sy,
+             CAST(n AS DOUBLE) * CAST(sx1x1 AS DOUBLE)
+               - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) AS a11,
+             CAST(n AS DOUBLE) * CAST(sx1x2 AS DOUBLE)
+               - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a12,
+             CAST(n AS DOUBLE) * CAST(sx2x2 AS DOUBLE)
+               - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS a22,
+             CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE)
+               - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+             CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE)
+               - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2
+      FROM s
+    ), fit AS (
+      SELECT flag, n, sx1, sx2, sy, a11, a12, a22, b1, b2,
+             a11 * a22 - a12 * a12 AS det
+      FROM m
+    )
+    SELECT flag AS l_returnflag, n,
+           CAST(ROUND((b1 * a22 - b2 * a12) / det * 1000000.0, 0)
+                AS BIGINT) AS beta_qty_micro,
+           CAST(ROUND((b2 * a11 - b1 * a12) / det * 1000000.0, 0)
+                AS BIGINT) AS beta_disc_micro,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - (b1 * a22 - b2 * a12) / det * CAST(sx1 AS DOUBLE)
+                       - (b2 * a11 - b1 * a12) / det * CAST(sx2 AS DOUBLE))
+                      / CAST(n AS DOUBLE), 0) AS BIGINT) AS intercept_cents
+    FROM fit
+    """,
+)
+def x_ols_normal_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """CLOSED-FORM 2-FEATURE OLS via the normal equations — in-engine
+    model fitting as ONE aggregation pass: per return-flag group, regress
+    line price (cents) on quantity and discount from the nine sufficient
+    statistics (n, Σx, Σxx, Σxy), then solve the centered 2×2 system by
+    Cramer's rule.  This is how regression actually runs at 100 TB — the
+    sufficient statistics are a map-side-combinable aggregate (the model
+    'trains' in the same shuffle an AVG would take), and the solve is
+    O(1) per group.  Determinism: every Σ is an exact BIGINT; the solve
+    is a FIXED chain of IEEE double ops (±,×,÷ are correctly rounded and
+    engine-identical) from those integers, emitted through the
+    round-half-away micro fixed point — bit-identical cross-engine
+    without any iterative fitter.  Degenerate groups (singular det) do
+    not occur on this data (both regressors vary within every flag)."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x2"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = s.select(
+        "flag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (dd("n") * dd("sx1x1") - dd("sx1") * dd("sx1")).alias("a11"),
+        (dd("n") * dd("sx1x2") - dd("sx1") * dd("sx2")).alias("a12"),
+        (dd("n") * dd("sx2x2") - dd("sx2") * dd("sx2")).alias("a22"),
+        (dd("n") * dd("sx1y") - dd("sx1") * dd("sy")).alias("b1"),
+        (dd("n") * dd("sx2y") - dd("sx2") * dd("sy")).alias("b2"),
+    )
+    fit = m.withColumn("det", F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+    beta1 = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / F.col("det")
+    beta2 = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / F.col("det")
+    return fit.select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        F.round(beta1 * F.lit(1000000.0), 0).cast("long").alias("beta_qty_micro"),
+        F.round(beta2 * F.lit(1000000.0), 0).cast("long").alias("beta_disc_micro"),
+        F.round(
+            (dd("sy") - beta1 * dd("sx1") - beta2 * dd("sx2")) / dd("n"), 0
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+    )
+
+
+@register(
+    "x_preference_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+                  AS BIGINT) AS blk
+      FROM documents
+    ), multi AS (
+      SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 1
+    ), m AS (
+      SELECT d.* FROM d JOIN multi USING (blk)
+    ), ranked AS (
+      SELECT blk, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY n_chars DESC, doc_id) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY n_chars ASC, doc_id DESC) AS rw
+      FROM m
+    ), counts AS (
+      SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM m GROUP BY blk
+    )
+    SELECT b.blk,
+           CAST(b.doc_id AS BIGINT) AS chosen_id,
+           CAST(w.doc_id AS BIGINT) AS rejected_id,
+           CAST(b.n_chars AS BIGINT) AS chosen_score,
+           CAST(w.n_chars AS BIGINT) AS rejected_score,
+           CAST(b.n_chars - w.n_chars AS BIGINT) AS margin,
+           c.n_candidates
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (blk)
+    JOIN counts c USING (blk)
+    WHERE b.n_chars > w.n_chars
+    """,
+)
+def x_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """PREFERENCE-PAIR MINING — contrastive (chosen, rejected) pair
+    construction for preference/reward training: within each prompt
+    block (the 40-char-prefix near-dup family, same blocking as
+    `x_golden_record`), the highest-scoring variant becomes `chosen`,
+    the lowest `rejected`, with the score margin attached (pairs with
+    zero margin are dropped — no learning signal).  The score is the
+    deterministic n_chars stand-in; swap in any quality column and the
+    shape holds.  Both extremes come from ONE aggregate over the
+    members (struct-min with sign tricks: ``min((-score, id))`` is the
+    argmax with min-id tiebreak, ``min((score, -id))`` the argmin with
+    max-id tiebreak) — never a per-block window sort, so pair mining
+    stays a two-shuffle groupBy at 100 TB (the oracle's window form is
+    the same argmin/argmax with matching tiebreaks)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        D.portable_hash60(F.substring(F.col("text"), 1, 40)).alias("blk"),
+    )
+    multi = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("blk")
+    )
+    m = d.join(multi, "blk", "left_semi")
+    ranked = m.groupBy("blk").agg(
+        F.min(
+            F.struct((-F.col("n_chars")).alias("ns"), F.col("doc_id").alias("id"))
+        ).alias("best"),
+        F.min(
+            F.struct(F.col("n_chars").alias("s"), (-F.col("doc_id")).alias("nid"))
+        ).alias("worst"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        ranked.filter(-F.col("best.ns") > F.col("worst.s"))
+        .select(
+            "blk",
+            F.col("best.id").cast("long").alias("chosen_id"),
+            (-F.col("worst.nid")).cast("long").alias("rejected_id"),
+            (-F.col("best.ns")).cast("long").alias("chosen_score"),
+            F.col("worst.s").cast("long").alias("rejected_score"),
+            (-F.col("best.ns") - F.col("worst.s")).cast("long").alias("margin"),
+            "n_candidates",
+        )
+    )
+
+
+@register(
+    "x_leakage_safe_split",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+                  AS BIGINT) AS blk
+      FROM documents
+    ), anchors AS (
+      SELECT blk, MIN(doc_id) AS anchor FROM d GROUP BY blk
+    ), assigned AS (
+      SELECT d.doc_id, d.n_chars, d.blk,
+             CASE WHEN CAST(concat('0x', substr(md5('split'
+                        || CAST(a.anchor AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM d JOIN anchors a USING (blk)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM assigned GROUP BY split
+    """,
+)
+def x_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE TRAIN/TEST SPLIT — the contamination-proof
+    alternative to row-level splitting: every document inherits the
+    split of its NEAR-DUP CLUSTER (40-char-prefix block), decided by
+    hashing the cluster's anchor (min doc_id), so two near-identical
+    variants can never land on opposite sides of the split — the
+    train-on-test-paraphrase leak that row hashing
+    (`x_doc_split`) permits by construction.  80/20 via the
+    cross-engine md5 hash of the anchor; deterministic, retry-stable,
+    engine-identical.  Scale shape: one groupBy for anchors, one
+    key-partitioned join back, one final fold — the anchor join stays
+    on the block key end-to-end.  By construction
+    ``n_clusters('train') + n_clusters('test') = total distinct
+    blocks`` (no straddling cluster — the audited invariant)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        D.portable_hash60(F.substring(F.col("text"), 1, 40)).alias("blk"),
+    )
+    anchors = d.groupBy("blk").agg(F.min("doc_id").alias("anchor"))
+    assigned = d.join(anchors, "blk").withColumn(
+        "split",
+        F.when(
+            F.pmod(
+                D.portable_hash60(
+                    F.concat(F.lit("split"), F.col("anchor").cast("string"))
+                ),
+                F.lit(10),
+            )
+            < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("blk").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
+@register(
+    "x_rolling_median",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT nat, day, x,
+             list(x) OVER (PARTITION BY nat ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+      FROM daily
+    )
+    SELECT nat AS n_name, day, x,
+           CAST(len(w) AS BIGINT) AS w_size,
+           CAST(list_sort(w)[CAST((len(w) + 1) // 2 AS INTEGER)]
+                AS BIGINT) AS med7_cents
+    FROM win
+    """,
+)
+def x_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING MEDIAN (trailing 7-day window) of each nation's daily
+    revenue — the robust smoother that survives the outlier days a
+    rolling MEAN chases (`w_moving_avg` is the mean twin; `x_ewma_smooth`
+    the exponential one).  Exact small-frame median: the 7-element frame
+    materializes as an array (collect over a ROWS frame), sorts, and
+    takes the lower median — O(k log k) per row with k bounded by the
+    frame, the right exact-median shape when the frame is small and the
+    series is long (quantile sketches are for the transposed case).
+    Scale shape: raw orders reduce to (nation, day) FIRST; the window
+    runs on the reduced series along the nation partitioning.  All
+    integer cents — array_sort and 1-based indexing agree across
+    engines."""
+    daily = _nation_daily_cents(spark, sf)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nat").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("nat").alias("n_name"),
+        "day",
+        "x",
+        F.size(F.collect_list("x").over(w)).cast("long").alias("w_size"),
+        F.element_at(
+            F.array_sort(F.collect_list("x").over(w)),
+            ((F.size(F.collect_list("x").over(w)) + 1) / 2).cast("int"),
+        )
+        .cast("long")
+        .alias("med7_cents"),
+    )
+
+
+@register(
+    "x_id_completeness_audit",
+    """
+    WITH feeds AS (
+      SELECT 'raw' AS feed, o_orderkey AS id FROM orders
+      UNION ALL
+      SELECT 'after_loss', o_orderkey FROM orders
+      WHERE CAST(concat('0x', substr(md5('loss'
+                 || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 97 <> 0
+    ), b AS (
+      SELECT feed, id // 4096 AS bucket,
+             COUNT(*) AS present,
+             MIN(id) AS lo,
+             MAX(id) AS hi
+      FROM feeds GROUP BY feed, bucket
+    )
+    SELECT feed,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 4096 AS BIGINT) AS bucket_start,
+           CAST(present AS BIGINT) AS present,
+           CAST(4096 - present AS BIGINT) AS missing,
+           CAST(lo AS BIGINT) AS first_present,
+           CAST(hi AS BIGINT) AS last_present
+    FROM b WHERE present < 4096
+    """,
+)
+def x_id_completeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ID-SPACE COMPLETENESS AUDIT — the CDC/backfill integrity check
+    ("did every sequence number arrive?") in its SCALABLE form: instead
+    of a global lead()-over-everything window (a single-partition sort at
+    100 TB), the id space folds into fixed 4096-wide buckets with ONE
+    groupBy; a bucket holding fewer than 4096 ids has gaps, and only
+    those buckets are reported (present/missing counts + the observed id
+    range to steer a targeted re-pull).  Two feeds run through the audit
+    side by side: the intact id stream (orderkeys are dense, so only the
+    ragged tail bucket reports — the all-clear answer) and a
+    deterministically damaged copy (~1% of ids dropped by hash), where
+    EVERY bucket reports its loss — the detection-power witness.  One
+    shuffle, output bounded by 2 × id-range/4096."""
+    o = load_table(spark, sf, "orders").select(F.col("o_orderkey").alias("id"))
+    damaged = o.filter(
+        F.pmod(
+            D.portable_hash60(F.concat(F.lit("loss"), F.col("id").cast("string"))),
+            F.lit(97),
+        )
+        != 0
+    )
+    feeds = o.withColumn("feed", F.lit("raw")).unionAll(
+        damaged.withColumn("feed", F.lit("after_loss"))
+    )
+    b = feeds.groupBy("feed", F.expr("id DIV 4096").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+    return b.filter(F.col("present") < 4096).select(
+        "feed",
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * 4096).cast("long").alias("bucket_start"),
+        F.col("present").cast("long").alias("present"),
+        (F.lit(4096) - F.col("present")).cast("long").alias("missing"),
+        F.col("lo").cast("long").alias("first_present"),
+        F.col("hi").cast("long").alias("last_present"),
+    )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, t.c_custkey, t.bal_cents
+    FROM nation n,
+    LATERAL (SELECT c_custkey,
+                    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY bal_cents DESC, c_custkey LIMIT 2) t
+"""
+
+
+@register("f_lateral_topk", _LATERAL_TOPK_SQL)
+def f_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated-subquery witness (the SQL-2016 lateral join,
+    Spark 3.2+): per-nation top-2 customers by balance expressed as a
+    correlated ORDER BY…LIMIT subquery — the declarative twin of the
+    window-based `w_topk_per_group`, and the form ad-hoc SQL users reach
+    for first.  The same SQL text runs on both engines.  Catalyst
+    DECORRELATES the lateral into a join + per-key limit rather than
+    re-executing the inner query per outer row — which is exactly why
+    the construct stays usable at 100 TB (a true nested-loop lateral
+    would be |nation| scans of customer)."""
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_RECURSIVE_BOM_SQL = """
+    WITH RECURSIVE anc(node, anc) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT a.node, a.anc // 10 FROM anc a WHERE a.anc >= 10
+    )
+    SELECT anc.anc AS ancestor,
+           CAST(COUNT(*) AS BIGINT) AS n_descendants,
+           CAST(SUM(CAST(ROUND(p.p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM anc JOIN part p ON anc.node = p.p_partkey
+    WHERE anc.anc < 100
+    GROUP BY anc.anc
+"""
+
+
+@register("x_recursive_bom", _RECURSIVE_BOM_SQL)
+def x_recursive_bom(spark: SparkSession, sf: str) -> DataFrame:
+    """RECURSIVE CTE witness (Spark 4 `WITH RECURSIVE`, the SQL-surface
+    feature classic warehouse engines gate hierarchy work on): a
+    bill-of-materials-style rollup over the implicit digit-chopping part
+    hierarchy (parent = key/10) — each part's revenue accrues to every
+    ancestor, computed by a genuinely recursive ancestor expansion, NOT a
+    hand-unrolled union.  The recursion step is monotonically decreasing
+    (`anc/10`), so it terminates at the hierarchy depth (≤5 levels) with
+    linear row expansion — the safe recursive shape; cyclic graphs need
+    the hop-capped form (`x_bfs_hops` is the iterative equivalent).
+    Identical SQL text runs on both engines via the `spark.sql`
+    front-end; integer division and cent arithmetic keep it
+    bit-identical.  Output bounded to 2-digit ancestors."""
+    part = load_table(spark, sf, "part")
+    part.createOrReplaceTempView("part")
+    # One divergence in SQL dialect: integer floor division is `//` in
+    # DuckDB (plain `/` promotes to DOUBLE there) and `DIV` in Spark —
+    # the only token swapped between the two texts.
+    return spark.sql(_RECURSIVE_BOM_SQL.replace("a.anc // 10", "a.anc DIV 10"))
+
+

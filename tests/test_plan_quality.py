@@ -298,6 +298,10 @@ _PY_NODE_ALLOWED = {
     "FlatMapGroupsInPandasWithState",  # applyInPandasWithState
     "MapInArrow",                   # mapInArrow (functions/arrowops.py)
     "FlatMapGroupsInArrow",         # applyInArrow (functions/arrowops.py)
+    "ArrowEvalPythonUDTF",          # Arrow-optimized Python UDTF
+                                    # (x_udtf_chunk_text pins useArrow=True
+                                    # in the decorator; the row-at-a-time
+                                    # BatchEvalPythonUDTF stays banned)
 }
 
 

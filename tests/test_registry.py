@@ -41,11 +41,14 @@ def test_register_names_are_unique_in_source():
     import pathlib
     import re
 
-    src = (
+    pkg = (
         pathlib.Path(__file__).parent.parent
         / "kafka_streaming_spark"
-        / "queries.py"
-    ).read_text()
+        / "queries"
+    )
+    src = "\n".join(
+        f.read_text() for f in sorted(pkg.glob("*.py"))
+    )
     names = re.findall(r'@register\(\s*\n?\s*"([a-z0-9_]+)"', src)
     dupes = [n for n, c in collections.Counter(names).items() if c > 1]
     assert dupes == []

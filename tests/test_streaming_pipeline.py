@@ -959,8 +959,11 @@ def test_live_witness_retry_on_deadline_miss(spark, monkeypatch):
     second attempt completes AND that neither attempt leaks its
     uuid-named memory sink (ADVICE r8)."""
     import kafka_streaming_spark.queries as Q
+    import kafka_streaming_spark.queries._core as QC
 
-    monkeypatch.setattr(Q, "_LIVE_POLL_DEADLINES", (0.0, 120.0))
+    # Patch the _core binding: _drain_live_sink reads its own module
+    # global (the package attr is a re-exported copy since the r9 split).
+    monkeypatch.setattr(QC, "_LIVE_POLL_DEADLINES", (0.0, 120.0))
     out = Q.REGISTRY["t_stream_rate_soak"][0](spark, SF_SMALL)
     rows = {r["batch_id"]: r for r in out.collect()}
     assert sorted(rows) == [0, 1, 2, 3, 4, 5]
@@ -982,8 +985,9 @@ def test_live_witness_fails_loud_after_final_deadline(spark, monkeypatch):
     """Both deadlines missed → RuntimeError (no silent partial drain),
     and the failed attempts' sinks are dropped."""
     import kafka_streaming_spark.queries as Q
+    import kafka_streaming_spark.queries._core as QC
 
-    monkeypatch.setattr(Q, "_LIVE_POLL_DEADLINES", (0.0, 0.0))
+    monkeypatch.setattr(QC, "_LIVE_POLL_DEADLINES", (0.0, 0.0))
     with pytest.raises(RuntimeError, match="t_stream_rate_soak"):
         Q.REGISTRY["t_stream_rate_soak"][0](spark, SF_SMALL)
     leaked = [
