@@ -1,11 +1,19 @@
-"""Custom stateful streaming operators via ``applyInPandasWithState``
+"""Custom stateful streaming operators on BOTH Python stateful runtimes
 (SURVEY.md §2.10 gap: the reference needs none, but the engine exposes the
 escape hatch for semantics built-ins can't reach).
 
-``running_counter`` maintains an arbitrary per-key running aggregate across
-micro-batches with explicit state — the minimal template for custom
-stateful logic (Arrow-batched, grouped state in the state store, timeout
-hooks available for TTL).
+``applyInPandasWithState`` (dependency-free, any state store):
+``running_counter`` — the minimal running-aggregate template;
+``expiring_counter`` — the ProcessingTimeTimeout / TTL branch.
+
+``transformWithStateInPandas`` (Spark 4.x successor; protobuf located by
+``protobuf_compat``, RocksDB state store required) — one operator per
+state primitive so the whole API surface stays executed and pinned:
+``running_counter_tws`` (ValueState, ≡ ``running_counter`` by test),
+``topk_scores_tws`` (ListState, bounded O(k) per key),
+``expiring_counter_tws`` (timers: registerTimer / handleExpiredTimer,
+≡ ``expiring_counter`` semantics), ``type_counts_tws`` (MapState —
+sub-key aggregates without widening the grouping key).
 """
 
 from __future__ import annotations
@@ -141,12 +149,22 @@ def expiring_counter(events: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
     )
 
 
-def running_counter_tws(events: DataFrame) -> DataFrame:
+def running_counter_tws(
+    events: DataFrame, initial_state: DataFrame | None = None
+) -> DataFrame:
     """Same running (count, sum) operator on the transformWithState API
     (Spark 4.x successor to applyInPandasWithState): typed value-state
     handles, composable state variables, timer hooks.  Kept semantically
     identical to ``running_counter`` so tests can assert the two stateful
     runtimes agree.
+
+    ``initial_state`` (optional): a batch DataFrame with columns
+    ``(group_id, event_count, cumulative_score)`` used to WARM-START the
+    per-key state before the first batch (``handleInitialState``) — the
+    production restart pattern the reference's medallion implies: resume
+    the gold fold from the persisted gold table instead of replaying all
+    history (reference gold.py:19-45 maintains exactly this running
+    (count, sum) shape in the gold Delta table).
 
     Requires a ``google.protobuf`` runtime (the TWS state server speaks
     protobuf to the JVM).  This container has no pip install, but
@@ -174,6 +192,15 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._agg = handle.getValueState("agg", RUNNING_STATE_SCHEMA)
 
+        def handleInitialState(self, key, initialState, timerValues):
+            # One pandas row per key, delivered before the first batch.
+            self._agg.update(
+                (
+                    int(initialState["event_count"].iloc[0]),
+                    float(initialState["cumulative_score"].iloc[0]),
+                )
+            )
+
         def handleInputRows(self, key, rows, timerValues):
             count, total = self._agg.get() if self._agg.exists() else (0, 0.0)
             for pdf in rows:
@@ -194,6 +221,253 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("group_id").transformWithStateInPandas(
         RunningCounter(),
         outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=(
+            initial_state.groupBy("group_id")
+            if initial_state is not None
+            else None
+        ),
+    )
+
+
+TOPK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_id", StringType()),
+        StructField("rank", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def topk_scores_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-key running top-k scores on transformWithState LIST state —
+    the composable-state-variable half of the TWS API that
+    ``running_counter_tws`` (single ValueState) doesn't exercise.
+
+    Each batch merges the group's new scores into a ListState holding at
+    most ``k`` rows (sorted descending, truncated on every update, so
+    state stays O(k) per key however many events stream through — the
+    bounded-state property that matters at 100 TB key cardinalities) and
+    emits the current top-k as (group_id, rank, score) rows in update
+    mode.  The final emission per key equals the batch
+    ``row_number() over (partition by key order by score desc) <= k``
+    ranking — pinned by ``test_tws_list_state_topk``.
+
+    Same runtime requirements as ``running_counter_tws``: a protobuf
+    runtime (located by ``protobuf_compat``) and the RocksDB state store
+    (multi-column-family state).
+    """
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_tws_worker_env,
+    )
+
+    if ensure_tws_worker_env(events.sparkSession) is None:
+        # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use a groupBy window ranking for the batch equivalent"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = StructType([StructField("score", DoubleType())])
+
+    class TopKScores(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._scores = handle.getListState("scores", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            current = [r[0] for r in self._scores.get()]
+            for pdf in rows:
+                current.extend(float(s) for s in pdf["score"])
+            top = sorted(current, reverse=True)[:k]
+            self._scores.put([(s,) for s in top])
+            yield pd.DataFrame(
+                {
+                    "group_id": [key[0]] * len(top),
+                    "rank": list(range(1, len(top) + 1)),
+                    "score": top,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("group_id").transformWithStateInPandas(
+        TopKScores(),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def expiring_counter_tws(
+    events: DataFrame, timeout_ms: int = 60_000
+) -> DataFrame:
+    """The TTL / idle-finalization pattern on transformWithState TIMERS —
+    the third pillar of the TWS API (``registerTimer`` /
+    ``handleExpiredTimer``) after value state (``running_counter_tws``)
+    and list state (``topk_scores_tws``).  Semantically mirrors
+    ``expiring_counter`` (applyInPandasWithState ProcessingTimeTimeout):
+    every batch folds the group's rows into a running (count, sum),
+    re-arms a processing-time timer ``timeout_ms`` ahead (deleting the
+    previously registered one — TWS timers are absolute timestamps, not
+    durations), and emits ``expired = false``; when the timer fires for
+    an idle key the state store calls ``handleExpiredTimer``, which
+    emits ONE final ``expired = true`` row and clears the state, so a
+    reappearing key restarts from zero.  Bounded state + timers per key
+    is exactly what keeps unbounded-key streams safe at 100 TB
+    cardinalities.
+
+    Live-trigger-only, like every armed-timer operator: run with
+    ``processingTime``; requires a protobuf runtime (protobuf_compat)
+    and the RocksDB state store, and ``timeMode="ProcessingTime"``.
+    """
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_tws_worker_env,
+    )
+
+    if ensure_tws_worker_env(events.sparkSession) is None:
+        # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use expiring_counter (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ExpiringCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._agg = handle.getValueState("agg", RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["score"].sum())
+            self._agg.update((count, total))
+            # Re-arm: drop any earlier timer so exactly one is pending.
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + timeout_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "group_id": [key[0]],
+                    "event_count": [count],
+                    "cumulative_score": [total],
+                    "expired": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._agg.exists():  # already finalized
+                return
+            count, total = self._agg.get()
+            self._agg.clear()
+            yield pd.DataFrame(
+                {
+                    "group_id": [key[0]],
+                    "event_count": [count],
+                    "cumulative_score": [total],
+                    "expired": [True],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("group_id").transformWithStateInPandas(
+        ExpiringCounter(),
+        outputStructType=EXPIRING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
+TYPE_COUNTS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_id", StringType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-group per-type running counts on transformWithState MAP state —
+    the fourth TWS state primitive (after value state, list state, and
+    timers): a keyed sub-dictionary inside each group's state, which is
+    how you keep SUB-KEY aggregates without widening the grouping key
+    (state stays colocated per group; the alternative —
+    groupBy(group_id, event_type) — multiplies shuffle keys and loses
+    the per-group view).  Input needs ``group_id`` and ``event_type``;
+    each batch increments MapState[event_type] for the types seen and
+    emits the updated (group_id, event_type, n) rows.  The final
+    emission per (group, type) equals the batch two-key groupBy count —
+    pinned by ``test_tws_map_state_type_counts``.
+
+    Same runtime requirements as the other TWS operators (protobuf via
+    protobuf_compat, RocksDB state store)."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_tws_worker_env,
+    )
+
+    if ensure_tws_worker_env(events.sparkSession) is None:
+        # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use groupBy(group_id, event_type).count() for the batch form"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_schema = StructType([StructField("event_type", StringType())])
+    val_schema = StructType([StructField("n", LongType())])
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", key_schema, val_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf["event_type"].value_counts().items():
+                    batch_counts[et] = batch_counts.get(et, 0) + int(c)
+            out_t, out_n = [], []
+            for et, inc in sorted(batch_counts.items()):
+                cur = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                cur += inc
+                self._counts.updateValue((et,), (cur,))
+                out_t.append(et)
+                out_n.append(cur)
+            yield pd.DataFrame(
+                {
+                    "group_id": [key[0]] * len(out_t),
+                    "event_type": out_t,
+                    "n": out_n,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("group_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType=TYPE_COUNTS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

@@ -1051,3 +1051,245 @@ def test_tws_equiv_apply_in_pandas_with_state(spark, tmp_path_factory):
     for k in a:
         assert a[k][0] == b[k][0], k
         assert a[k][1] == pytest.approx(b[k][1], rel=1e-12), k
+
+
+def test_tws_list_state_topk(spark, tmp_path_factory):
+    """transformWithState LIST state (the composable-state-variable API
+    surface ValueState doesn't touch): per-key running top-3 scores
+    maintained across micro-batches must converge to the batch
+    ``row_number() over (partition by group_id order by score desc) <= 3``
+    ranking, with state bounded at k rows per key by construction."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from pyspark.sql import Window
+
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import topk_scores_tws
+
+    root = str(tmp_path_factory.mktemp("tws_topk"))
+    # Distinct scores per group (score = event_id-derived, unique) so the
+    # top-3 set is unambiguous — ties would make ranking nondeterministic.
+    events = (
+        normalize_events(load_table(spark, SF_SMALL, "events"))
+        .select("group_id", "id", "score")
+        .dropDuplicates(["group_id", "score"])
+    )
+    src = f"{root}/source"
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(
+        spark,
+        src,
+        events.select("group_id", "score").schema,
+        max_files_per_trigger=1,
+    )
+    final: dict[str, list] = {}
+
+    def capture(batch_df, _batch_id):
+        for gid, pdf in batch_df.toPandas().groupby("group_id"):
+            final[gid] = sorted(
+                zip(pdf["rank"], pdf["score"]), key=lambda t: t[0]
+            )
+
+    (
+        topk_scores_tws(stream, k=3)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    w = Window.partitionBy("group_id").orderBy(F.col("score").desc())
+    expected_rows = (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    expected: dict[str, list] = {}
+    for r in expected_rows:
+        expected.setdefault(r["group_id"], []).append((r["rank"], r["score"]))
+    for gid in expected:
+        expected[gid].sort(key=lambda t: t[0])
+
+    assert set(final) == set(expected)
+    for gid in expected:
+        assert len(final[gid]) == len(expected[gid]), gid
+        for (ra, sa), (rb, sb) in zip(final[gid], expected[gid]):
+            assert ra == rb and sa == pytest.approx(sb, rel=1e-12), gid
+
+
+def test_tws_timers_expiring_counter(spark, tmp_path_factory):
+    """transformWithState TIMERS (registerTimer / handleExpiredTimer — the
+    third TWS pillar after value and list state): live running updates
+    emit expired=false; a key idle past the timer emits exactly one final
+    expired=true row with its totals and clears state, so a reappearing
+    key restarts from zero.  Mirrors the applyInPandasWithState TTL test
+    so the two runtimes' timeout semantics stay pinned to each other."""
+    import time as _time
+
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import expiring_counter_tws
+
+    root = str(tmp_path_factory.mktemp("tws_ttl"))
+    schema = "group_id string, score double"
+    src = f"{root}/source"
+    emitted: list[tuple] = []
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            emitted.append(
+                (r["group_id"], r["event_count"], r["cumulative_score"], r["expired"])
+            )
+
+    def wait_for(pred, tag, deadline=90.0):
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < deadline:
+            if pred():
+                return
+            _time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {tag}: {emitted}")
+
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = file_stream(spark, src, spark.createDataFrame([], schema).schema)
+    query = (
+        expiring_counter_tws(stream, timeout_ms=500)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        wait_for(
+            lambda: ("a", 2, 3.0, False) in emitted
+            and ("b", 1, 10.0, False) in emitted,
+            "live updates",
+        )
+        wait_for(
+            lambda: ("a", 2, 3.0, True) in emitted
+            and ("b", 1, 10.0, True) in emitted,
+            "expiry rows",
+        )
+        assert [e for e in emitted if e[0] == "a" and e[3]] == [
+            ("a", 2, 3.0, True)
+        ]
+        # reappearance restarts from zero: expiry cleared the state
+        spark.createDataFrame([("b", 5.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        wait_for(lambda: ("b", 1, 5.0, False) in emitted, "restart from zero")
+    finally:
+        query.stop()
+        query.awaitTermination()
+
+
+def test_tws_map_state_type_counts(spark, tmp_path_factory):
+    """transformWithState MAP state (keyed sub-dictionary per group): the
+    per-(group, event_type) running counts must converge to the batch
+    two-key groupBy count across a multi-batch replay."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import type_counts_tws
+
+    root = str(tmp_path_factory.mktemp("tws_map"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "group_id", F.col("event_type").cast("string").alias("event_type")
+    )
+    src = f"{root}/source"
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    final: dict[tuple, int] = {}
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            final[(r["group_id"], r["event_type"])] = r["n"]
+
+    (
+        type_counts_tws(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    expected = {
+        (r["group_id"], r["event_type"]): r["n"]
+        for r in events.groupBy("group_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expected and len(final) > 0
+
+
+def test_tws_initial_state_warm_start(spark, tmp_path_factory):
+    """transformWithState INITIAL STATE (handleInitialState): seed the
+    per-key running (count, sum) from a batch table before the first
+    micro-batch — the medallion restart pattern (resume the gold fold
+    from the persisted gold table instead of replaying history;
+    reference gold.py:19-45 persists exactly this shape).  Final totals
+    must equal seed + streamed, and a key absent from the seed starts
+    from zero."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter_tws
+
+    root = str(tmp_path_factory.mktemp("tws_seed"))
+    schema = "group_id string, score double"
+    seed = spark.createDataFrame(
+        [("a", 10, 100.0), ("b", 5, 50.0)],
+        "group_id string, event_count long, cumulative_score double",
+    )
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("c", 7.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/source")
+    stream = file_stream(
+        spark, f"{root}/source", spark.createDataFrame([], schema).schema
+    )
+    final: dict[str, tuple[int, float]] = {}
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            final[r["group_id"]] = (r["event_count"], r["cumulative_score"])
+
+    (
+        running_counter_tws(stream, initial_state=seed)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # a: seeded 10/100 + 2 events (1+2); c: unseeded, 1 event.  b gets no
+    # batch rows, so update mode emits nothing for it — the seed sits in
+    # state awaiting b's next event.
+    assert final["a"] == (12, 103.0)
+    assert final["c"] == (1, 7.0)
+    assert "b" not in final
