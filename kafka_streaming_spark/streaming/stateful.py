@@ -9,11 +9,13 @@ escape hatch for semantics built-ins can't reach).
 ``transformWithStateInPandas`` (Spark 4.x successor; protobuf located by
 ``protobuf_compat``, RocksDB state store required) — one operator per
 state primitive so the whole API surface stays executed and pinned:
-``running_counter_tws`` (ValueState, ≡ ``running_counter`` by test),
-``topk_scores_tws`` (ListState, bounded O(k) per key),
-``expiring_counter_tws`` (timers: registerTimer / handleExpiredTimer,
-≡ ``expiring_counter`` semantics), ``type_counts_tws`` (MapState —
-sub-key aggregates without widening the grouping key).
+``running_counter_tws`` (ValueState + ``handleInitialState`` warm
+start, ≡ ``running_counter`` by test), ``topk_scores_tws`` (ListState,
+bounded O(k) per key), ``expiring_counter_tws`` (processing-time
+timers: registerTimer / handleExpiredTimer, ≡ ``expiring_counter``
+semantics), ``type_counts_tws`` (MapState — sub-key aggregates without
+widening the grouping key), ``session_finalize_tws`` (EVENT-TIME
+timers — watermark-driven exactly-once session finalization).
 """
 
 from __future__ import annotations
@@ -470,4 +472,136 @@ def type_counts_tws(events: DataFrame) -> DataFrame:
         outputStructType=TYPE_COUNTS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_id", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_score", DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def session_finalize_tws(
+    events: DataFrame,
+    gap_ms: int = 5_000,
+    watermark_delay: str = "0 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EVENT-TIME-timer sessionization on transformWithState
+    (``timeMode="EventTime"``) — the watermark-driven timer mode, the one
+    TWS time semantics processing-time timers (``expiring_counter_tws``)
+    don't reach: a session is emitted EXACTLY ONCE, when the event-time
+    watermark passes ``last_event + gap_ms``, never on a wall clock.
+    That is the correct 100 TB session-finalization semantics — wall
+    clocks on 1000 executors disagree; the watermark is the single
+    consistent notion of "no more events can join this session".
+
+    Mechanics per key: batch events (sorted by event time) merge into
+    the open session if they fall within ``gap_ms`` of its last event;
+    an in-batch or cross-batch gap larger than that finalizes the open
+    session IMMEDIATELY (input-driven emit) and opens a new one; the
+    event-time timer at ``last_ms + gap_ms`` (re-armed on every update)
+    finalizes IDLE sessions when the watermark passes it.  State is one
+    row per open session per key.  Note the availableNow caveat shared
+    with every event-time operator: sessions whose timer the final
+    watermark never passes remain open in state (exactly like unemitted
+    append-mode windows) — they finalize on the next run over the same
+    checkpoint.
+
+    Input needs ``group_id``, ``score``, and an event-time ``ts_col``;
+    the operator applies ``withWatermark(ts_col, watermark_delay)``
+    itself.  Same runtime requirements as the other TWS operators."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_tws_worker_env,
+    )
+
+    if ensure_tws_worker_env(events.sparkSession) is None:
+        # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use t_session_window (F.session_window) for the batch form"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionFinalize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._session = handle.getValueState(
+                "session", SESSION_STATE_SCHEMA
+            )
+
+        def _emit(self, group_id, start_ms, last_ms, n, total):
+            return pd.DataFrame(
+                {
+                    "group_id": [group_id],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                    "total_score": [total],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = []
+            for pdf in rows:
+                batch.extend(
+                    zip(
+                        (int(t) for t in pdf["ts_ms"]),
+                        (float(s) for s in pdf["score"]),
+                    )
+                )
+            batch.sort()
+            cur = list(self._session.get()) if self._session.exists() else None
+            for ts, score in batch:
+                if cur is None:
+                    cur = [ts, ts, 0, 0.0]
+                elif ts > cur[1] + gap_ms:
+                    yield self._emit(key[0], *cur)
+                    cur = [ts, ts, 0, 0.0]
+                cur[1] = max(cur[1], ts)
+                cur[2] += 1
+                cur[3] += score
+            if cur is not None:
+                self._session.update(tuple(cur))
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(cur[1] + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._session.exists():
+                return
+            cur = list(self._session.get())
+            self._session.clear()
+            yield self._emit(key[0], *cur)
+
+        def close(self) -> None:
+            pass
+
+    prepared = (
+        events.withWatermark(ts_col, watermark_delay)
+        .withColumn("ts_ms", F.unix_millis(F.col(ts_col)))
+    )
+    return prepared.groupBy("group_id").transformWithStateInPandas(
+        SessionFinalize(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
     )

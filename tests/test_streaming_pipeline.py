@@ -1293,3 +1293,208 @@ def test_tws_initial_state_warm_start(spark, tmp_path_factory):
     assert final["a"] == (12, 103.0)
     assert final["c"] == (1, 7.0)
     assert "b" not in final
+
+
+def test_tws_event_time_timer_sessions(spark, tmp_path_factory):
+    """transformWithState EVENT-TIME timers (timeMode='EventTime'): a
+    session finalizes exactly once — either input-driven (a later event
+    opens a new session past the gap) or timer-driven (the WATERMARK,
+    not a wall clock, passes last_event + gap).  Replay three files as
+    three micro-batches and assert the exact finalized-session set; the
+    sessions whose timers the final watermark never passes stay open
+    (the availableNow caveat every event-time operator shares)."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import session_finalize_tws
+
+    root = str(tmp_path_factory.mktemp("tws_sessions"))
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    from datetime import datetime, timezone
+
+    def at(ms):
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    src = f"{root}/source"
+    files = [
+        # batch 0: a has 3 events within the 5s gap; b has 1
+        [("a", at(1000), 1.0), ("a", at(2000), 2.0), ("a", at(3000), 3.0),
+         ("b", at(1000), 10.0)],
+        # batch 1: a@20s is past 3000+5000 -> finalizes a's first session
+        # input-driven and opens a second; watermark rises to 20s
+        [("a", at(20000), 4.0)],
+        # batch 2: c opens; the 20s watermark (from batch 1) now fires b's
+        # 6s timer -> b finalizes timer-driven
+        [("c", at(40000), 7.0)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        # one parquet file per write -> one micro-batch each under
+        # maxFilesPerTrigger=1, in arrival order (file mtimes increase)
+        import time as _t
+
+        _t.sleep(1.1)
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    finalized: list[tuple] = []
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            finalized.append(
+                (
+                    r["group_id"],
+                    r["session_start_ms"],
+                    r["session_end_ms"],
+                    r["n_events"],
+                    r["total_score"],
+                )
+            )
+
+    (
+        session_finalize_tws(stream, gap_ms=5_000)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    assert ("a", 1000, 3000, 3, 6.0) in finalized  # input-driven finalize
+    assert ("b", 1000, 1000, 1, 10.0) in finalized  # timer-driven finalize
+    # a's second session (20s) and c (40s): timers at 25s/45s, final
+    # watermark 40s passes only a's -> a second session may finalize in a
+    # trailing batch if one runs; c's never can.
+    assert not any(f[0] == "c" for f in finalized)
+    # no double-finalization anywhere
+    assert len(finalized) == len(set(finalized))
+
+
+def test_state_reader_offline_inspection(spark, tmp_path_factory):
+    """State Data Source (offline checkpoint forensics): after a
+    running_counter drain, reading the checkpoint's state store as a
+    batch DataFrame must reproduce EXACTLY the fold the operator claims
+    (≡ batch groupBy over the same events), the metadata must name the
+    stateful operator, and the skew view must account for every state
+    row — all without touching the streaming query."""
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter
+    from kafka_streaming_spark.streaming.state_reader import (
+        read_state_flat,
+        read_state_metadata,
+        state_key_skew,
+    )
+
+    root = str(tmp_path_factory.mktemp("state_reader"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "group_id", "score"
+    )
+    src = f"{root}/source"
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    (
+        running_counter(stream)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    meta = read_state_metadata(spark, f"{root}/ckpt").collect()
+    assert any(
+        "applyInPandasWithState" in str(r["operatorName"]) for r in meta
+    ), meta
+
+    state = {
+        r["group_id"]: (r["count"], r["total"])
+        for r in read_state_flat(spark, f"{root}/ckpt").collect()
+    }
+    expected = {
+        r["group_id"]: (r["n"], r["s"])
+        for r in events.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+        .collect()
+    }
+    assert set(state) == set(expected)
+    for k, (n, s) in expected.items():
+        assert state[k][0] == n, k
+        assert state[k][1] == pytest.approx(s, rel=1e-9), k
+
+    skew = state_key_skew(spark, f"{root}/ckpt").collect()
+    assert sum(r["n_state_rows"] for r in skew) == len(expected)
+    assert all(
+        skew[i]["n_state_rows"] >= skew[i + 1]["n_state_rows"]
+        for i in range(len(skew) - 1)
+    )
+
+
+def test_state_reader_tws_state_var(spark, tmp_path_factory):
+    """State Data Source over a transformWithState checkpoint: TWS stores
+    are column families keyed by state-variable name, so the reader takes
+    stateVarName — the offline view of running_counter_tws's "agg"
+    ValueState must equal the batch groupBy fold."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter_tws
+    from kafka_streaming_spark.streaming.state_reader import read_state_flat
+
+    root = str(tmp_path_factory.mktemp("tws_state_reader"))
+    events = normalize_events(load_table(spark, SF_SMALL, "events")).select(
+        "group_id", "score"
+    )
+    src = f"{root}/source"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, events.schema)
+    (
+        running_counter_tws(stream)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    state = {
+        r["group_id"]: (r["count"], r["total"])
+        for r in read_state_flat(
+            spark, f"{root}/ckpt", state_var="agg"
+        ).collect()
+    }
+    expected = {
+        r["group_id"]: (r["n"], r["s"])
+        for r in events.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+        .collect()
+    }
+    assert set(state) == set(expected)
+    for k, (n, s) in expected.items():
+        assert state[k] == (n, pytest.approx(s, rel=1e-9)), k
