@@ -626,3 +626,104 @@ def x_udtf_chunk_text(spark: SparkSession, sf: str) -> DataFrame:
     # keeps the catalog clean (fixed name, no uuid accumulation).
     spark.catalog.dropTempView(view)
     return out
+
+
+@register(
+    "f_statestore_scan",
+    """
+    SELECT CAST(user_id % 8 AS VARCHAR) AS group_id,
+           COUNT(*) AS count,
+           CAST(SUM(event_id % 1000) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def f_statestore_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """STATE-STORE batch scan (``spark.read.format("statestore")``) —
+    the source-format gap this registration closes (the
+    ``f_binaryfile_scan`` precedent: a scan format the registry didn't
+    exercise): reading a streaming checkpoint's STATE as a batch
+    DataFrame, the offline-forensics surface every 100 TB stateful
+    pipeline needs (is dedup state growing? which keys are hot? what
+    does key X's fold hold?) without stopping the stream — wrapped by
+    ``streaming/state_reader.py``.  Witness: stage the events fold
+    (group_id = user_id % 8, score = event_id % 1000) as a single
+    parquet file once per sf-dir, drain it through ``running_counter``
+    (applyInPandasWithState) into a checkpoint built exactly once
+    (rename-dance idempotent, same as the binaryFile staging), then
+    SCAN THE CHECKPOINT'S STATE — the recovered per-key (count, total)
+    must equal DuckDB's batch groupBy over the raw events, proving the
+    state store holds exactly the fold the operator claims.
+    Determinism: a single staged file → one availableNow batch → state
+    is the complete fold; scores are integral doubles, exact at any
+    accumulation order.  Scale shape: the state read is a
+    partition-parallel batch scan over the checkpoint's store files
+    (RocksDB SSTs / HDFS deltas) with snapshot/partition pinning for
+    targeted forensics; no exchange in the returned plan."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter
+    from kafka_streaming_spark.streaming.state_reader import read_state_flat
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/f_statestore_scan_{slug}"
+    ckpt = f"{base}/ckpt"
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    if not os.path.isdir(ckpt):  # deterministic content → build once
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        staged = ev.select(
+            (F.col("user_id") % 8).cast("string").alias("group_id"),
+            (F.col("event_id") % 1000).cast("double").alias("score"),
+        )
+        staged.coalesce(1).write.parquet(f"{build}/p0")
+        shutil.copy(
+            glob.glob(f"{build}/p0/*.parquet")[0], f"{build}/src/f0.parquet"
+        )
+        shutil.rmtree(f"{build}/p0")
+        with _tiny_stream_conf(spark):
+            stream = file_stream(spark, f"{build}/src", schema)
+            (
+                running_counter(stream)
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", f"{build}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/ckpt", ckpt)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    # Returned LAZY so the statestore relation stays visible in the
+    # plan (the point of the witness); explicit casts pin the
+    # driver-facing shape whatever the store's internal types evolve to.
+    return read_state_flat(spark, ckpt).select(
+        F.col("group_id").cast(StringType()).alias("group_id"),
+        F.col("count").cast(LongType()).alias("count"),
+        F.col("total").cast(DoubleType()).alias("total"),
+    )
