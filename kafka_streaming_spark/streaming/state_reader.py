@@ -107,3 +107,35 @@ def state_key_skew(
         .orderBy(F.col("n_state_rows").desc(), "partition_id")
         .limit(top_n)
     )
+
+
+def read_state_changes(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    start_batch_id: int = 0,
+    end_batch_id: int | None = None,
+    operator_id: int | None = None,
+    store_name: str | None = None,
+    state_var: str | None = None,
+) -> DataFrame:
+    """The state CHANGE FEED: one row per state mutation per batch
+    (``batch_id``, ``change_type`` update/delete, key, value,
+    ``partition_id``) — how a key's fold EVOLVED, not just where it
+    ended up.  The forensics this answers at 100 TB: when did this key's
+    state start ballooning, which batch dropped it, did the TTL actually
+    evict.  Same pinning options as :func:`read_state`."""
+    reader = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", start_batch_id)
+    )
+    if end_batch_id is not None:
+        reader = reader.option("changeEndBatchId", end_batch_id)
+    if operator_id is not None:
+        reader = reader.option("operatorId", operator_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    if state_var is not None:
+        reader = reader.option("stateVarName", state_var)
+    return reader.load(checkpoint)

@@ -1498,3 +1498,68 @@ def test_state_reader_tws_state_var(spark, tmp_path_factory):
     assert set(state) == set(expected)
     for k, (n, s) in expected.items():
         assert state[k] == (n, pytest.approx(s, rel=1e-9)), k
+
+
+def test_state_reader_change_feed(spark, tmp_path_factory):
+    """State CHANGE FEED (readChangeFeed over a checkpoint): the exact
+    per-batch evolution of each key's fold — batch 0 writes both keys'
+    first states, batch 1 updates only the key that received data."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import running_counter
+    from kafka_streaming_spark.streaming.state_reader import (
+        read_state_changes,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = str(tmp_path_factory.mktemp("state_cdf"))
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    import os
+
+    os.makedirs(f"{root}/src")
+    for i, rows in enumerate([[("a", 1.0), ("b", 2.0)], [("a", 3.0)]]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{root}/p{i}"
+        )
+        _shutil.copy(
+            _glob.glob(f"{root}/p{i}/*.parquet")[0], f"{root}/src/f{i}.parquet"
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    stream = file_stream(spark, f"{root}/src", schema, max_files_per_trigger=1)
+    (
+        running_counter(stream)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    changes = sorted(
+        (
+            r["batch_id"],
+            r["change_type"],
+            r["key"]["group_id"],
+            r["value"]["groupState"]["count"],
+            r["value"]["groupState"]["total"],
+        )
+        for r in read_state_changes(spark, f"{root}/ckpt").collect()
+    )
+    assert changes == [
+        (0, "update", "a", 1, 1.0),
+        (0, "update", "b", 1, 2.0),
+        (1, "update", "a", 2, 4.0),
+    ]
