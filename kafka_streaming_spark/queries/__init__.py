@@ -90,41 +90,44 @@ from kafka_streaming_spark.queries.q18_registrations_r8_r9 import *  # noqa: F40
 #   f_regex_pack, j_cross_join, j_merge_insert_if_absent,
 #   p_explode_pack, q10_returned_items
 # ROUND-10 ROTATION (staged; computed from the r1-r8 CORRECTNESS union +
-# this r9 window): once the r9 run lands, every one of the 336 registry
+# this r9 window): once the r9 run lands, every one of the 337 registry
 # names has a driver row, so r10 begins steady-state regression rotation —
 # the 50 least-recently-checked greens (all r3/r4 coverage; computed by
 # latest-round-with-a-row, registration order as tiebreak; includes the
-# three fills displaced from the r9 window, which keep r3 coverage age):
-#   q1_pricing_summary, x_doc_exact_dedup, x_dedup_clusters,
-#   x_minhash_near_dup, x_dedup_keep_best, x_doc_chunk, x_simhash,
-#   x_ivf_ann_topk, x_lsh_ann_topk, p_explode_pack, j_cross_join,
-#   w_first_last_value, q6_revenue_change, q14_promo_share,
-#   q19_disjunctive_join, q_supplier_top_per_nation,
-#   x_doc_sample_uniform, x_doc_sample_stratified, x_doc_split,
-#   x_topk_bigrams, x_pii_scan, x_zorder_scan, x_decontaminate,
-#   x_doc_repetition, x_embedding_normalize, q7_nation_volume,
-#   q9_product_profit, q10_returned_items, q15_top_supplier,
-#   q17_small_qty_revenue, q20_part_suppliers, q21_waiting_suppliers,
-#   q8_market_share, q2_min_cost_supplier, q11_important_stock,
-#   q16_supplier_count, x_image_pixel_stats, x_audio_energy,
-#   x_kmeans_embeddings, x_ann_recall, x_semdedup, x_pq_ann_topk,
-#   x_ivfpq_ann_topk, j_interval_join, t_stateful_running,
-#   x_event_funnel, x_cohort_retention, x_doc_sample_weighted,
-#   x_quantile_binning, x_robust_outliers
+# four fills displaced from the r9 window, which keep r3 coverage age):
+#   j_merge_insert_if_absent, q1_pricing_summary, x_doc_exact_dedup,
+#   x_dedup_clusters, x_minhash_near_dup, x_dedup_keep_best,
+#   x_doc_chunk, x_simhash, x_ivf_ann_topk, x_lsh_ann_topk,
+#   p_explode_pack, j_cross_join, w_first_last_value,
+#   q6_revenue_change, q14_promo_share, q19_disjunctive_join,
+#   q_supplier_top_per_nation, x_doc_sample_uniform,
+#   x_doc_sample_stratified, x_doc_split, x_topk_bigrams, x_pii_scan,
+#   x_zorder_scan, x_decontaminate, x_doc_repetition,
+#   x_embedding_normalize, q7_nation_volume, q9_product_profit,
+#   q10_returned_items, q15_top_supplier, q17_small_qty_revenue,
+#   q20_part_suppliers, q21_waiting_suppliers, q8_market_share,
+#   q2_min_cost_supplier, q11_important_stock, q16_supplier_count,
+#   x_image_pixel_stats, x_audio_energy, x_kmeans_embeddings,
+#   x_ann_recall, x_semdedup, x_pq_ann_topk, x_ivfpq_ann_topk,
+#   j_interval_join, t_stateful_running, x_event_funnel,
+#   x_cohort_retention, x_doc_sample_weighted, x_quantile_binning
 # Any r10 registration (triage bar per VERDICT r8 ask #6 still holds)
 # goes FIRST and displaces from the tail.
 DRIVER_PRIORITY: list[str] = [
     # -- ROUND-9 WINDOW (rotated per the staged plan above, plus this
-    # round's registrations): the 6 round-8 registrations and the three
+    # round's registrations): the 6 round-8 registrations and the four
     # r9 registrations (TWS witness, Arrow-UDTF witness, statestore-scan
-    # witness — all never driver-checked) first, then the 35 remaining
-    # r2-coverage greens, then 6 alphabetically-first r3-coverage greens
-    # (p_explode_pack / q10_returned_items / j_cross_join, all already
-    # green r3, were dropped to keep the window at 50).  After this
-    # window all 336 registry queries carry a driver CORRECTNESS row.
+    # witness, Python-datasource witness — all never driver-checked)
+    # first, then the 35 remaining r2-coverage greens, then 5
+    # alphabetically-first r3-coverage greens (p_explode_pack /
+    # q10_returned_items / j_cross_join / j_merge_insert_if_absent, all
+    # already green r3, were dropped to keep the window at 50).  After
+    # this window all 337 registry queries carry a driver CORRECTNESS
+    # row.
     "t_stream_tws_counter",
     "x_udtf_chunk_text",
     "f_statestore_scan",
+    "f_pydatasource_scan",
     "x_arrow_grouped_stats",
     "x_arrow_token_stats",
     "t_stream_rate_soak",
@@ -173,7 +176,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_salted_agg",
     "f_json_struct",
     "f_regex_pack",
-    "j_merge_insert_if_absent",
 ]
 
 

@@ -727,3 +727,63 @@ def f_statestore_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("count").cast(LongType()).alias("count"),
         F.col("total").cast(DoubleType()).alias("total"),
     )
+
+
+@register(
+    "f_pydatasource_scan",
+    """
+    WITH src AS (
+      SELECT range AS i,
+             (range * 2654435761) % 4294967296 AS score_fp,
+             1700000000000 + range * 250 AS ts
+      FROM range(0, 20000)
+    )
+    SELECT 'w' || CAST(i % 8 AS VARCHAR) AS group_id,
+           COUNT(*) AS n,
+           CAST(SUM(score_fp) AS BIGINT) AS score_fp_sum,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM src GROUP BY 1
+    """,
+)
+def f_pydatasource_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PYTHON DATA SOURCE scan (Spark 4's ``pyspark.sql.datasource``
+    API) — the custom-connector surface, and the last source-format gap
+    in the registry's matrix (parquet/csv/json/xml/binaryFile/statestore
+    all covered; this is the path for feeds with NO built-in connector —
+    internal REST cursors, proprietary archives, synthetic load): a
+    source defined entirely in Python with partition-parallel readers,
+    planned as a plain ``BatchScan`` that Catalyst optimizes normally.
+    The witness reads the engine's ``deterministic_events`` source
+    (``io/pydatasource.py`` — the reference generator's closed form:
+    publish_daemon.rs:78-147 shape, Knuth-hash uniform scores, monotone
+    timestamps) and folds it per group; DuckDB reproduces every value
+    from ``range()`` arithmetic, so a mis-sliced partition, a dropped
+    row, or a float drift in the score round-trip breaks the hash.
+    Determinism: ``score`` is score_fp / 2^32 with score_fp < 2^32 —
+    exact in double, and ``score * 2^32`` recovers the integer exactly,
+    summed as BIGINT (order-independent).  Scale shape: one Exchange
+    for the groupBy; the scan itself is driver-free partition-parallel
+    generation — the template's point at 100 TB is that ``partitions()``
+    defines the parallelism of ANY wrapped feed.  The streaming half of
+    the same source (micro-batch offsets saturating at ``rows``) is
+    pinned by ``test_pydatasource_stream_matches_batch``."""
+    from kafka_streaming_spark.io.pydatasource import (
+        register_deterministic_events,
+    )
+
+    register_deterministic_events(spark)
+    src = (
+        spark.read.format("deterministic_events")
+        .option("rows", 20_000)
+        .option("partitions", 4)
+        .load()
+    )
+    return src.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("score") * 4294967296).cast("long")).alias(
+            "score_fp_sum"
+        ),
+        F.min("event_timestamp").alias("min_ts"),
+        F.max("event_timestamp").alias("max_ts"),
+    )

@@ -32,6 +32,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ensure_state_store_coordinator(spark: SparkSession) -> None:
+    """Force the session's StateStoreCoordinator RPC endpoint into
+    existence before a statestore read.
+
+    The coordinator is created lazily by the first STREAMING query a
+    session runs; a fresh session that only READS state (checkpoint
+    staged by an earlier session) has no endpoint and the partition
+    readers fail with ``RpcEndpointNotFoundException:
+    StateStoreCoordinator`` inside ``CANNOT_LOAD_STATE_STORE``
+    (measured r9 — the failure is ORDER-dependent: any prior streaming
+    query in the session masks it).  Touching the streaming query
+    manager's lazy val creates the endpoint without running a query;
+    guarded because it reaches one level into Spark's session state
+    (stable across 3.x/4.x, but a signature change must degrade to the
+    old order-dependent behavior, not break reads that would have
+    worked)."""
+    try:
+        jss = spark._jsparkSession
+        jss.sessionState().streamingQueryManager().stateStoreCoordinator()
+    except Exception:  # pragma: no cover - depends on internal API
+        pass
+
+
 def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
     """One row per stateful operator recorded in ``checkpoint`` (id,
     name, per-partition store names, min/max usable batch ids)."""
@@ -57,6 +80,7 @@ def read_state(
     ``state_var`` targets one state VARIABLE of a transformWithState
     operator (its stores are column families keyed by variable name —
     e.g. ``state_var="agg"`` for ``running_counter_tws``)."""
+    _ensure_state_store_coordinator(spark)
     reader = spark.read.format("statestore")
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
@@ -125,6 +149,7 @@ def read_state_changes(
     ended up.  The forensics this answers at 100 TB: when did this key's
     state start ballooning, which batch dropped it, did the TTL actually
     evict.  Same pinning options as :func:`read_state`."""
+    _ensure_state_store_coordinator(spark)
     reader = (
         spark.read.format("statestore")
         .option("readChangeFeed", "true")

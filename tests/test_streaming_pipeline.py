@@ -1563,3 +1563,51 @@ def test_state_reader_change_feed(spark, tmp_path_factory):
         (0, "update", "b", 1, 2.0),
         (1, "update", "a", 2, 4.0),
     ]
+
+
+def test_pydatasource_stream_matches_batch(spark):
+    """Spark 4 Python Data Source, STREAMING half: the micro-batch
+    reader over the deterministic closed form (offsets advancing
+    batch_rows per poll, saturating at rows) must drain — across
+    several live-trigger batches — to exactly the batch reader's table.
+    Restart-safety is inherent: any offset range maps to the same
+    closed-form rows."""
+    import time as _time
+    import uuid as _uuid
+
+    from kafka_streaming_spark.io.pydatasource import (
+        register_deterministic_events,
+    )
+
+    register_deterministic_events(spark)
+    batch = (
+        spark.read.format("deterministic_events")
+        .option("rows", 5000)
+        .load()
+    )
+    sink = f"pyds_stream_{_uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("deterministic_events")
+        .option("rows", 5000)
+        .option("batch_rows", 1300)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            if spark.table(sink).count() >= 5000:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    a = sorted(tuple(r) for r in batch.collect())
+    b = sorted(tuple(r) for r in spark.table(sink).collect())
+    spark.catalog.dropTempView(sink)
+    assert len(b) == 5000  # saturated exactly at the cap, 4 batches in
+    assert a == b
