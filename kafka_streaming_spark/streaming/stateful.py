@@ -513,7 +513,10 @@ def session_finalize_tws(
     Mechanics per key: batch events (sorted by event time) merge into
     the open session if they fall within ``gap_ms`` of its last event;
     an in-batch or cross-batch gap larger than that finalizes the open
-    session IMMEDIATELY (input-driven emit) and opens a new one; the
+    session IMMEDIATELY (input-driven emit) and opens a new one; a LATE
+    event (event time at or below the open session's last, admitted by
+    the watermark) merges into the open session, extending its start
+    downward if needed — never splitting backward in time; the
     event-time timer at ``last_ms + gap_ms`` (re-armed on every update)
     finalizes IDLE sessions when the watermark passes it.  State is one
     row per open session per key.  Note the availableNow caveat shared
@@ -576,7 +579,8 @@ def session_finalize_tws(
                 elif ts > cur[1] + gap_ms:
                     yield self._emit(key[0], *cur)
                     cur = [ts, ts, 0, 0.0]
-                cur[1] = max(cur[1], ts)
+                cur[0] = min(cur[0], ts)  # late in-gap event extends
+                cur[1] = max(cur[1], ts)  # the session both directions
                 cur[2] += 1
                 cur[3] += score
             if cur is not None:

@@ -1611,3 +1611,86 @@ def test_pydatasource_stream_matches_batch(spark):
     spark.catalog.dropTempView(sink)
     assert len(b) == 5000  # saturated exactly at the cap, 4 batches in
     assert a == b
+
+
+def test_tws_event_time_sessions_late_merge(spark, tmp_path_factory):
+    """Late-merge policy of session_finalize_tws: an event admitted by
+    the watermark whose time falls at or below the open session's last
+    event MERGES into it, extending the session start downward if
+    needed — never splitting backward.  Pinned by replaying a late
+    below-start event and asserting the finalized session spans it."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    from datetime import datetime, timezone
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import session_finalize_tws
+
+    def at(ms):
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    root = str(tmp_path_factory.mktemp("tws_late"))
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    src = f"{root}/source"
+    files = [
+        [("a", at(10_000), 1.0), ("a", at(12_000), 2.0)],
+        # late event BELOW the session start (5s <= last 12s), admitted
+        # by the generous 60s watermark delay, within the 5s gap of the
+        # session start -> merges and extends start down to 5s
+        [("a", at(5_000), 3.0)],
+        # far-future event -> finalizes the merged session input-driven
+        [("a", at(60_000), 4.0)],
+    ]
+    import time as _t
+
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        _t.sleep(1.1)
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    finalized: list[tuple] = []
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            finalized.append(
+                (
+                    r["group_id"],
+                    r["session_start_ms"],
+                    r["session_end_ms"],
+                    r["n_events"],
+                    r["total_score"],
+                )
+            )
+
+    (
+        session_finalize_tws(stream, gap_ms=5_000, watermark_delay="60 seconds")
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert ("a", 5_000, 12_000, 3, 6.0) in finalized
