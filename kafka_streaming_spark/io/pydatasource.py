@@ -94,8 +94,15 @@ class _BatchReader(DataSourceReader):
 class _StreamReader(DataSourceStreamReader):
     """Micro-batch stream over the closed form: offset = next row index.
     ``latestOffset`` advances ``batch_rows`` per call and saturates at
-    ``rows``, so drains terminate; restart-safety comes free because any
-    offset range maps to the same deterministic rows."""
+    ``rows``, so drains terminate.  Restart-safety needs one rule on top
+    of the deterministic row mapping: the pacing cursor starts at 0 in
+    every NEW reader instance, so after a checkpoint restart a naive
+    ``latestOffset`` would return offsets BEHIND the committed start and
+    re-emit rows already written (duplicates in append sinks).  The
+    engine replays the committed offsets through ``partitions(start,
+    end)`` / ``commit(end)`` before polling again, so both fast-forward
+    the cursor (monotone ``max``) and offsets never regress — pinned by
+    ``test_pydatasource_restart_no_duplicates``."""
 
     def __init__(self, options):
         self.o = _Opts(options)
@@ -110,6 +117,19 @@ class _StreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["index"], end["index"]
+        # Restart fast-forward: the pacing cursor restarts at 0 in every
+        # new reader instance, but before the first post-restart poll
+        # the engine ALWAYS replays the offset-log frontier through this
+        # method — as ``partitions(end_n, end_n)`` when batch n was
+        # committed, or ``partitions(start_n, end_n)`` when batch n must
+        # re-run (measured, .tmp/pyds_trace2.log) — so catching the
+        # cursor up to max(start, end) here guarantees ``latestOffset``
+        # never returns an offset behind the checkpoint (which would
+        # make the engine commit a regressed end and re-emit committed
+        # rows as duplicates).  No range clamping: every (lo, hi) the
+        # engine plans must be emitted verbatim — the replayed range is
+        # deduplicated by the SINK's batch-id log, not by the source.
+        self._current = max(self._current, lo, hi)
         if hi <= lo:
             return [InputPartition((lo, lo))]
         n = self.o.partitions
@@ -127,7 +147,9 @@ class _StreamReader(DataSourceStreamReader):
             yield _row(i, o.n_groups, o.base_ms, o.step_ms)
 
     def commit(self, end):
-        pass
+        # restart fast-forward (see class docstring): a replayed commit
+        # of the checkpointed end offset must advance the pacing cursor
+        self._current = max(self._current, end["index"])
 
 
 class DeterministicEventsDataSource(DataSource):

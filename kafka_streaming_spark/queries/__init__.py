@@ -113,69 +113,82 @@ from kafka_streaming_spark.queries.q18_registrations_r8_r9 import *  # noqa: F40
 #   x_cohort_retention, x_doc_sample_weighted, x_quantile_binning
 # Any r10 registration (triage bar per VERDICT r8 ask #6 still holds)
 # goes FIRST and displaces from the tail.
+# ROUND-11 ROTATION (staged; computed from the r1-r9 CORRECTNESS union
+# assuming this r10 window lands green): the next 50 least-recently-
+# checked greens — 37 r4-coverage + 13 r5-coverage, same
+# (latest-round-with-a-row, registration order) key:
+#   x_robust_outliers, x_event_transitions, x_time_resample, a_array_agg,
+#   f_variant_pack, f_hof_pack, a_stats_pack, x_dataset_mix, x_token_pack,
+#   x_epoch_shuffle, x_quality_funnel, j_bucketed_join, j_skew_salted_join,
+#   x_triangle_count, x_skew_profile, x_kmv_distinct, x_market_basket,
+#   x_data_contract, x_snapshot_diff, f_csv_scan, f_jsonl_scan,
+#   x_embedding_quantize, q12_late_shipments, x_image_resize_stats,
+#   x_video_frame_stats, x_quality_model_score, x_column_profile,
+#   x_bloom_filter_probe, x_fuzzy_match, x_scd2_history, x_pit_join,
+#   x_pagerank_trade, x_countmin_heavyhitters, x_dsir_weights,
+#   x_bm25_search, x_ngram_lm_score, x_span_dedup, x_lsh_eval,
+#   x_hard_negatives, x_semdedup_eval, t_stream_tumbling, t_stream_sliding,
+#   t_stream_session, t_stream_dedup, t_stream_interval_join,
+#   x_trending_topk, x_conversion_latency, a_approx_sketch, f_null_pack,
+#   x_dup_rate_by_source
+# Any r11 registration (triage bar stands) goes FIRST, displacing the tail.
 DRIVER_PRIORITY: list[str] = [
-    # -- ROUND-9 WINDOW (rotated per the staged plan above, plus this
-    # round's registrations): the 6 round-8 registrations and the four
-    # r9 registrations (TWS witness, Arrow-UDTF witness, statestore-scan
-    # witness, Python-datasource witness — all never driver-checked)
-    # first, then the 35 remaining r2-coverage greens, then 5
-    # alphabetically-first r3-coverage greens (p_explode_pack /
-    # q10_returned_items / j_cross_join / j_merge_insert_if_absent, all
-    # already green r3, were dropped to keep the window at 50).  After
-    # this window all 337 registry queries carry a driver CORRECTNESS
-    # row.
-    "t_stream_tws_counter",
-    "x_udtf_chunk_text",
-    "f_statestore_scan",
-    "f_pydatasource_scan",
-    "x_arrow_grouped_stats",
-    "x_arrow_token_stats",
-    "t_stream_rate_soak",
-    "t_stream_ttl_counter",
-    "f_binaryfile_scan",
-    "x_observed_metrics",
-    # least-recently-checked fills (r2 coverage):
-    "a_cube",
-    "a_distinct_count",
-    "a_incremental_fold",
-    "a_percentiles",
-    "a_pivot",
-    "g_rollup",
-    "j_anti_join",
-    "j_asof_join",
-    "j_band_join",
-    "j_semi_join",
-    "l_pagination",
-    "q13_cust_distribution",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "q3_revenue_by_segment",
-    "q4_priority_count",
-    "q5_region_rollup",
-    "s_set_except",
-    "s_set_intersect",
-    "s_set_union",
-    "t_session_window",
-    "t_sessionize",
-    "t_sliding_window",
-    "t_tumbling_window",
-    "w_analytic_pack",
-    "w_moving_avg",
-    "x_cosine_near_dup",
-    "x_cosine_topk",
-    "x_doc_bpe_tokens",
-    "x_doc_fingerprint",
-    "x_doc_lang_id",
-    "x_doc_quality",
-    "x_doc_token_stats",
-    "x_image_meta",
-    "x_ngram_jaccard_pairs",
-    # r3-coverage fills:
-    "a_group_agg",
-    "a_grouping_sets",
-    "a_salted_agg",
-    "f_json_struct",
-    "f_regex_pack",
+    # -- ROUND-10 WINDOW: the staged steady-state regression rotation
+    # above (the r9 run landed 337/337 coverage, so the window's job is
+    # now recency) — the 50 least-recently-checked greens, verified
+    # this round against the r1-r9 CORRECTNESS union
+    # (.tmp/rotation_calc.py): staged == computed, byte-identical.
+    # New r10 registrations go first and displace from the tail.
+    "j_merge_insert_if_absent",
+    "q1_pricing_summary",
+    "x_doc_exact_dedup",
+    "x_dedup_clusters",
+    "x_minhash_near_dup",
+    "x_dedup_keep_best",
+    "x_doc_chunk",
+    "x_simhash",
+    "x_ivf_ann_topk",
+    "x_lsh_ann_topk",
+    "p_explode_pack",
+    "j_cross_join",
+    "w_first_last_value",
+    "q6_revenue_change",
+    "q14_promo_share",
+    "q19_disjunctive_join",
+    "q_supplier_top_per_nation",
+    "x_doc_sample_uniform",
+    "x_doc_sample_stratified",
+    "x_doc_split",
+    "x_topk_bigrams",
+    "x_pii_scan",
+    "x_zorder_scan",
+    "x_decontaminate",
+    "x_doc_repetition",
+    "x_embedding_normalize",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_part_suppliers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "x_image_pixel_stats",
+    "x_audio_energy",
+    "x_kmeans_embeddings",
+    "x_ann_recall",
+    "x_semdedup",
+    "x_pq_ann_topk",
+    "x_ivfpq_ann_topk",
+    "j_interval_join",
+    "t_stateful_running",
+    "x_event_funnel",
+    "x_cohort_retention",
+    "x_doc_sample_weighted",
+    "x_quantile_binning",
 ]
 
 

@@ -31,9 +31,13 @@ else:
         try:
             _strict(domain, major, minor, patch, suffix, location)
         except _rv.VersionError:
-            # Allow: same major, gencode (args) >= runtime, gap <= 1 minor.
+            # Allow: pyspark's OWN gencode (validator receives the
+            # gencode file location) with same major, gencode (args)
+            # >= runtime, gap <= 1 minor.  Any other generated module
+            # imported by a later worker still gets the strict check.
             gap_ok = (
-                major == _rv.MAJOR
+                "spark" in str(location)
+                and major == _rv.MAJOR
                 and (minor, patch) >= (_rv.MINOR, _rv.PATCH)
                 and minor - _rv.MINOR <= 1
             )
@@ -41,3 +45,30 @@ else:
                 raise
 
     _rv.ValidateProtobufRuntimeVersion = _lenient
+
+# Chain-load a sitecustomize this shim may be SHADOWING: Python's site
+# machinery imports only the first sitecustomize on sys.path, and
+# ensure_tws_worker_env PREPENDS this directory — a worker environment
+# that shipped its own sitecustomize would silently lose it otherwise.
+try:  # pragma: no cover - depends on the worker's environment
+    import importlib.util as _ilu
+    import os as _os
+    import sys as _sys
+
+    _here = _os.path.dirname(_os.path.abspath(__file__))
+    for _p in _sys.path:
+        try:
+            if not _p or _os.path.abspath(_p) == _here:
+                continue
+            _cand = _os.path.join(_p, "sitecustomize.py")
+            if _os.path.isfile(_cand):
+                _spec = _ilu.spec_from_file_location(
+                    "_ksp_chained_sitecustomize", _cand
+                )
+                _mod = _ilu.module_from_spec(_spec)
+                _spec.loader.exec_module(_mod)
+                break
+        except Exception:
+            continue
+except Exception:
+    pass

@@ -49,7 +49,12 @@ SHIM_DIR = os.path.join(os.path.dirname(__file__), "_pb_shim")
 
 def _install_lenient_validator() -> None:
     """Relax ``ValidateProtobufRuntimeVersion`` to tolerate gencode one
-    minor NEWER than the runtime (same major).  Idempotent."""
+    minor NEWER than the runtime (same major) — but ONLY for Spark's own
+    generated modules (the validator receives the gencode's source
+    location, ``org/apache/spark/.../StateMessage.proto`` for the TWS
+    state server; scoping on it beats a restore-after-import dance: any
+    OTHER gencode imported later in the session still gets the strict
+    check, with no timing window).  Idempotent."""
     from google.protobuf import runtime_version as rv
 
     if getattr(rv.ValidateProtobufRuntimeVersion, "_ksp_lenient", False):
@@ -61,7 +66,8 @@ def _install_lenient_validator() -> None:
             strict(domain, major, minor, patch, suffix, location)
         except rv.VersionError:
             gap_ok = (
-                major == rv.MAJOR
+                "spark" in str(location)
+                and major == rv.MAJOR
                 and (minor, patch) >= (rv.MINOR, rv.PATCH)
                 and minor - rv.MINOR <= 1
             )

@@ -95,27 +95,50 @@ def read_state(
     return reader.load(checkpoint)
 
 
-def read_state_flat(spark: SparkSession, checkpoint: str, **kw) -> DataFrame:
-    """:func:`read_state` with the key/value structs star-expanded
-    RECURSIVELY — the analyst-facing view (one column per key field and
-    per state field, plus ``partition_id``).  Recursion matters because
-    the value column nests the user state one level down (e.g.
-    ``value.groupState.count`` for applyInPandasWithState stores)."""
+def flatten_structs(df: DataFrame) -> DataFrame:
+    """Star-expand every struct column RECURSIVELY into one flat
+    namespace.  When a child name would collide with any other resulting
+    column (common for generic TWS stores whose key field names also
+    appear inside the value struct), the colliding children are prefixed
+    with their parent column name (``key_group_id`` / ``value_group_id``)
+    instead of producing duplicate/ambiguous columns; unique names stay
+    bare so the existing analyst-facing views are unchanged."""
+    from collections import Counter
+
     from pyspark.sql.types import StructType as _Struct
 
-    df = read_state(spark, checkpoint, **kw)
     for _ in range(8):  # state schemas are shallow; 8 is a safety bound
-        struct_cols = [
-            f.name for f in df.schema.fields if isinstance(f.dataType, _Struct)
-        ]
-        if not struct_cols:
+        if not any(
+            isinstance(f.dataType, _Struct) for f in df.schema.fields
+        ):
             break
-        cols = [
-            F.col(f"{f.name}.*") if f.name in struct_cols else F.col(f.name)
-            for f in df.schema.fields
-        ]
+        proposed: list[tuple[str | None, str]] = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, _Struct):
+                proposed += [(f.name, c.name) for c in f.dataType.fields]
+            else:
+                proposed.append((None, f.name))
+        counts = Counter(name for _, name in proposed)
+        cols = []
+        for parent, name in proposed:
+            if parent is None:
+                cols.append(F.col(f"`{name}`"))
+            else:
+                out = f"{parent}_{name}" if counts[name] > 1 else name
+                cols.append(F.col(f"`{parent}`.`{name}`").alias(out))
         df = df.select(*cols)
     return df
+
+
+def read_state_flat(spark: SparkSession, checkpoint: str, **kw) -> DataFrame:
+    """:func:`read_state` with the key/value structs star-expanded
+    RECURSIVELY via :func:`flatten_structs` — the analyst-facing view
+    (one column per key field and per state field, plus
+    ``partition_id``).  Recursion matters because the value column nests
+    the user state one level down (e.g. ``value.groupState.count`` for
+    applyInPandasWithState stores); name collisions between key and
+    value fields come out parent-prefixed instead of ambiguous."""
+    return flatten_structs(read_state(spark, checkpoint, **kw))
 
 
 def state_key_skew(

@@ -495,6 +495,47 @@ SESSION_STATE_SCHEMA = StructType(
 )
 
 
+def merge_sessions(
+    sessions: list, events: list, gap_ms: int
+) -> list[tuple]:
+    """Pure per-key session algebra shared by :func:`session_finalize_tws`
+    and its batch-equivalence property test: fold ``events`` (``(ts_ms,
+    score)`` points, any order) into ``sessions`` (``(start_ms, last_ms,
+    n, total)`` tuples) and return the merged, start-sorted session list.
+
+    Semantics are exactly ``F.session_window``'s: two items belong to
+    the same session iff the later one starts STRICTLY less than
+    ``gap_ms`` after the earlier one ends (Spark's per-event window is
+    ``[ts, ts + gap)``), so the result is independent of arrival order —
+    a late point bridging two open sessions merges them into one."""
+    items = [list(s) for s in sessions]
+    items += [[ts, ts, 1, score] for ts, score in events]
+    items.sort(key=lambda s: (s[0], s[1]))
+    out: list[list] = []
+    for s in items:
+        if out and s[0] < out[-1][1] + gap_ms:
+            cur = out[-1]
+            cur[1] = max(cur[1], s[1])
+            cur[2] += s[2]
+            cur[3] += s[3]
+        else:
+            out.append(s)
+    return [tuple(s) for s in out]
+
+
+def split_finalized(
+    sessions: list, watermark_ms: int, gap_ms: int
+) -> tuple[list[tuple], list[tuple]]:
+    """Partition a merged session list into ``(finalized, open)`` under
+    ``watermark_ms``: a session whose ``last + gap`` the watermark has
+    reached can NEVER grow again (any still-admissible event has
+    ``ts >= watermark >= last + gap``, outside the strict-merge bound),
+    so emitting it is safe and final; everything else stays open."""
+    done = [tuple(s) for s in sessions if s[1] + gap_ms <= watermark_ms]
+    keep = [tuple(s) for s in sessions if s[1] + gap_ms > watermark_ms]
+    return done, keep
+
+
 def session_finalize_tws(
     events: DataFrame,
     gap_ms: int = 5_000,
@@ -510,24 +551,30 @@ def session_finalize_tws(
     clocks on 1000 executors disagree; the watermark is the single
     consistent notion of "no more events can join this session".
 
-    Mechanics per key: batch events (sorted by event time) merge into
-    the open session if they fall within ``gap_ms`` of its last event;
-    an in-batch or cross-batch gap larger than that finalizes the open
-    session IMMEDIATELY (input-driven emit) and opens a new one; a LATE
-    event (event time at or below the open session's last, admitted by
-    the watermark) merges into the open session, extending its start
-    downward if needed — never splitting backward in time; the
-    event-time timer at ``last_ms + gap_ms`` (re-armed on every update)
-    finalizes IDLE sessions when the watermark passes it.  State is one
-    row per open session per key.  Note the availableNow caveat shared
-    with every event-time operator: sessions whose timer the final
-    watermark never passes remain open in state (exactly like unemitted
-    append-mode windows) — they finalize on the next run over the same
-    checkpoint.
+    BATCH-EXACT: finalized sessions equal ``F.session_window`` over the
+    watermark-admitted events regardless of arrival order (pinned by the
+    ``test_session_tws_property`` sweep).  State per key is the full
+    list of OPEN sessions (``getListState``), merged via the pure
+    :func:`merge_sessions`; a session is emitted only once the watermark
+    passes ``last + gap_ms`` (:func:`split_finalized`) — input-driven
+    when a later batch's watermark has already passed it, else by the
+    event-time timer armed at the earliest open ``last + gap_ms``.
+    Keeping EVERY open session (not just the newest) is what makes late,
+    admitted events exact: one may open a session BEFORE the newest, or
+    bridge two open sessions into one, and early emission would have
+    made those merges impossible.  Note the availableNow caveat shared
+    with every event-time operator: sessions whose finalize point the
+    final watermark never passes remain open in state (exactly like
+    unemitted append-mode windows) — they finalize on the next run over
+    the same checkpoint.
 
     Input needs ``group_id``, ``score``, and an event-time ``ts_col``;
     the operator applies ``withWatermark(ts_col, watermark_delay)``
-    itself.  Same runtime requirements as the other TWS operators."""
+    itself.  Same runtime requirements as the other TWS operators.
+
+    Scale shape: state is O(open sessions) per key — bounded by event
+    spread inside the watermark horizon, not by history — and exactly
+    one registered timer per key."""
     from kafka_streaming_spark.streaming.protobuf_compat import (
         ensure_tws_worker_env,
     )
@@ -547,20 +594,33 @@ def session_finalize_tws(
     class SessionFinalize(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            self._session = handle.getValueState(
-                "session", SESSION_STATE_SCHEMA
+            self._sessions = handle.getListState(
+                "sessions", SESSION_STATE_SCHEMA
             )
 
-        def _emit(self, group_id, start_ms, last_ms, n, total):
+        def _emit(self, group_id, done):
             return pd.DataFrame(
                 {
-                    "group_id": [group_id],
-                    "session_start_ms": [start_ms],
-                    "session_end_ms": [last_ms],
-                    "n_events": [n],
-                    "total_score": [total],
+                    "group_id": [group_id] * len(done),
+                    "session_start_ms": [s[0] for s in done],
+                    "session_end_ms": [s[1] for s in done],
+                    "n_events": [s[2] for s in done],
+                    "total_score": [s[3] for s in done],
                 }
             )
+
+        def _store(self, keep) -> None:
+            """Persist open sessions and re-arm the single timer at the
+            earliest possible finalize point."""
+            self._sessions.clear()
+            if keep:
+                self._sessions.put([tuple(s) for s in keep])
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            if keep:
+                self._handle.registerTimer(
+                    min(s[1] for s in keep) + gap_ms
+                )
 
         def handleInputRows(self, key, rows, timerValues):
             batch = []
@@ -571,30 +631,37 @@ def session_finalize_tws(
                         (float(s) for s in pdf["score"]),
                     )
                 )
-            batch.sort()
-            cur = list(self._session.get()) if self._session.exists() else None
-            for ts, score in batch:
-                if cur is None:
-                    cur = [ts, ts, 0, 0.0]
-                elif ts > cur[1] + gap_ms:
-                    yield self._emit(key[0], *cur)
-                    cur = [ts, ts, 0, 0.0]
-                cur[0] = min(cur[0], ts)  # late in-gap event extends
-                cur[1] = max(cur[1], ts)  # the session both directions
-                cur[2] += 1
-                cur[3] += score
-            if cur is not None:
-                self._session.update(tuple(cur))
-                for t in list(self._handle.listTimers()):
-                    self._handle.deleteTimer(t)
-                self._handle.registerTimer(cur[1] + gap_ms)
+            open_ = [
+                (int(s[0]), int(s[1]), int(s[2]), float(s[3]))
+                for s in self._sessions.get()
+            ]
+            merged = merge_sessions(open_, batch, gap_ms)
+            done, keep = split_finalized(
+                merged, timerValues.getCurrentWatermarkInMs(), gap_ms
+            )
+            self._store(keep)
+            if done:
+                yield self._emit(key[0], done)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if not self._session.exists():
+            open_ = [
+                (int(s[0]), int(s[1]), int(s[2]), float(s[3]))
+                for s in self._sessions.get()
+            ]
+            if not open_:
                 return
-            cur = list(self._session.get())
-            self._session.clear()
-            yield self._emit(key[0], *cur)
+            # A fired timer proves the eviction watermark reached its
+            # expiry even when getCurrentWatermarkInMs reports the
+            # (one-batch-lagging) late-filter watermark — take the max
+            # so the emit is never deferred a batch for nothing.
+            wm = max(
+                timerValues.getCurrentWatermarkInMs(),
+                expiredTimerInfo.getExpiryTimeInMs(),
+            )
+            done, keep = split_finalized(open_, wm, gap_ms)
+            self._store(keep)
+            if done:
+                yield self._emit(key[0], done)
 
         def close(self) -> None:
             pass

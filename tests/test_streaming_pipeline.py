@@ -1452,6 +1452,41 @@ def test_state_reader_offline_inspection(spark, tmp_path_factory):
     )
 
 
+def test_flatten_structs_collision_prefix(spark):
+    """flatten_structs (the read_state_flat expansion): unique child
+    names stay bare (existing analyst views unchanged), but a child name
+    appearing under MORE THAN ONE struct — the generic-TWS-store shape
+    where a key field name recurs inside the value struct — comes out
+    parent-prefixed instead of duplicate/ambiguous, and nested structs
+    flatten recursively."""
+    from kafka_streaming_spark.streaming.state_reader import flatten_structs
+
+    df = spark.sql(
+        "SELECT named_struct('group_id', 'a', 'shard', 1) AS key, "
+        "named_struct('group_id', 'a', 'count', 3, "
+        "             'inner', named_struct('depth', 2)) AS value, "
+        "7 AS partition_id"
+    )
+    flat = flatten_structs(df)
+    assert sorted(flat.columns) == [
+        "count",
+        "depth",
+        "key_group_id",
+        "partition_id",
+        "shard",
+        "value_group_id",
+    ]
+    row = flat.collect()[0]
+    assert (
+        row["key_group_id"],
+        row["value_group_id"],
+        row["count"],
+        row["depth"],
+        row["shard"],
+        row["partition_id"],
+    ) == ("a", "a", 3, 2, 1, 7)
+
+
 def test_state_reader_tws_state_var(spark, tmp_path_factory):
     """State Data Source over a transformWithState checkpoint: TWS stores
     are column families keyed by state-variable name, so the reader takes
@@ -1613,12 +1648,82 @@ def test_pydatasource_stream_matches_batch(spark):
     assert a == b
 
 
+def test_pydatasource_restart_no_duplicates(spark, tmp_path_factory):
+    """Restart-from-checkpoint exactness of the Python Data Source
+    stream: the pacing cursor restarts at 0 in every new reader
+    instance, so without the partitions()/commit() fast-forward a
+    post-restart ``latestOffset`` would return offsets BEHIND the
+    committed start, the engine would commit the regressed end, and the
+    next batches would re-emit committed rows (duplicates in the append
+    sink).  Stop a checkpointed drain mid-way, restart with a FRESH
+    reader over the same checkpoint, and assert the final sink equals
+    the batch table exactly — no duplicates, no losses."""
+    import time as _time
+
+    from kafka_streaming_spark.io.pydatasource import (
+        register_deterministic_events,
+    )
+
+    register_deterministic_events(spark)
+    root = str(tmp_path_factory.mktemp("pyds_restart"))
+    sink, ckpt = f"{root}/sink", f"{root}/ckpt"
+    rows = 9000
+
+    def start():
+        return (
+            spark.readStream.format("deterministic_events")
+            .option("rows", rows)
+            .option("batch_rows", 1300)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
+
+    q = start()  # run 1: stop once at least one batch committed
+    deadline = _time.monotonic() + 60
+    while _time.monotonic() < deadline and sink_count() < 1300:
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    assert sink_count() >= 1300
+
+    q = start()  # run 2: fresh reader, same checkpoint -> exact drain
+    deadline = _time.monotonic() + 90
+    while _time.monotonic() < deadline and sink_count() < rows:
+        _time.sleep(0.2)
+    _time.sleep(1.5)  # let any extra (would-be duplicating) batch land
+    q.stop()
+    q.awaitTermination()
+
+    df = spark.read.parquet(sink)
+    assert df.count() == rows, "lost rows across restart"
+    assert df.distinct().count() == rows, "duplicated rows across restart"
+    batch = (
+        spark.read.format("deterministic_events").option("rows", rows).load()
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_tws_event_time_sessions_late_merge(spark, tmp_path_factory):
     """Late-merge policy of session_finalize_tws: an event admitted by
-    the watermark whose time falls at or below the open session's last
-    event MERGES into it, extending the session start downward if
-    needed — never splitting backward.  Pinned by replaying a late
-    below-start event and asserting the finalized session spans it."""
+    the watermark whose time falls BELOW the open session's start but
+    within the gap of it MERGES into the session, extending its start
+    downward — exactly what F.session_window would compute over the
+    same admitted events.  The merged session finalizes only once the
+    watermark passes its last + gap (batch-exact semantics), so the
+    fixture pushes the watermark with two far-future events."""
     from kafka_streaming_spark.streaming.protobuf_compat import (
         ensure_protobuf,
     )
@@ -1654,12 +1759,19 @@ def test_tws_event_time_sessions_late_merge(spark, tmp_path_factory):
     src = f"{root}/source"
     files = [
         [("a", at(10_000), 1.0), ("a", at(12_000), 2.0)],
-        # late event BELOW the session start (5s <= last 12s), admitted
-        # by the generous 60s watermark delay, within the 5s gap of the
-        # session start -> merges and extends start down to 5s
-        [("a", at(5_000), 3.0)],
-        # far-future event -> finalizes the merged session input-driven
-        [("a", at(60_000), 4.0)],
+        # late event BELOW the session start (6s < start 10s), admitted
+        # by the generous 60s watermark delay, STRICTLY within the 5s
+        # gap of the session start (10s < 6s + 5s) -> merges and
+        # extends the start down to 6s, exactly as F.session_window
+        # would (an event at 5s would NOT merge: 10s = 5s + 5s is
+        # outside the half-open [ts, ts+gap) window)
+        [("a", at(6_000), 3.0)],
+        # watermark push: after this batch wm = 90s - 60s = 30s, past
+        # the merged session's finalize point 12s + 5s = 17s
+        [("a", at(90_000), 4.0)],
+        # processed AT wm=30s -> finalizes the merged session
+        # input-driven (deterministic; no trailing no-data batch needed)
+        [("a", at(95_000), 5.0)],
     ]
     import time as _t
 
@@ -1693,4 +1805,4 @@ def test_tws_event_time_sessions_late_merge(spark, tmp_path_factory):
         .start()
         .awaitTermination()
     )
-    assert ("a", 5_000, 12_000, 3, 6.0) in finalized
+    assert ("a", 6_000, 12_000, 3, 6.0) in finalized
