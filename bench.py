@@ -28,6 +28,25 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench")
 
 
+def select_outliers(
+    timings: dict[str, float],
+    hist: dict[str, float],
+    ratio: float = 1.5,
+    cap: int = 20,
+) -> list[str]:
+    """Names whose measured time exceeds ``ratio`` x their previous
+    same-sf recording, worst-relative-inflation first, at most ``cap``
+    (the bounded third-measurement candidates — see main())."""
+    return sorted(
+        (
+            n
+            for n in timings
+            if n in hist and hist[n] > 0 and timings[n] > ratio * hist[n]
+        ),
+        key=lambda n: -(timings[n] / hist[n]),
+    )[:cap]
+
+
 def bench_streaming(spark) -> tuple[float, int]:
     """Medallion pipeline wall time over the events table (availableNow)."""
     from kafka_streaming_spark.io.sources import file_stream
@@ -210,6 +229,42 @@ def main() -> None:
             spark.catalog.clearCache()
         pass_totals.append(round(pass_total, 3))
     cold_total = sum(cold.values())
+
+    # Targeted OUTLIER RE-MEASURE (VERDICT r9 ask #2): the best-of-2
+    # minimum is still contaminated when ambient co-tenant load spans
+    # BOTH passes of a query (r9's driver number read as a 7% regression
+    # that the idle-box re-run at the same HEAD didn't show).  Bounded
+    # third pass: any query whose best-of-2 exceeds its previous
+    # BENCH_DETAIL recording (same sf) by >1.5x gets ONE re-measure, min
+    # taken.  A real regression survives (three samples agree); an
+    # ambient burst usually doesn't.  Cost is proportional to the number
+    # of outliers (capped at 20), zero on a clean sweep.
+    hist: dict[str, float] = {}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        if prior.get("sf") == SF_DIR:
+            hist = {
+                k: float(v)
+                for k, v in prior.get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except Exception:
+        hist = {}
+    outliers = select_outliers(timings, hist)
+    improved = 0
+    for name in outliers:
+        t0 = time.perf_counter()
+        REGISTRY[name][0](spark, SF_DIR).count()
+        elapsed = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        if elapsed < timings[name]:
+            timings[name] = round(elapsed, 3)
+            improved += 1
+
     timings["streaming_medallion"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -240,6 +295,13 @@ def main() -> None:
         # a throttle burst shows as one inflated pass with a normal
         # sibling; a real regression inflates both (VERDICT r6 ask #6).
         "pass_totals": pass_totals,
+        # Ambient classification (VERDICT r9 ask #2): [queries >1.5x
+        # their previous same-sf BENCH_DETAIL recording after best-of-2,
+        # how many of those the bounded third measurement brought back
+        # down].  outliers==improved => the sweep hit ambient load and
+        # self-corrected; outliers>improved => genuinely slower queries
+        # remain (or the box is loaded RIGHT NOW — check pass_totals).
+        "outlier_remeasure": [len(outliers), improved],
         # 5 slowest queries inline; the FULL per-query map goes to
         # BENCH_DETAIL.json.  The driver's tail capture keeps only ~2.2 KB
         # of stdout, so the 94-entry map on this line truncated the JSON

@@ -42,7 +42,10 @@ from kafka_streaming_spark.queries.q14_multimodal_codecs import *  # noqa: F401,
 from kafka_streaming_spark.queries.q15_misc_graph_batch import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q16_late_r5_eval import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q17_late_r5_scan_stream import *  # noqa: F401,F403,E402
+from kafka_streaming_spark.queries.q17b_late_r5_stats_text import *  # noqa: F401,F403,E402
+from kafka_streaming_spark.queries.q17c_late_r5_ops_forecast import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q18_registrations_r8_r9 import *  # noqa: F401,F403,E402
+from kafka_streaming_spark.queries.q19_registrations_r10 import *  # noqa: F401,F403,E402
 
 # ROUND-8 ROTATION (CORRECTNESS_r07 digested): r7 checked 50 keys — all 50
 # green (rows+schema+hash), zero errors; union r1-r7 = 283/327 checked, all
@@ -115,9 +118,11 @@ from kafka_streaming_spark.queries.q18_registrations_r8_r9 import *  # noqa: F40
 # goes FIRST and displaces from the tail.
 # ROUND-11 ROTATION (staged; computed from the r1-r9 CORRECTNESS union
 # assuming this r10 window lands green): the next 50 least-recently-
-# checked greens — 37 r4-coverage + 13 r5-coverage, same
-# (latest-round-with-a-row, registration order) key:
-#   x_robust_outliers, x_event_transitions, x_time_resample, a_array_agg,
+# checked greens — x_quantile_binning (displaced from the r10 tail by
+# the f_state_changes registration, so still r4-age) plus 37 r4-coverage
+# + 12 r5-coverage, same (latest-round-with-a-row, registration order)
+# key:
+#   x_quantile_binning, x_robust_outliers, x_event_transitions, x_time_resample, a_array_agg,
 #   f_variant_pack, f_hof_pack, a_stats_pack, x_dataset_mix, x_token_pack,
 #   x_epoch_shuffle, x_quality_funnel, j_bucketed_join, j_skew_salted_join,
 #   x_triangle_count, x_skew_profile, x_kmv_distinct, x_market_basket,
@@ -129,8 +134,8 @@ from kafka_streaming_spark.queries.q18_registrations_r8_r9 import *  # noqa: F40
 #   x_bm25_search, x_ngram_lm_score, x_span_dedup, x_lsh_eval,
 #   x_hard_negatives, x_semdedup_eval, t_stream_tumbling, t_stream_sliding,
 #   t_stream_session, t_stream_dedup, t_stream_interval_join,
-#   x_trending_topk, x_conversion_latency, a_approx_sketch, f_null_pack,
-#   x_dup_rate_by_source
+#   x_trending_topk, x_conversion_latency, a_approx_sketch, f_null_pack
+#   (x_dup_rate_by_source falls to the r12 queue)
 # Any r11 registration (triage bar stands) goes FIRST, displacing the tail.
 DRIVER_PRIORITY: list[str] = [
     # -- ROUND-10 WINDOW: the staged steady-state regression rotation
@@ -139,6 +144,7 @@ DRIVER_PRIORITY: list[str] = [
     # this round against the r1-r9 CORRECTNESS union
     # (.tmp/rotation_calc.py): staged == computed, byte-identical.
     # New r10 registrations go first and displace from the tail.
+    "f_state_changes",
     "j_merge_insert_if_absent",
     "q1_pricing_summary",
     "x_doc_exact_dedup",
@@ -188,7 +194,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_event_funnel",
     "x_cohort_retention",
     "x_doc_sample_weighted",
-    "x_quantile_binning",
+    # x_quantile_binning displaced to keep the window at 50 (it heads
+    # the r11 staging queue with the other displaced r4 greens).
 ]
 
 

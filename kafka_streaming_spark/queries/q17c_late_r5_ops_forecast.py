@@ -1,0 +1,2145 @@
+"""round-5+ batch, part 3 of the q17 split (round 10; VERDICT r9 ask
+#4): operational audits, forecasting backtests, allocation folds,
+streaming restart witness, TWS/statestore-adjacent late registrations.
+Mechanical move: query bodies are verbatim; registration order is
+preserved by the import order in
+``kafka_streaming_spark/queries/__init__.py``, so ``REGISTRY`` /
+``DRIVER_PRIORITY`` iteration is unchanged."""
+
+from kafka_streaming_spark.queries._core import *  # noqa: F401,F403
+from kafka_streaming_spark.queries.q06_ext_joins_session_multimodal import (  # noqa: F401
+    _SESSIONIZE_CTE,
+    _SESSION_GAP,
+)
+from kafka_streaming_spark.queries.q15_misc_graph_batch import (  # noqa: F401
+    _nation_daily_cents,
+)
+
+@register(
+    "x_audio_vad_segments",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 256 + (doc_id % 7) * 64 - 1)) AS t
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT doc_id, t,
+             CASE WHEN (t // 64 + doc_id) % 3 = 0 THEN 0
+                  ELSE (doc_id*31 + t*17) % 4001 - 2000 END AS v
+      FROM t
+    ), w AS (
+      SELECT doc_id, t // 64 AS window_idx,
+             CAST(SUM(v*v) AS BIGINT) AS energy
+      FROM s GROUP BY doc_id, t // 64
+    ), voiced AS (
+      SELECT doc_id, window_idx, energy,
+             window_idx - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS island
+      FROM w WHERE energy > 1000000
+    )
+    SELECT doc_id AS asset_id,
+           CAST(MIN(window_idx) AS INTEGER) AS seg_start,
+           CAST(MAX(window_idx) AS INTEGER) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM voiced GROUP BY doc_id, island
+    """,
+)
+def x_audio_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """VOICE-ACTIVITY SEGMENTATION over real WAV audio (the
+    silence-stripping pass of every speech-training pipeline — find the
+    CONTIGUOUS speech runs, not just per-window features): deterministic
+    PCM with every (window+id)%3==0 window muted is encoded as genuine
+    RIFF/WAV, decoded back through `extract_audio_features`, windows
+    above an energy threshold are voiced, and consecutive voiced windows
+    merge into segments via the gaps-and-islands trick (window_idx −
+    row_number).  The oracle recomputes energy from the sample formula —
+    a pass certifies PCM round-trip AND the temporal merge.  Scale
+    shape: decode fans out inside `mapInPandas`; the island window
+    partitions per asset (state bounded by windows-per-asset)."""
+    import numpy as np  # worker-side
+    import pandas as pd  # noqa: F811 (worker-side)
+
+    from pyspark.sql import Window
+    from kafka_streaming_spark.functions.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    ids = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 256 + (d % 7) * 64
+                t = np.arange(n, dtype=np.int64)
+                s = (d * 31 + t * 17) % 4001 - 2000
+                s = np.where((t // 64 + d) % 3 == 0, 0, s)
+                payloads.append(encode_wav(s.astype(np.int16), sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    feats = extract_audio_features(
+        ids.mapInPandas(gen, gen_schema), window_bytes=128
+    )
+    voiced = feats.filter(F.col("energy") > 1000000)
+    wi = Window.partitionBy("asset_id").orderBy("window_idx")
+    islands = voiced.withColumn(
+        "island", F.col("window_idx") - F.row_number().over(wi)
+    )
+    return islands.groupBy("asset_id", "island").agg(
+        F.min("window_idx").cast("int").alias("seg_start"),
+        F.max("window_idx").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).drop("island")
+
+
+@register(
+    "x_dict_encoding_advisor",
+    """
+    WITH stats AS (
+      SELECT 'o_orderstatus' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv,
+             CAST(SUM(len(o_orderstatus)) AS BIGINT) AS raw_bytes
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(SUM(len(o_orderpriority)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+             CAST(SUM(len(c_mktsegment)) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'p_type', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT p_type) AS BIGINT),
+             CAST(SUM(len(p_type)) AS BIGINT)
+      FROM part
+    )
+    SELECT col, n, ndv, raw_bytes,
+           ndv * (raw_bytes // n) + n * 2 AS dict_bytes_est,
+           (raw_bytes - (ndv * (raw_bytes // n) + n * 2)) * 1000000
+             // raw_bytes AS saving_micro,
+           CAST(CASE WHEN ndv * 20 < n THEN 1 ELSE 0 END AS INTEGER)
+             AS recommend_dict
+    FROM stats
+    """,
+)
+def x_dict_encoding_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """DICTIONARY-ENCODING ADVISOR (the storage-layout decision parquet
+    writers make implicitly, surfaced as a query: which string columns
+    repay dictionary encoding?): per candidate column, row count, NDV,
+    raw byte volume, the estimated dictionary layout cost (ndv ×
+    avg_len + 2-byte codes), projected saving in micro-units, and a
+    recommend flag at the 20× repetition threshold.  Exact integers.
+    Scale shape: one count-distinct aggregate per column (two-phase,
+    map-side partials) — the profile-then-decide loop every lakehouse
+    table-maintenance service runs."""
+    def stats_for(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(col).alias("ndv"),
+            F.sum(F.length(col)).cast("long").alias("raw_bytes"),
+        ).select(F.lit(col).alias("col"), "n", "ndv", "raw_bytes")
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    stats = (
+        stats_for(o, "o_orderstatus")
+        .unionAll(stats_for(o, "o_orderpriority"))
+        .unionAll(stats_for(c, "c_mktsegment"))
+        .unionAll(stats_for(p, "p_type"))
+    )
+    return stats.select(
+        "col",
+        "n",
+        "ndv",
+        "raw_bytes",
+        F.expr("ndv * (raw_bytes DIV n) + n * 2").alias("dict_bytes_est"),
+        F.expr(
+            "(raw_bytes - (ndv * (raw_bytes DIV n) + n * 2)) * 1000000"
+            " DIV raw_bytes"
+        ).alias("saving_micro"),
+        F.expr("CAST(CASE WHEN ndv * 20 < n THEN 1 ELSE 0 END AS INT)").alias(
+            "recommend_dict"
+        ),
+    )
+
+
+@register(
+    "x_order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                  AS BIGINT) AS line_cents_q
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderstatus,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS header_cents,
+             li.line_cents_q
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents_q IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_headerless,
+           CAST(SUM(CASE WHEN line_cents_q IS NOT NULL
+                          AND line_cents_q < header_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_below_header,
+           CAST(SUM(header_cents) AS BIGINT) AS header_total_cents,
+           CAST(SUM(COALESCE(line_cents_q, 0)) AS BIGINT)
+             AS line_total_cents_q
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def x_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-TABLE RECONCILIATION AUDIT (the header-vs-detail consistency
+    check every finance pipeline runs nightly: do the lineitem details
+    support the order header totals?): per order, the quantity-weighted
+    line value vs the header total, rolled up per status — orders with
+    NO details and orders whose details fall below the header are counted
+    separately, and both grand totals are emitted so the books can be
+    diffed exactly.  Pure BIGINT cents.  Scale shape: one detail-side
+    aggregate (map-side partials), one LEFT join on the order key, one
+    bounded rollup — the detail side pre-reduces so the join never sees
+    raw line volume."""
+    li = (
+        load_table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    " * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("line_cents_q")
+        )
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "header_cents"
+        ),
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("line_cents_q").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_headerless"),
+        F.sum(
+            F.when(
+                F.col("line_cents_q").isNotNull()
+                & (F.col("line_cents_q") < F.col("header_cents")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_lines_below_header"),
+        F.sum("header_cents").cast("long").alias("header_total_cents"),
+        F.sum(F.coalesce("line_cents_q", F.lit(0)))
+        .cast("long")
+        .alias("line_total_cents_q"),
+    )
+
+
+@register(
+    "x_sliced_eval",
+    """
+    WITH scored AS (
+      SELECT lang, source,
+             CASE WHEN len(regexp_extract_all(lower(text), '[aeiou]')) * 1000
+                       >= GREATEST(n_chars, 1) * 300
+                  THEN 'en' ELSE 'other' END AS pred,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual
+      FROM documents
+    ), slices AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM scored GROUP BY lang, source
+    )
+    SELECT lang, source, n,
+           CASE WHEN n >= 20 THEN n_correct * 1000000 // n ELSE NULL END
+             AS accuracy_micro,
+           CAST(CASE WHEN n < 20 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+    FROM slices
+    """,
+)
+def x_sliced_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """SLICED MODEL EVALUATION (the fairness/robustness practice of
+    scoring a classifier PER SUBGROUP, not just overall — a 95% global
+    accuracy can hide a 40% slice): the vowel-density language classifier
+    evaluated on every (lang, source) slice, with small slices (n < 20)
+    SUPPRESSED (NULL metric + flag) exactly like a k-anonymity release —
+    per-slice metrics on tiny groups are noise AND a privacy leak.
+    Integer micro accuracy.  Scale shape: one scan, one slice-keyed
+    aggregate; slice cardinality bounds the output."""
+    d = load_table(spark, sf, "documents")
+    scored = spread(d).select(
+        "lang",
+        "source",
+        F.when(
+            F.expr("size(regexp_extract_all(lower(text), '[aeiou]', 0)) * 1000")
+            >= F.expr("greatest(n_chars, 1) * 300"),
+            "en",
+        )
+        .otherwise("other")
+        .alias("pred"),
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+    )
+    slices = scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return slices.select(
+        "lang",
+        "source",
+        "n",
+        F.when(F.col("n") >= 20, F.expr("n_correct * 1000000 DIV n")).alias(
+            "accuracy_micro"
+        ),
+        F.when(F.col("n") < 20, 1).otherwise(0).cast("int").alias("suppressed"),
+    )
+
+
+@register(
+    "x_markov_next_event",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS prev, next_type AS nxt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT prev, nxt AS predicted_next, c AS n_best, n_total
+      FROM (
+        SELECT prev, nxt, c,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS n_total
+        FROM trans
+      ) WHERE rn = 1
+    )
+    SELECT prev AS event_type, predicted_next, n_best, n_total,
+           n_best * 1000000 // n_total AS accuracy_micro
+    FROM best
+    """,
+)
+def x_markov_next_event(spark: SparkSession, sf: str) -> DataFrame:
+    """MARKOV NEXT-EVENT MODEL, fit AND scored in-engine (the baseline
+    every sequence model must beat: predict each user's next event as the
+    modal transition from the current one): bigram transition counts from
+    one lead() pass, the per-state argmax is the fitted model, and its
+    training accuracy = the modal share — count-exact, no held-out split
+    needed for the majority baseline.  Deterministic (count DESC, type)
+    tiebreak.  Scale shape: one user-partitioned window for the lead, one
+    transition aggregate (states² bounded output), one bounded window
+    over the transition table."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(wu)).filter(
+        F.col("next_type").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("prev"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("prev")
+    best = (
+        trans.withColumn(
+            "rn",
+            F.row_number().over(wp.orderBy(F.col("c").desc(), F.col("nxt"))),
+        )
+        .withColumn("n_total", F.sum("c").over(wp).cast("long"))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("prev").alias("event_type"),
+        F.col("nxt").alias("predicted_next"),
+        F.col("c").alias("n_best"),
+        "n_total",
+        F.expr("c * 1000000 DIV n_total").alias("accuracy_micro"),
+    )
+
+
+@register(
+    "x_resource_allocation",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cdeg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY c
+    ), scores AS (
+      SELECT a.u AS u1, b.u AS u2,
+             CAST(SUM(1000000 // cd.d) AS BIGINT) AS ra_micro,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM edges a
+      JOIN cdeg cd ON a.c = cd.c AND cd.d <= 50
+      JOIN edges b ON a.c = b.c AND a.u < b.u
+      GROUP BY a.u, b.u
+    )
+    SELECT u1, u2, common_neighbors, ra_micro
+    FROM scores ORDER BY ra_micro DESC, u1, u2 LIMIT 25
+    """,
+)
+def x_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """RESOURCE-ALLOCATION LINK INDEX (Zhou-Lü-Zhang's RA — the
+    degree-weighted link predictor that beats raw common-neighbor
+    counts: a shared RARE customer is strong evidence, a shared hub
+    customer is weak): each common neighbor z contributes 1/deg(z),
+    summed in exact micro-units — the integer-native cousin of
+    Adamic-Adar (whose log weighting the engine's no-transcendental
+    policy replaces with RA's reciprocal, the standard alternative in
+    the same paper).  Candidate pairs form WITHIN the shared-customer
+    key (like `x_link_prediction`, which this extends with weighting),
+    and the same ``PAIR_DEGREE_CAP`` (=50) hub bound applies: customers
+    above the cap are dropped before pairing, bounding per-key work at
+    C(50,2) regardless of data volume — consistent with RA's own logic,
+    since a degree-10⁵ hub would contribute 10 micro-units per pair
+    while costing 10¹⁰ reducer rows.  Weight attaches pre-pairing;
+    bounded top-k."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # Cached: the distinct edge list feeds THREE consumers (cdeg and
+    # both sides of the pairing join) — same multi-consumer rule as
+    # x_link_prediction (53.8s -> 35s at the 100x replica).
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("u"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .cache()
+    )
+    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select("c", F.col("u").alias("u1"))
+    b = edges.select("c", F.col("u").alias("u2"))
+    # attach the neighbor weight BEFORE pairing: the 1e6/deg contribution
+    # depends only on the shared customer, so the degree join touches
+    # |edges| rows once instead of every candidate pair; cdeg is
+    # SF-scaled (customer-bounded) so it carries NO broadcast hint — the
+    # planner broadcasts it at test scale and falls back to a shuffle
+    # join at 100 TB (broadcast policy, module docstring).  The degree
+    # join doubles as the hub cap: keys above PAIR_DEGREE_CAP never
+    # reach the pairing self-join.
+    aw = (
+        a.join(cdeg, "c")
+        .filter(F.col("d") <= PAIR_DEGREE_CAP)
+        .withColumn("w", F.expr("1000000 DIV d"))
+    )
+    scores = (
+        aw.join(b, "c")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.sum("w").cast("long").alias("ra_micro"),
+            F.count(F.lit(1)).alias("common_neighbors"),
+        )
+    )
+    return (
+        scores.select("u1", "u2", "common_neighbors", "ra_micro")
+        .orderBy(F.col("ra_micro").desc(), "u1", "u2")
+        .limit(25)
+    )
+
+
+@register(
+    "t_stream_restart_recovery",
+    """
+    SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def t_stream_restart_recovery(spark: SparkSession, sf: str) -> DataFrame:
+    """CHECKPOINT RESTART RECOVERY, witnessed by the driver (the
+    exactly-once contract under the failure mode that matters: the query
+    STOPS, new data lands, the query RESTARTS from its checkpoint): run 1
+    drains the first arrival batch availableNow into a parquet sink;
+    only THEN does the second batch land in the source; run 2 restarts
+    from the SAME checkpoint and must process exactly the new files —
+    no replay of batch 1 (which would double counts), no loss (which
+    would drop cents).  The oracle is simply the batch aggregate over
+    ALL events: the hash matches only if sink = union exactly once.
+    Idempotent re-entry: further runs find no new files and append
+    nothing.  Scale shape: file-source checkpointing tracks processed
+    files in the offset log; the sink appends row-level, the final
+    verification aggregate is one day-keyed reduce."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_restart_{slug}"
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    if not os.path.isdir(src):  # deterministic content → safe to reuse
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        for i, df in enumerate(
+            [
+                ev.filter(F.col("event_id") % 3 != 0).select("ts", "cents"),
+                ev.filter(F.col("event_id") % 3 == 0).select("ts", "cents"),
+            ]
+        ):
+            df.coalesce(1).write.parquet(f"{build}/p{i}")
+            part = glob.glob(f"{build}/p{i}/*.parquet")[0]
+            shutil.copy(part, f"{build}/f{i}.parquet")
+            shutil.rmtree(f"{build}/p{i}")
+        # only batch 0 is visible to run 1; batch 1 is parked one level up
+        shutil.move(f"{build}/f0.parquet", f"{build}/src/f0.parquet")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+            shutil.move(f"{build}/f1.parquet", f"{base}/f1_pending.parquet")
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("cents", LongType())]
+    )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: batch 0 only (or nothing new on re-entry)
+    pending = f"{base}/f1_pending.parquet"
+    if os.path.exists(pending):  # the "new data lands while stopped" step
+        shutil.move(pending, f"{src}/f1.parquet")
+    drain()  # run 2: restart from the same checkpoint, pick up batch 1
+    out = spark.read.schema(schema).parquet(sink)
+    return out.groupBy(
+        F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "x_weighted_quantiles",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS w
+      FROM lineitem
+    ), g AS (
+      SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM v GROUP BY flag, cents
+    ), c AS (
+      SELECT flag, cents, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag AS l_returnflag, q AS quantile_pct,
+           CAST(MIN(cents) AS BIGINT) AS value_cents
+    FROM c CROSS JOIN (SELECT unnest([10, 50, 90]) AS q)
+    WHERE cw * 100 >= tw * q
+    GROUP BY flag, q
+    """,
+)
+def x_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED QUANTILE GRID (P10/P50/P90 where each line counts by its
+    QUANTITY — the shipped-unit price distribution, not the line-count
+    one; extends `x_weighted_median` from one quantile to a grid in the
+    SAME single pass): collapse to (group, value) with summed weights,
+    one cumulative-weight window, then each requested quantile q selects
+    the smallest value whose cumulative weight reaches q% of total —
+    exact integer cross-multiplication (cw·100 ≥ tw·q), no
+    interpolation ambiguity.  Scale shape: the window runs on the
+    value-collapsed table (bounded by distinct prices per group); the
+    3-row quantile spine is a broadcast cross join; selection is a
+    min-aggregate, not a per-quantile rescan."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)").alias("w"),
+    )
+    g = v.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
+    wo = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("flag")
+    c = g.withColumn("cw", F.sum("w").over(wo).cast("long")).withColumn(
+        "tw", F.sum("w").over(wp).cast("long")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.expr("array(10, 50, 90)")).alias("q")
+    )
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") * 100 >= F.col("tw") * F.col("q"))
+        .groupBy(F.col("flag").alias("l_returnflag"), F.col("q").alias("quantile_pct"))
+        .agg(F.min("cents").alias("value_cents"))
+    )
+
+
+@register(
+    "x_fd_histogram",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events
+    ), g AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents
+    ), cum AS (
+      SELECT cents, c,
+             CAST(SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cw,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM g
+    ), q AS (
+      SELECT MAX(n) AS n,
+             MIN(CASE WHEN cw * 4 >= n THEN cents END) AS q1,
+             MIN(CASE WHEN cw * 4 >= 3 * n THEN cents END) AS q3
+      FROM cum
+    ), cbrt AS (
+      SELECT q.n, q.q1, q.q3, CAST(MAX(k) AS BIGINT) AS icbrt_n
+      FROM q JOIN (SELECT unnest(generate_series(1, 2000)) AS k) s
+        ON k * k * k <= q.n
+      GROUP BY q.n, q.q1, q.q3
+    ), params AS (
+      SELECT n, q1, q3,
+             GREATEST(2 * (q3 - q1) // icbrt_n, 1) AS bin_width
+      FROM cbrt
+    )
+    SELECT v.cents // p.bin_width AS bin,
+           CAST(v.cents // p.bin_width * p.bin_width AS BIGINT)
+             AS bin_start_cents,
+           CAST(p.bin_width AS BIGINT) AS bin_width,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM v CROSS JOIN params p
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_fd_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """FREEDMAN-DIACONIS HISTOGRAM (the statistically-sized histogram —
+    bin width 2·IQR/∛n — instead of `x_histogram`'s fixed bins, the rule
+    dashboards and profilers use to avoid over/under-smoothing): exact
+    integer quartiles from cumulative counts over the distinct-value
+    spine, and the CUBE ROOT computed with NO transcendentals — the
+    largest k in a 2,000-row spine with k³ ≤ n (exact for n ≤ 8×10⁹;
+    widen the spine beyond).  Bin width floors at 1 cent.  Scale shape:
+    one value-collapse aggregate, one bounded window over the distinct
+    spine, a 1-row parameter broadcast back to the scan, one histogram
+    aggregate."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = g.withColumn("cw", F.sum("c").over(wo).cast("long")).withColumn(
+        "n", F.sum("c").over(wall).cast("long")
+    )
+    q = cum.agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("n"), F.col("cents"))).alias("q1"),
+        F.min(F.when(F.col("cw") * 4 >= 3 * F.col("n"), F.col("cents"))).alias(
+            "q3"
+        ),
+    )
+    ks = spark.range(1, 2001).select(F.col("id").alias("k"))
+    cbrt = (
+        q.join(F.broadcast(ks), F.expr("k * k * k <= n"))
+        .groupBy("n", "q1", "q3")
+        .agg(F.max("k").alias("icbrt_n"))
+    )
+    params = cbrt.select(
+        "n",
+        "q1",
+        "q3",
+        F.greatest(F.expr("2 * (q3 - q1) DIV icbrt_n"), F.lit(1)).alias(
+            "bin_width"
+        ),
+    )
+    return (
+        v.crossJoin(F.broadcast(params))
+        .groupBy(
+            F.expr("cents DIV bin_width").alias("bin"),
+            F.expr("CAST(cents DIV bin_width * bin_width AS BIGINT)").alias(
+                "bin_start_cents"
+            ),
+            F.col("bin_width").cast("long").alias("bin_width"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "x_bounce_rate",
+    _SESSIONIZE_CTE.format(cmp=">")
+    + """
+    , per_sess AS (
+      SELECT user_id, session_id,
+             CAST(floor(epoch_ms(MIN(ts)) / 86400000.0) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_micro
+    FROM per_sess GROUP BY day
+    """,
+)
+def x_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """BOUNCE RATE by day (the web-analytics KPI: single-event sessions
+    over total sessions, attributed to the session's START day): reuses
+    the engine's gap-based sessionizer (`ops/sessionize.py`, 4-hour
+    inactivity gap), rolls sessions up to their first-event day, and
+    emits the exact micro-unit bounce share.  Scale shape: one
+    user-partitioned sessionize window, one (user, session) reduce, one
+    calendar-bounded day rollup."""
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    stats = session_stats(e, ["user_id"], "ts", gap=_SESSION_GAP)
+    per_sess = stats.select(
+        F.expr(
+            "CAST(floor(session_start_ms / 86400000.0) AS BIGINT)"
+        ).alias("day"),
+        "n_events",
+    )
+    return per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    ).select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr("n_bounces * 1000000 DIV n_sessions").alias("bounce_micro"),
+    )
+
+
+@register(
+    "x_kfold_cv_ols",
+    """
+    WITH pts AS (
+      SELECT CAST(concat('0x', substr(md5('cv' || CAST(event_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 5 AS fold,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) - 19723 AS x,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ), fsums AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY fold
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+             CAST(SUM(sy) AS BIGINT) AS tsy,
+             CAST(SUM(sxy) AS BIGINT) AS tsxy,
+             CAST(SUM(sxx) AS BIGINT) AS tsxx
+      FROM fsums
+    ), coef AS (
+      SELECT f.fold, t.tn - f.n AS n_train, f.n AS n_test,
+             CAST((CAST(t.tn - f.n AS HUGEINT) * (t.tsxy - f.sxy)
+              - CAST(t.tsx - f.sx AS HUGEINT) * (t.tsy - f.sy)) * 1000
+             // (CAST(t.tn - f.n AS HUGEINT) * (t.tsxx - f.sxx)
+                 - CAST(t.tsx - f.sx AS HUGEINT) * (t.tsx - f.sx))
+               AS BIGINT) AS beta_milli
+      FROM fsums f CROSS JOIN tot t
+    ), coef2 AS (
+      SELECT c.fold, c.n_train, c.n_test, c.beta_milli,
+             ((t.tsy - f.sy) * 1000 - c.beta_milli * (t.tsx - f.sx))
+               // (t.tn - f.n) AS alpha_milli
+      FROM coef c
+      JOIN fsums f ON c.fold = f.fold
+      CROSS JOIN tot t
+    )
+    SELECT c.fold, c.n_train, c.n_test, c.beta_milli, c.alpha_milli,
+           CAST(SUM(ABS(p.y * 1000 - (c.alpha_milli + c.beta_milli * p.x)))
+                // c.n_test AS BIGINT) AS mae_milli
+    FROM pts p JOIN coef2 c ON p.fold = c.fold
+    GROUP BY c.fold, c.n_train, c.n_test, c.beta_milli, c.alpha_milli
+    """,
+)
+def x_kfold_cv_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATED REGRESSION, fit and scored in-engine with
+    NO per-fold rescan (the distributed CV trick: per-fold power sums
+    computed ONCE, then leave-one-fold-out training sums are just totals
+    minus the fold's — 5 models from one data pass): deterministic
+    md5-hash folds, exact-integer OLS per held-out fold, and test MAE in
+    milli-cents from the micro-coefficient residual chain.  Everything
+    BIGINT (`x_trend_slope`'s arithmetic, generalized to CV).  Scale
+    shape: one power-sum aggregate (5 rows), constant-size coefficient
+    algebra, a 5-row coefficient broadcast back to the points for
+    scoring — two passes total regardless of k."""
+    pts = load_table(spark, sf, "events").select(
+        (D.portable_hash60(F.concat(F.lit("cv"), F.col("event_id").cast("string"))) % 5).alias("fold"),
+        (
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000.0)).cast("long")
+            - 19723
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    fsums = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = fsums.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    coef = (
+        fsums.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            (F.col("tn") - F.col("n")).alias("n_train"),
+            F.col("n").alias("n_test"),
+            # The covariance products reach ~1e20 at 100x event counts —
+            # silent BIGINT wrap in non-ANSI Spark (ADVICE r5).  Widen to
+            # DECIMAL(38,0) before multiplying (HUGEINT in the oracle);
+            # DIV is integral divide on decimals too, truncating toward
+            # zero exactly like DuckDB's // — output returns to BIGINT.
+            F.expr(
+                "CAST((CAST(tn - n AS DECIMAL(38,0)) * (tsxy - sxy)"
+                " - CAST(tsx - sx AS DECIMAL(38,0)) * (tsy - sy)) * 1000"
+                " DIV (CAST(tn - n AS DECIMAL(38,0)) * (tsxx - sxx)"
+                " - CAST(tsx - sx AS DECIMAL(38,0)) * (tsx - sx)) AS BIGINT)"
+            ).alias("beta_milli"),
+            F.expr("tsy - sy").alias("__rsy"),
+            F.expr("tsx - sx").alias("__rsx"),
+        )
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            "beta_milli",
+            F.expr(
+                "(__rsy * 1000 - beta_milli * __rsx) DIV n_train"
+            ).alias("alpha_milli"),
+        )
+    )
+    scored = pts.join(F.broadcast(coef), "fold")
+    return scored.groupBy(
+        "fold", "n_train", "n_test", "beta_milli", "alpha_milli"
+    ).agg(
+        F.expr(
+            "CAST(SUM(ABS(y * 1000 - (alpha_milli + beta_milli * x)))"
+            " DIV n_test AS BIGINT)"
+        ).alias("mae_milli")
+    )
+
+
+@register(
+    "x_fano_factor",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, s AS total_events,
+           CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+                // (CAST(s AS HUGEINT) * (n - 1)) AS BIGINT) AS fano_micro,
+           CAST(CASE WHEN (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000
+                          > CAST(s AS HUGEINT) * (n - 1) * 1500
+                     THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+    FROM sums WHERE n > 1 AND s > 0
+    """,
+)
+def x_fano_factor(spark: SparkSession, sf: str) -> DataFrame:
+    """FANO FACTOR / index of dispersion (the burstiness diagnostic:
+    variance-to-mean of daily event counts — ≈1 for a steady Poisson
+    process, ≫1 for bursty/clumped traffic; decides whether rate
+    monitors can assume Poisson noise): per type, F = σ²/μ with the
+    unbiased variance cross-multiplied into exact integers — fano_micro
+    = (n·Σx² − S²)·10⁶ ÷ (S·(n−1)) since μ = S/n cancels — plus an
+    over-dispersion flag at 1.5.  Scale shape: raw events reduce to the
+    calendar-bounded (type, day) table, then one bounded aggregate —
+    two shuffles total."""
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(floor(unix_millis(ts) / 86400000.0) AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    return (
+        sums.filter((F.col("n") > 1) & (F.col("s") > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("total_events"),
+            # n·q − s² scales with replication² (s ≈ 2·10⁴ per type at
+            # sf0.1 → the ·10⁶ product nears int64 past ~1000×); the
+            # DECIMAL(38,0) bridge mirrors the oracle's HUGEINT exactly
+            # (numeric-policy overflow audit).
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000000"
+                " DIV (CAST(s AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+            ).alias("fano_micro"),
+            F.expr(
+                "CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000"
+                " > CAST(s AS DECIMAL(38,0)) * (n - 1) * 1500"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("overdispersed"),
+        )
+    )
+
+
+@register(
+    "x_interarrival_quantiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_ms, CAST(COUNT(*) AS BIGINT) AS c
+      FROM gaps WHERE gap_ms IS NOT NULL
+      GROUP BY event_type, gap_ms
+    ), cum AS (
+      SELECT event_type, gap_ms, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY gap_ms
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT event_type, q AS quantile_pct,
+           CAST(MIN(gap_ms) AS BIGINT) AS gap_ms
+    FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)
+    WHERE cw * 100 >= tw * q
+    GROUP BY event_type, q
+    """,
+)
+def x_interarrival_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """INTER-ARRIVAL TIME QUANTILES (P50/P90/P99 of the gap between
+    consecutive events per type — the latency-distribution view of a
+    stream: SLA tails, timer tuning, and the empirical input to
+    watermark-delay choices): gaps from one ordered lag() pass, then the
+    same exact cross-multiplied quantile selection as
+    `x_weighted_quantiles` over the gap-collapsed spine.  Scale shape:
+    one type-partitioned window on the stream, then everything runs on
+    the ≤|distinct gaps| spine; quantile selection is a min-aggregate
+    over the 3-row broadcast grid."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(wt)
+            ).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    g = gaps.groupBy("event_type", "gap_ms").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("gap_ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("event_type")
+    cum = g.withColumn("cw", F.sum("c").over(wo).cast("long")).withColumn(
+        "tw", F.sum("c").over(wp).cast("long")
+    )
+    qs = spark.range(1).select(F.explode(F.expr("array(50, 90, 99)")).alias("q"))
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") * 100 >= F.col("tw") * F.col("q"))
+        .groupBy("event_type", F.col("q").alias("quantile_pct"))
+        .agg(F.min("gap_ms").cast("long").alias("gap_ms"))
+    )
+
+
+@register(
+    "x_peak_detection",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), nb AS (
+      SELECT nat, day, x,
+             CAST(MAX(x) OVER (PARTITION BY nat ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS max_before,
+             CAST(MAX(x) OVER (PARTITION BY nat ORDER BY day
+                               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+                  AS BIGINT) AS max_after,
+             COUNT(*) OVER (PARTITION BY nat ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS n_before,
+             COUNT(*) OVER (PARTITION BY nat ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+               AS n_after
+      FROM daily
+    )
+    SELECT nat AS n_name, day AS peak_day, x AS revenue_cents,
+           max_before, max_after
+    FROM nb
+    WHERE n_before = 3 AND n_after = 3
+      AND x > max_before AND x > max_after
+    """,
+)
+def x_peak_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCAL-PEAK DETECTION (strict local maxima over a ±3-row
+    neighborhood — the spike finder behind alert screenshots and
+    promo-impact analysis, stricter than `x_traffic_anomaly`'s
+    baseline-ratio rule because a peak must beat its NEIGHBORS, not a
+    mean): one window pass computes the neighborhood maxima on both
+    sides (full neighborhoods only), and a row survives only if it
+    strictly exceeds both.  Exact integers.  Scale shape: orders reduce
+    to the calendar-bounded daily series; all four frames share one
+    (nation)-partitioned sort."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    wo = Window.partitionBy("nat").orderBy("day")
+    nb = (
+        daily.withColumn("max_before", F.max("x").over(wo.rowsBetween(-3, -1)).cast("long"))
+        .withColumn("max_after", F.max("x").over(wo.rowsBetween(1, 3)).cast("long"))
+        .withColumn("n_before", F.count(F.lit(1)).over(wo.rowsBetween(-3, -1)))
+        .withColumn("n_after", F.count(F.lit(1)).over(wo.rowsBetween(1, 3)))
+    )
+    return (
+        nb.filter(
+            (F.col("n_before") == 3)
+            & (F.col("n_after") == 3)
+            & (F.col("x") > F.col("max_before"))
+            & (F.col("x") > F.col("max_after"))
+        )
+        .select(
+            F.col("nat").alias("n_name"),
+            F.col("day").alias("peak_day"),
+            F.col("x").alias("revenue_cents"),
+            "max_before",
+            "max_after",
+        )
+    )
+
+
+@register(
+    "x_join_fanout_audit",
+    """
+    WITH lf AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fan
+      FROM lineitem GROUP BY l_orderkey
+    ), buckets AS (
+      SELECT CASE WHEN fan <= 2 THEN '1-2'
+                  WHEN fan <= 4 THEN '3-4'
+                  WHEN fan <= 8 THEN '5-8'
+                  ELSE '9+' END AS fanout_bucket,
+             fan
+      FROM lf
+    )
+    SELECT fanout_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(fan) AS BIGINT) AS join_output_rows,
+           CAST(MAX(fan) AS BIGINT) AS max_fanout
+    FROM buckets GROUP BY fanout_bucket
+    """,
+)
+def x_join_fanout_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN FAN-OUT AUDIT (the pre-flight explosion check before a big
+    join: how many rows does each key contribute, and which keys would
+    blow up the output?): per join key, the match count distribution in
+    log-ish buckets with the exact output-row total each bucket would
+    generate against a 1-row-per-key side — `x_join_size_estimate`
+    predicts the total by sampling, this PROFILES the shape exactly, the
+    pair that tells you whether AQE skew handling or salting
+    (`j_skew_salted_join`) is needed.  Scale shape: one key-grouped
+    count (map-side combinable), one bounded bucket rollup."""
+    lf = (
+        load_table(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("fan"))
+    )
+    buckets = lf.select(
+        F.when(F.col("fan") <= 2, "1-2")
+        .when(F.col("fan") <= 4, "3-4")
+        .when(F.col("fan") <= 8, "5-8")
+        .otherwise("9+")
+        .alias("fanout_bucket"),
+        "fan",
+    )
+    return buckets.groupBy("fanout_bucket").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("fan").cast("long").alias("join_output_rows"),
+        F.max("fan").alias("max_fanout"),
+    )
+
+
+@register(
+    "x_als_item_step",
+    """
+    WITH r AS (
+      SELECT o_custkey AS u, l_partkey % 100 AS item,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                  AS BIGINT) AS rating
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT u, CAST(1000 AS BIGINT) AS p0,
+             CAST(concat('0x', substr(md5('als' || CAST(u AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2001 - 1000 AS p1
+      FROM (SELECT DISTINCT u FROM r)
+    ), sums AS (
+      SELECT r.item,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p.p0 * p.p0) AS BIGINT) AS a00,
+             CAST(SUM(p.p0 * p.p1) AS BIGINT) AS a01,
+             CAST(SUM(p.p1 * p.p1) AS BIGINT) AS a11,
+             CAST(SUM(r.rating * p.p0) AS BIGINT) AS b0,
+             CAST(SUM(r.rating * p.p1) AS BIGINT) AS b1
+      FROM r JOIN p ON r.u = p.u
+      GROUP BY r.item
+    )
+    SELECT item, n,
+           CAST(FLOOR((CAST(b0 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                       - CAST(b1 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      / (CAST(a00 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                         - CAST(a01 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS q0_micro,
+           CAST(FLOOR((CAST(b1 AS DOUBLE) * CAST(a00 AS DOUBLE)
+                       - CAST(b0 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      / (CAST(a00 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                         - CAST(a01 AS DOUBLE) * CAST(a01 AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS q1_micro
+    FROM sums WHERE n >= 2
+    """,
+)
+def x_als_item_step(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE ALS HALF-STEP, in-engine (the alternating-least-squares
+    recommender update: holding user factors fixed, solve each item's
+    2-factor vector by least squares — the building block of matrix
+    factorization at scale): deterministic hash-initialized user factors
+    (p₀=1000, p₁ = portable-hash ∈ [−1000, 1000]), per-item normal
+    equations from FIVE map-side-combinable sufficient sums, and the
+    2×2 Cramer solve in the projection — `x_ols_normal_eq`'s machinery
+    re-aimed at collaborative filtering.  All sums exact BIGINT; the
+    solve is one fixed IEEE chain floored to micro.  Scale shape: one
+    (user, item) rating reduce, one user-factor join (factors derive
+    from the key — no table lookup), one item-keyed aggregate; a full
+    ALS sweep is this same pass alternated, each solving millions of
+    independent 2×2 systems with zero driver state."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_partkey") % 100).alias("item"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"))
+            .cast("long")
+            .alias("rating")
+        )
+    )
+    withp = r.select(
+        "item",
+        "rating",
+        F.lit(1000).cast("long").alias("p0"),
+        (
+            D.portable_hash60(F.concat(F.lit("als"), F.col("u").cast("string")))
+            % 2001
+            - 1000
+        ).alias("p1"),
+    )
+    sums = withp.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p0") * F.col("p0")).alias("a00"),
+        F.sum(F.col("p0") * F.col("p1")).alias("a01"),
+        F.sum(F.col("p1") * F.col("p1")).alias("a11"),
+        F.sum(F.col("rating") * F.col("p0")).alias("b0"),
+        F.sum(F.col("rating") * F.col("p1")).alias("b1"),
+    )
+    det = (
+        "(CAST(a00 AS DOUBLE) * CAST(a11 AS DOUBLE)"
+        " - CAST(a01 AS DOUBLE) * CAST(a01 AS DOUBLE))"
+    )
+    return sums.filter(F.col("n") >= 2).select(
+        "item",
+        "n",
+        F.expr(
+            "CAST(FLOOR((CAST(b0 AS DOUBLE) * CAST(a11 AS DOUBLE)"
+            " - CAST(b1 AS DOUBLE) * CAST(a01 AS DOUBLE))"
+            f" / {det} * 1000000.0) AS BIGINT)"
+        ).alias("q0_micro"),
+        F.expr(
+            "CAST(FLOOR((CAST(b1 AS DOUBLE) * CAST(a00 AS DOUBLE)"
+            " - CAST(b0 AS DOUBLE) * CAST(a01 AS DOUBLE))"
+            f" / {det} * 1000000.0) AS BIGINT)"
+        ).alias("q1_micro"),
+    )
+
+
+@register(
+    "x_temporal_join_size",
+    """
+    WITH ev AS (
+      SELECT l_suppkey AS s, o_custkey AS c,
+             epoch_ms(o_orderdate) AS t
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey % 10 = 0
+    )
+    SELECT a.s AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS pairs_cross_customer
+    FROM ev a JOIN ev b ON a.s = b.s AND a.t < b.t AND a.c <> b.c
+    GROUP BY a.s
+    """,
+)
+def x_temporal_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """TEMPORAL-JOIN SIZE PREDICTION from counts alone (how many rows
+    would the time-respecting self-join `a.t < b.t AND a.c <> b.c`
+    produce per key? — the pre-flight for stream-stream and as-of joins
+    that `x_join_fanout_audit` does for equi-joins): the exact answer
+    comes from PURE COUNTING, never materializing a pair —
+    #[t_a<t_b] = C(n,2) − Σ_t C(n_t,2), minus the same identity within
+    each customer (inclusion-exclusion over ties).  The ORACLE is the
+    brute-force theta join itself, so a pass certifies the combinatorial
+    identity against real data, not a mirrored formula.  Scale shape:
+    three grouped counts (by key, key×ts, key×cust, key×cust×ts) — all
+    map-side-combinable; the quadratic join never runs."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_suppkey") % 10 == 0
+    ).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_millis("o_orderdate").alias("t")
+    )
+    ev = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"), "t"
+    ).cache()
+
+    def ordered_pairs(df: DataFrame, keys: list[str]) -> DataFrame:
+        """#{(a,b): t_a < t_b} within each key group = C(n,2) − Σ_t C(n_t,2)."""
+        per_ts = df.groupBy(*keys, "t").agg(F.count(F.lit(1)).alias("nt"))
+        # n*(n-1) - Σ nt*(nt-1) is always even, so integer DIV is exact at
+        # any magnitude — float /2 would lose exactness past 2^53 (ADVICE r5)
+        return per_ts.groupBy(*keys).agg(
+            F.expr(
+                "(sum(nt) * (sum(nt) - 1) - sum(nt * (nt - 1))) DIV 2"
+            )
+            .cast("long")
+            .alias("pairs")
+        )
+
+    total = ordered_pairs(ev, ["s"]).withColumnRenamed("pairs", "all_pairs")
+    same_c = (
+        ordered_pairs(ev, ["s", "c"])
+        .groupBy("s")
+        .agg(F.sum("pairs").cast("long").alias("same_c_pairs"))
+    )
+    return (
+        total.join(same_c, "s", "left")
+        .select(
+            F.col("s").alias("suppkey"),
+            (
+                F.col("all_pairs") - F.coalesce(F.col("same_c_pairs"), F.lit(0))
+            ).alias("pairs_cross_customer"),
+        )
+        .filter(F.col("pairs_cross_customer") > 0)
+    )
+
+
+@register(
+    "x_lag_features",
+    """
+    WITH daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), f AS (
+      SELECT nat, day, x,
+             lag(x, 1) OVER w AS lag_1,
+             lag(x, 7) OVER w AS lag_7,
+             lag(x, 28) OVER w AS lag_28,
+             CAST(SUM(x) OVER (PARTITION BY nat ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) // 7 AS ma_7,
+             COUNT(*) OVER (PARTITION BY nat ORDER BY day
+                            ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS n28
+      FROM daily
+      WINDOW w AS (PARTITION BY nat ORDER BY day)
+    )
+    SELECT nat AS n_name, day, x AS target_cents,
+           lag_1, lag_7, lag_28, ma_7
+    FROM f WHERE n28 = 28
+    """,
+)
+def x_lag_features(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG-FEATURE MATRIX construction (the feature-engineering pass
+    every forecasting model trains on: yesterday, last week, last month,
+    and the trailing weekly mean as columns next to the target — built
+    LEAK-FREE: every frame ends at 1 PRECEDING, so no feature ever sees
+    the target row): rows emit only with a full 28-day history (the
+    warm-up rule that keeps train/serve skew out).  Exact cents; the
+    trailing mean uses truncating DIV.  Scale shape: orders reduce to
+    the daily series; ALL lag/mean/count frames share one
+    (nation)-partitioned sort — one shuffle past the reduce."""
+    from pyspark.sql import Window
+
+    daily = _nation_daily_cents(spark, sf)
+    wo = Window.partitionBy("nat").orderBy("day")
+    f = (
+        daily.withColumn("lag_1", F.lag("x", 1).over(wo))
+        .withColumn("lag_7", F.lag("x", 7).over(wo))
+        .withColumn("lag_28", F.lag("x", 28).over(wo))
+        .withColumn(
+            "ma_7",
+            F.expr("CAST(1 AS BIGINT)")
+            * F.sum("x").over(wo.rowsBetween(-7, -1)),
+        )
+        .withColumn("n28", F.count(F.lit(1)).over(wo.rowsBetween(-28, -1)))
+    )
+    return f.filter(F.col("n28") == 28).select(
+        F.col("nat").alias("n_name"),
+        "day",
+        F.col("x").alias("target_cents"),
+        "lag_1",
+        "lag_7",
+        "lag_28",
+        F.expr("ma_7 DIV 7").alias("ma_7"),
+    )
+
+
+@register(
+    "x_share_of_total",
+    """
+    WITH rev AS (
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, cents AS revenue_cents,
+           cents * 1000000 // CAST(SUM(cents) OVER (PARTITION BY r_name)
+                                   AS BIGINT) AS share_of_region_micro,
+           cents * 1000000 // CAST(SUM(cents) OVER () AS BIGINT)
+             AS share_of_world_micro,
+           CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) * 1000000
+             // CAST(SUM(cents) OVER () AS BIGINT)
+             AS region_share_of_world_micro
+    FROM rev
+    """,
+)
+def x_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """NESTED SHARE-OF-TOTAL (ratio-to-report at two hierarchy levels —
+    the '% of region' and '% of world' columns every executive rollup
+    carries, and the window formulation that replaces the classic
+    join-back-to-totals anti-pattern): one aggregate to (region, nation),
+    then three window shares over the ≤175-row rollup — the totals are
+    never recomputed from raw data per level.  Exact micro division.
+    Scale shape: the windows run on the dimension-bounded rollup, so
+    their cost is constant at any SF."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    ww = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("cents").alias("revenue_cents"),
+        F.expr("cents * 1000000").cast("long").alias("__cm"),
+        F.sum("cents").over(wr).cast("long").alias("__rt"),
+        F.sum("cents").over(ww).cast("long").alias("__wt"),
+    ).select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.expr("__cm DIV __rt").alias("share_of_region_micro"),
+        F.expr("__cm DIV __wt").alias("share_of_world_micro"),
+        F.expr("__rt * 1000000 DIV __wt").alias("region_share_of_world_micro"),
+    )
+
+
+@register(
+    "x_budget_allocation",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cap_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ), tot AS (
+      SELECT CAST(SUM(cap_cents) // 10 AS BIGINT) AS budget FROM seg
+    ), ranked AS (
+      SELECT segment, cap_cents,
+             CAST(COALESCE(SUM(cap_cents) OVER (
+                    ORDER BY cap_cents DESC, segment
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM seg
+    )
+    SELECT r.segment, r.cap_cents,
+           GREATEST(LEAST(r.cap_cents, t.budget - r.cum_before), 0)
+             AS allocated_cents,
+           CAST(CASE WHEN t.budget - r.cum_before <= 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS starved
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def x_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """GREEDY CAPPED ALLOCATION in closed form (waterfall budgeting:
+    fill segments in priority order, each up to its cap, until the pot
+    runs dry — the sequential spill loop every FP&A sheet hides):
+    allocated_i = clamp(budget − Σ caps before me, 0, cap_i) — the
+    running-sum identity turns the loop into ONE window pass, exact to
+    the cent, with starvation flags for tiers the budget never reaches.
+    Priority = largest cap first (deterministic segment tiebreak); the
+    pot = 10% of total revenue.  Scale shape: one aggregate to the
+    segment rollup, one bounded window, a 1-row budget broadcast."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cap_cents")
+        )
+        .cache()
+    )
+    tot = seg.agg(F.expr("CAST(SUM(cap_cents) DIV 10 AS BIGINT)").alias("budget"))
+    wo = Window.orderBy(F.col("cap_cents").desc(), "segment").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = seg.withColumn(
+        "cum_before", F.coalesce(F.sum("cap_cents").over(wo), F.lit(0)).cast("long")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "cap_cents",
+        F.greatest(
+            F.least(F.col("cap_cents"), F.col("budget") - F.col("cum_before")),
+            F.lit(0),
+        ).alias("allocated_cents"),
+        F.when(F.col("budget") - F.col("cum_before") <= 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("starved"),
+    )
+
+
+@register(
+    "x_pk_audit",
+    """
+    WITH stats AS (
+      SELECT 'orders.o_orderkey' AS pk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null
+      FROM orders
+      UNION ALL
+      SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+             CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                  AS BIGINT),
+             CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+    )
+    SELECT pk, n_rows, n_distinct, n_null,
+           n_rows - n_distinct AS dup_rows,
+           CAST(CASE WHEN n_rows = n_distinct AND n_null = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS pk_valid
+    FROM stats
+    """,
+)
+def x_pk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """PRIMARY-KEY CONSTRAINT AUDIT (the uniqueness + non-null check
+    lakehouse tables can't enforce and must therefore VERIFY — the
+    nightly guard that catches double-loaded partitions): four declared
+    keys (incl. one composite) audited for duplicates and nulls in one
+    pass each, with a pass/fail flag per constraint.  Completes the DQ
+    family: `x_data_contract` (values), `x_fk_integrity_audit`
+    (references), `x_id_completeness_audit` (sequences), this (keys).
+    Scale shape: one two-phase count-distinct per table; the composite
+    key packs into one BIGINT (linenumber < 100) so no string concat on
+    the hot path."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    d = load_table(spark, sf, "documents")
+
+    def audit(df: DataFrame, label: str, key: Column, nullc: Column) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            F.sum(F.when(nullc, 1).otherwise(0)).cast("long").alias("n_null"),
+        ).select(F.lit(label).alias("pk"), "n_rows", "n_distinct", "n_null")
+
+    stats = (
+        audit(o, "orders.o_orderkey", F.col("o_orderkey"), F.col("o_orderkey").isNull())
+        .unionAll(
+            audit(
+                c,
+                "customer.c_custkey",
+                F.col("c_custkey"),
+                F.col("c_custkey").isNull(),
+            )
+        )
+        .unionAll(
+            audit(
+                li,
+                "lineitem.(l_orderkey,l_linenumber)",
+                F.expr("l_orderkey * 100 + l_linenumber"),
+                F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull(),
+            )
+        )
+        .unionAll(
+            audit(d, "documents.doc_id", F.col("doc_id"), F.col("doc_id").isNull())
+        )
+    )
+    return stats.select(
+        "pk",
+        "n_rows",
+        "n_distinct",
+        "n_null",
+        (F.col("n_rows") - F.col("n_distinct")).alias("dup_rows"),
+        F.when(
+            (F.col("n_rows") == F.col("n_distinct")) & (F.col("n_null") == 0), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("pk_valid"),
+    )
+
+
+@register(
+    "x_zonemap_audit",
+    """
+    WITH z AS (
+      SELECT CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT)
+               // 30 AS zone,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), per_zone AS (
+      SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(cents) AS BIGINT) AS min_cents,
+             CAST(MAX(cents) AS BIGINT) AS max_cents
+      FROM z GROUP BY zone
+    ), g AS (
+      SELECT CAST(MIN(min_cents) AS BIGINT) AS gmin,
+             CAST(MAX(max_cents) AS BIGINT) AS gmax
+      FROM per_zone
+    )
+    SELECT p.zone, p.n_rows, p.min_cents, p.max_cents,
+           (p.max_cents - p.min_cents) * 1000000
+             // GREATEST(g.gmax - g.gmin, 1) AS width_ratio_micro
+    FROM per_zone p CROSS JOIN g
+    """,
+)
+def x_zonemap_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ZONE-MAP EFFECTIVENESS AUDIT (would min/max pruning actually skip
+    anything? — the diagnostic BEHIND the layout decisions
+    `ops/layout.py:zorder` and `x_zorder_scan` make): per 30-day zone,
+    the price min/max envelope and its width as a fraction of the global
+    range — a time-clustered table shows width_ratio ≈ 1 for an
+    UNCORRELATED column (zone maps useless for price point-lookups ⇒
+    Z-ORDER on (date, price) or re-sort), ≈ 1/zones for a correlated
+    one.  Exact integers.  Scale shape: one zone-keyed min/max aggregate
+    (map-side), a 1-row global envelope broadcast."""
+    z = load_table(spark, sf, "orders").select(
+        F.expr(
+            "CAST(floor(unix_millis(o_orderdate) / 86400000.0) AS BIGINT) DIV 30"
+        ).alias("zone"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per_zone = z.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    g = per_zone.agg(
+        F.min("min_cents").alias("gmin"), F.max("max_cents").alias("gmax")
+    )
+    return per_zone.crossJoin(F.broadcast(g)).select(
+        "zone",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        F.expr(
+            "(max_cents - min_cents) * 1000000 DIV greatest(gmax - gmin, 1)"
+        ).alias("width_ratio_micro"),
+    )
+
+
+_TOPIC_WEIGHTS = (
+    # (term, topic, weight_milli) — a tiny literal term-topic matrix; the
+    # real pipeline would broadcast a learned one
+    ("data", "tech", 900),
+    ("model", "tech", 800),
+    ("system", "tech", 600),
+    ("market", "business", 900),
+    ("price", "business", 800),
+    ("order", "business", 500),
+    ("game", "leisure", 900),
+    ("music", "leisure", 700),
+    ("travel", "leisure", 800),
+    ("data", "business", 200),
+    ("price", "tech", 100),
+)
+
+
+@register(
+    "x_topic_scores",
+    f"""
+    WITH w(term, topic, wm) AS (
+      VALUES {", ".join(f"('{t}', '{c}', {v})" for t, c, v in _TOPIC_WEIGHTS)}
+    ), tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ), scores AS (
+      SELECT t.doc_id, w.topic,
+             CAST(SUM(t.tf * w.wm) AS BIGINT) AS score_milli
+      FROM tok t JOIN w ON t.tok = w.term
+      GROUP BY t.doc_id, w.topic
+    ), ranked AS (
+      SELECT doc_id, topic, score_milli,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_milli DESC, topic) AS rn
+      FROM scores
+    )
+    SELECT doc_id, topic AS top_topic, score_milli
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_topic_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARSE MATRIX MULTIPLY as join-aggregate (doc-term counts × a
+    term-topic weight matrix → doc-topic scores — the linear text
+    classifier / topic scorer, and the general pattern for ANY sparse
+    matmul on Spark: A⋈B on the contraction key, groupBy the output
+    coordinates): term frequencies join the broadcast literal weight
+    matrix, scores sum exactly in milli-units, and each document keeps
+    its argmax topic (deterministic tiebreak).  Scale shape: the matmul
+    is one equi-join on the term key against a constant-bounded
+    broadcast + one (doc, topic) aggregate; the argmax is a per-doc
+    struct ranking on the k-bounded score table."""
+    d = load_table(spark, sf, "documents")
+    w = spark.createDataFrame(
+        list(_TOPIC_WEIGHTS), ["term", "topic", "wm"]
+    ).withColumn("wm", F.col("wm").cast("long"))
+    tok = (
+        spread(d)
+        .select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scores = (
+        tok.join(F.broadcast(w), tok["tok"] == w["term"])
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("wm")).cast("long").alias("score_milli"))
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_milli")).alias("neg"),
+                F.col("topic").alias("t"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.t").alias("top_topic"),
+        (-F.col("m.neg")).alias("score_milli"),
+    )
+
+
+@register(
+    "x_holt_backtest",
+    """
+    WITH RECURSIVE mon AS (
+      SELECT n_name AS nat, strftime(o_orderdate, '%Y-%m') AS mon,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT nat, mon, x,
+             row_number() OVER (PARTITION BY nat ORDER BY mon) AS rn
+      FROM mon
+    ), h AS (
+      SELECT nat, mon, rn, x, x AS l, CAST(0 AS BIGINT) AS b
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.nat, m.mon, m.rn, m.x,
+             (2*m.x + 8*(h.l+h.b)) // 10 AS l,
+             ((((2*m.x + 8*(h.l+h.b)) // 10) - h.l) + 9*h.b) // 10 AS b
+      FROM h JOIN m ON m.nat = h.nat AND m.rn = h.rn + 1
+    ), joined AS (
+      SELECT h.nat, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+             CAST(SUM(ABS(nxt.x - (h.l + h.b))) AS BIGINT) AS abs_err_sum,
+             CAST(SUM(ABS(nxt.x - h.x)) AS BIGINT) AS naive_err_sum
+      FROM h JOIN m nxt ON nxt.nat = h.nat AND nxt.rn = h.rn + 1
+      GROUP BY h.nat
+    )
+    SELECT nat AS n_name, n_forecasts,
+           abs_err_sum // n_forecasts AS holt_mae_cents,
+           naive_err_sum // n_forecasts AS naive_mae_cents,
+           CAST(CASE WHEN abs_err_sum < naive_err_sum THEN 1 ELSE 0 END
+                AS INTEGER) AS beats_naive
+    FROM joined
+    """,
+)
+def x_holt_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """FORECAST BACKTESTING (the walk-forward evaluation every forecast
+    needs before anyone trusts it: at each month, compare the 1-step
+    Holt forecast lₜ+bₜ against month t+1's ACTUAL, next to the naive
+    'tomorrow = today' baseline — a model that can't beat naive is
+    noise): reuses `x_holt_linear`'s exact-integer fold, lead-joins the
+    actuals, and reports per-nation MAE for both models plus the
+    beats-naive verdict.  Scale shape: the fold and the lead join run on
+    the calendar-bounded nation-month table; two shuffles past the
+    orders reduce."""
+    from pyspark.sql import Window
+
+    # reuse the registered Holt query's output (same fold, same series)
+    holt = REGISTRY["x_holt_linear"][0](spark, sf).select(
+        F.col("n_name").alias("nat"),
+        "mon",
+        F.col("revenue_cents").alias("x"),
+        F.col("forecast_cents").alias("f"),
+    )
+    wn = Window.partitionBy("nat").orderBy("mon")
+    j = (
+        holt.withColumn("next_x", F.lead("x").over(wn))
+        .filter(F.col("next_x").isNotNull())
+        .select(
+            "nat",
+            (F.abs(F.col("next_x") - F.col("f"))).alias("holt_err"),
+            (F.abs(F.col("next_x") - F.col("x"))).alias("naive_err"),
+        )
+    )
+    agg = j.groupBy("nat").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum("holt_err").cast("long").alias("abs_err_sum"),
+        F.sum("naive_err").cast("long").alias("naive_err_sum"),
+    )
+    return agg.select(
+        F.col("nat").alias("n_name"),
+        "n_forecasts",
+        F.expr("abs_err_sum DIV n_forecasts").alias("holt_mae_cents"),
+        F.expr("naive_err_sum DIV n_forecasts").alias("naive_mae_cents"),
+        F.when(F.col("abs_err_sum") < F.col("naive_err_sum"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("beats_naive"),
+    )
+
+
+@register(
+    "x_holt_winters",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT n_name AS nat,
+             CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(floor(epoch_ms(o_orderdate) / 86400000.0) AS BIGINT) >= 11355
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT nat, day, x,
+             row_number() OVER (PARTITION BY nat ORDER BY day) AS rn
+      FROM daily
+    ), h AS (
+      SELECT nat, day, rn, x, x AS l, CAST(0 AS BIGINT) AS b,
+             [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.nat, m.day, m.rn, m.x,
+             (2*(m.x - h.s[CAST(m.day % 7 + 1 AS INT)])
+              + 8*(h.l + h.b)) // 10 AS l,
+             ((((2*(m.x - h.s[CAST(m.day % 7 + 1 AS INT)])
+                 + 8*(h.l + h.b)) // 10) - h.l) + 9*h.b) // 10 AS b,
+             list_transform(generate_series(1, 7), j ->
+               CASE WHEN j = CAST(m.day % 7 + 1 AS INT)
+                    THEN (3*(m.x - ((2*(m.x - h.s[CAST(m.day % 7 + 1 AS INT)])
+                              + 8*(h.l + h.b)) // 10))
+                          + 7*h.s[j]) // 10
+                    ELSE h.s[j] END) AS s
+      FROM h JOIN m ON m.nat = h.nat AND m.rn = h.rn + 1
+    )
+    SELECT nat AS n_name, day, x AS revenue_cents,
+           l AS level_cents, b AS trend_cents,
+           s[CAST(day % 7 + 1 AS INT)] AS seasonal_cents
+    FROM h
+    """,
+)
+def x_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """HOLT-WINTERS additive smoothing (the full triple-exponential
+    forecaster: level + trend + a 7-slot WEEKDAY seasonal state — the
+    model the EWMA → Holt ladder tops out at): lₜ = α(xₜ−s_{t−7}) +
+    (1−α)(lₜ₋₁+bₜ₋₁), bₜ as in Holt, sₜ = γ(xₜ−lₜ) + (1−γ)s_{t−7}, with
+    α=0.2 β=0.1 γ=0.3 rational and EVERY step truncating-integer — the
+    fold accumulator carries the seasonal ARRAY through the `aggregate`
+    higher-order function (seasonal slot = calendar day % 7, robust to
+    gaps), and the oracle's recursive CTE carries the same LIST state
+    bit-identically.  Scale shape: per-nation sequential, cross-nation
+    parallel, fold state = 7 BIGINTs + 2 — no driver loop, no Python;
+    one shuffle past the daily reduce.  The fold window is the trailing
+    180 calendar days (epoch day ≥ 11355, a fixed literal shared with
+    the oracle): the append accumulator copies itself per step, so the
+    fold is O(steps²) in copy cost — 180 steps is cheap, the full
+    7-year series was the round's slowest query (20s at sf0.1); at
+    production scale run HW per bounded horizon exactly like this, or
+    checkpoint level/trend/seasonal state between horizons."""
+    daily = _nation_daily_cents(spark, sf).filter(F.col("day") >= 11355)
+    arr = daily.groupBy("nat").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    folded = arr.select(
+        "nat",
+        F.expr(
+            """
+            aggregate(
+              slice(arr, 2, greatest(size(arr) - 1, 0)),
+              array(named_struct('day', arr[0].day, 'x', arr[0].x,
+                    'l', arr[0].x, 'b', CAST(0 AS BIGINT),
+                    's', array(CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0))),
+              (acc, e) -> array_append(acc, named_struct(
+                'day', e.day, 'x', e.x,
+                'l', (2*(e.x - element_at(element_at(acc,-1).s,
+                                          CAST(e.day % 7 + 1 AS INT)))
+                      + 8*(element_at(acc,-1).l + element_at(acc,-1).b))
+                     DIV 10,
+                'b', ((((2*(e.x - element_at(element_at(acc,-1).s,
+                                             CAST(e.day % 7 + 1 AS INT)))
+                         + 8*(element_at(acc,-1).l + element_at(acc,-1).b))
+                        DIV 10) - element_at(acc,-1).l)
+                      + 9*element_at(acc,-1).b) DIV 10,
+                's', transform(sequence(1, 7), j ->
+                  CASE WHEN j = CAST(e.day % 7 + 1 AS INT)
+                       THEN (3*(e.x
+                               - ((2*(e.x - element_at(element_at(acc,-1).s,
+                                      CAST(e.day % 7 + 1 AS INT)))
+                                   + 8*(element_at(acc,-1).l
+                                        + element_at(acc,-1).b)) DIV 10))
+                             + 7*element_at(element_at(acc,-1).s, j)) DIV 10
+                       ELSE element_at(element_at(acc,-1).s, j) END)))
+            ) AS h
+            """
+        ),
+    )
+    return (
+        folded.select("nat", F.explode("h").alias("st"))
+        .select(
+            F.col("nat").alias("n_name"),
+            F.col("st.day").alias("day"),
+            F.col("st.x").alias("revenue_cents"),
+            F.col("st.l").alias("level_cents"),
+            F.col("st.b").alias("trend_cents"),
+            F.expr(
+                "element_at(st.s, CAST(st.day % 7 + 1 AS INT))"
+            ).alias("seasonal_cents"),
+        )
+    )
+
+
+@register(
+    "x_stratified_estimate",
+    """
+    WITH samp AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(concat('0x', substr(md5('svy' || CAST(c_custkey AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 8 = 0 AS in_sample
+      FROM customer
+    ), strata AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_samp,
+             CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+               AS s_samp
+      FROM samp GROUP BY c_nationkey
+    ), keep AS (
+      SELECT * FROM strata WHERE n_samp > 0
+    )
+    SELECT CAST(SUM(n_pop) AS BIGINT) AS n_population,
+           CAST(SUM(n_samp) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_pop * (s_samp * 1000 // n_samp)) // SUM(n_pop)
+                AS BIGINT) AS stratified_mean_millicents,
+           CAST(SUM(s_samp) * 1000 // SUM(n_samp) AS BIGINT)
+             AS naive_mean_millicents
+    FROM keep
+    """,
+)
+def x_stratified_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """STRATIFIED (post-stratification) ESTIMATION — the survey-weighting
+    correction every sampled metric needs when strata are sampled
+    unevenly: a deterministic 1/8 hash sample of customers, per-nation
+    sample means re-weighted by the TRUE stratum sizes
+    (Σ N_h·x̄_h / Σ N_h) next to the naive pooled sample mean — the two
+    diverge exactly when sampling rates drift across strata, which is
+    the bias this estimator removes.  Exact milli-cents throughout
+    (per-stratum means floored once).  Scale shape: one stratum
+    aggregate over the full table, then a ≤25-row reduce."""
+    samp = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        (
+            D.portable_hash60(
+                F.concat(F.lit("svy"), F.col("c_custkey").cast("string"))
+            )
+            % 8
+            == 0
+        ).alias("in_sample"),
+    )
+    strata = samp.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_samp"),
+        F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_samp"),
+    ).filter(F.col("n_samp") > 0)
+    return strata.agg(
+        F.sum("n_pop").cast("long").alias("n_population"),
+        F.sum("n_samp").cast("long").alias("n_sampled"),
+        F.expr(
+            "CAST(SUM(n_pop * (s_samp * 1000 DIV n_samp)) DIV SUM(n_pop)"
+            " AS BIGINT)"
+        ).alias("stratified_mean_millicents"),
+        F.expr("CAST(SUM(s_samp) * 1000 DIV SUM(n_samp) AS BIGINT)").alias(
+            "naive_mean_millicents"
+        ),
+    )
+
+
+@register(
+    "x_hotspot_cells",
+    """
+    WITH pts AS (
+      SELECT CAST(concat('0x', substr(md5('dbx' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 // 10000 AS cx,
+             CAST(concat('0x', substr(md5('dby' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100000 // 10000 AS cy
+      FROM customer
+    ), cells AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cx, cy
+    ), nb AS (
+      SELECT a.cx, a.cy, a.n,
+             CAST(SUM(b.n) AS BIGINT) AS neighbor_sum,
+             CAST(COUNT(*) AS BIGINT) AS neighbor_cnt
+      FROM cells a
+      JOIN cells b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND NOT (a.cx = b.cx AND a.cy = b.cy)
+      GROUP BY a.cx, a.cy, a.n
+    )
+    SELECT cx AS cell_x, cy AS cell_y, n AS n_points,
+           neighbor_sum, neighbor_cnt,
+           CAST(CASE WHEN n * neighbor_cnt > 2 * neighbor_sum
+                     THEN 1 ELSE 0 END AS INTEGER) AS hotspot
+    FROM nb
+    """,
+)
+def x_hotspot_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """SPATIAL HOTSPOT DETECTION (Getis-Ord-style local density: a cell
+    is hot when its count exceeds 2× its 8-neighborhood mean — crime
+    maps, outage clusters, demand heat): points land in a 10×10 grid
+    (portable md5 coordinates shared with `x_dbscan_clusters`), and the
+    neighborhood statistic is a self-join of the CELL table on the
+    |Δ|≤1 stencil — the join touches ≤ 100 cells × 8, never points,
+    and edge cells normalize by their true neighbor count.  Exact
+    integer comparison (n·cnt > 2·Σ).  Scale shape: one grid aggregate
+    over the points, then constant-size stencil algebra — the
+    cell-table twin of the point-level DBSCAN probe."""
+    pts = load_table(spark, sf, "customer").select(
+        (
+            D.portable_hash60(
+                F.concat(F.lit("dbx"), F.col("c_custkey").cast("string"))
+            )
+            % 100000
+        ).alias("x"),
+        (
+            D.portable_hash60(
+                F.concat(F.lit("dby"), F.col("c_custkey").cast("string"))
+            )
+            % 100000
+        ).alias("y"),
+    )
+    cells = pts.select(
+        F.expr("x DIV 10000").alias("cx"), F.expr("y DIV 10000").alias("cy")
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")).cache()
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("n").alias("bn")
+    )
+    nb = (
+        cells.join(
+            F.broadcast(b),
+            (F.abs(F.col("cx") - F.col("bx")) <= 1)
+            & (F.abs(F.col("cy") - F.col("by")) <= 1)
+            & ~((F.col("cx") == F.col("bx")) & (F.col("cy") == F.col("by"))),
+        )
+        .groupBy("cx", "cy", "n")
+        .agg(
+            F.sum("bn").cast("long").alias("neighbor_sum"),
+            F.count(F.lit(1)).alias("neighbor_cnt"),
+        )
+    )
+    return nb.select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        F.col("n").alias("n_points"),
+        "neighbor_sum",
+        "neighbor_cnt",
+        F.when(
+            F.col("n") * F.col("neighbor_cnt") > 2 * F.col("neighbor_sum"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("hotspot"),
+    )
+
+
