@@ -40,6 +40,7 @@ from kafka_streaming_spark.queries.q12_training_data import *  # noqa: F401,F403
 from kafka_streaming_spark.queries.q13_tpch_ext import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q14_multimodal_codecs import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q15_misc_graph_batch import *  # noqa: F401,F403,E402
+from kafka_streaming_spark.queries.q15b_misc_graph_part2 import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q16_late_r5_eval import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q17_late_r5_scan_stream import *  # noqa: F401,F403,E402
 from kafka_streaming_spark.queries.q17b_late_r5_stats_text import *  # noqa: F401,F403,E402

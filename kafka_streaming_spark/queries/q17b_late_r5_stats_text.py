@@ -7,7 +7,7 @@ registration order is preserved by the import order in
 ``DRIVER_PRIORITY`` iteration is unchanged."""
 
 from kafka_streaming_spark.queries._core import *  # noqa: F401,F403
-from kafka_streaming_spark.queries.q15_misc_graph_batch import (  # noqa: F401
+from kafka_streaming_spark.queries.q15b_misc_graph_part2 import (  # noqa: F401
     _nation_daily_cents,
 )
 

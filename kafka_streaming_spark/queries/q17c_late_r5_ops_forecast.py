@@ -11,7 +11,7 @@ from kafka_streaming_spark.queries.q06_ext_joins_session_multimodal import (  # 
     _SESSIONIZE_CTE,
     _SESSION_GAP,
 )
-from kafka_streaming_spark.queries.q15_misc_graph_batch import (  # noqa: F401
+from kafka_streaming_spark.queries.q15b_misc_graph_part2 import (  # noqa: F401
     _nation_daily_cents,
 )
 

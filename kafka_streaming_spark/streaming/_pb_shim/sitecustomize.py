@@ -31,7 +31,7 @@ else:
         try:
             _strict(domain, major, minor, patch, suffix, location)
         except _rv.VersionError:
-            # Allow: pyspark's OWN gencode (validator receives the
+            # Allow: Spark's OWN gencode (validator receives the
             # gencode file location) with same major, gencode (args)
             # >= runtime, gap <= 1 minor.  Any other generated module
             # imported by a later worker still gets the strict check.
