@@ -119,11 +119,11 @@ from kafka_streaming_spark.queries.q19_registrations_r10 import *  # noqa: F401,
 # goes FIRST and displaces from the tail.
 # ROUND-11 ROTATION (staged; computed from the r1-r9 CORRECTNESS union
 # assuming this r10 window lands green): the next 50 least-recently-
-# checked greens — x_quantile_binning (displaced from the r10 tail by
-# the f_state_changes registration, so still r4-age) plus 37 r4-coverage
-# + 12 r5-coverage, same (latest-round-with-a-row, registration order)
-# key:
-#   x_quantile_binning, x_robust_outliers, x_event_transitions, x_time_resample, a_array_agg,
+# checked greens — x_doc_sample_weighted and x_quantile_binning
+# (displaced from the r10 tail by the two r10 registrations, so still
+# r4-age) plus 37 r4-coverage + 11 r5-coverage, same
+# (latest-round-with-a-row, registration order) key:
+#   x_doc_sample_weighted, x_quantile_binning, x_robust_outliers, x_event_transitions, x_time_resample, a_array_agg,
 #   f_variant_pack, f_hof_pack, a_stats_pack, x_dataset_mix, x_token_pack,
 #   x_epoch_shuffle, x_quality_funnel, j_bucketed_join, j_skew_salted_join,
 #   x_triangle_count, x_skew_profile, x_kmv_distinct, x_market_basket,
@@ -135,17 +135,18 @@ from kafka_streaming_spark.queries.q19_registrations_r10 import *  # noqa: F401,
 #   x_bm25_search, x_ngram_lm_score, x_span_dedup, x_lsh_eval,
 #   x_hard_negatives, x_semdedup_eval, t_stream_tumbling, t_stream_sliding,
 #   t_stream_session, t_stream_dedup, t_stream_interval_join,
-#   x_trending_topk, x_conversion_latency, a_approx_sketch, f_null_pack
-#   (x_dup_rate_by_source falls to the r12 queue)
+#   x_trending_topk, x_conversion_latency, a_approx_sketch
+#   (f_null_pack and x_dup_rate_by_source fall to the r12 queue)
 # Any r11 registration (triage bar stands) goes FIRST, displacing the tail.
 DRIVER_PRIORITY: list[str] = [
     # -- ROUND-10 WINDOW: the staged steady-state regression rotation
     # above (the r9 run landed 337/337 coverage, so the window's job is
     # now recency) — the 50 least-recently-checked greens, verified
     # this round against the r1-r9 CORRECTNESS union
-    # (.tmp/rotation_calc.py): staged == computed, byte-identical.
+    # (tools/rotation.py): staged == computed, byte-identical.
     # New r10 registrations go first and displace from the tail.
     "f_state_changes",
+    "t_stream_session_tws",
     "j_merge_insert_if_absent",
     "q1_pricing_summary",
     "x_doc_exact_dedup",
@@ -194,9 +195,9 @@ DRIVER_PRIORITY: list[str] = [
     "t_stateful_running",
     "x_event_funnel",
     "x_cohort_retention",
-    "x_doc_sample_weighted",
-    # x_quantile_binning displaced to keep the window at 50 (it heads
-    # the r11 staging queue with the other displaced r4 greens).
+    # x_doc_sample_weighted and x_quantile_binning displaced to keep
+    # the window at 50 (they head the r11 staging queue, keeping their
+    # r4 coverage age).
 ]
 
 

@@ -1,17 +1,21 @@
-"""round-10 registrations.
+"""round-10 registrations (triage bar per VERDICT r8 ask #6:
+gap-justified only).  Two genuine gaps close this round:
 
-One genuine-gap addition this round (triage bar per VERDICT r8 ask #6:
-gap-justified only): the state CHANGE FEED scan — ``f_statestore_scan``
-covers point-in-time state forensics, but the "when did this key's fold
-CHANGE" question (state growth onset, TTL eviction verification, which
-batch dropped a key) needs the per-batch evolution surface
-(``readChangeFeed`` over a checkpoint), pytest-pinned in r9
-(``test_state_reader_change_feed``) but with no driver row until now.
+- the state CHANGE FEED scan — ``f_statestore_scan`` covers
+  point-in-time state forensics, but the "when did this key's fold
+  CHANGE" question (state growth onset, TTL eviction verification,
+  which batch dropped a key) needs the per-batch evolution surface
+  (``readChangeFeed`` over a checkpoint), pytest-pinned in r9
+  (``test_state_reader_change_feed``) but with no driver row until now;
+- the event-time-timer TWS witness — the last transformWithState
+  semantics family without a driver-checked row, and the capstone for
+  this round's batch-exact ``session_finalize_tws`` rewrite.
 """
 
 from kafka_streaming_spark.queries._core import *  # noqa: F401,F403
 from kafka_streaming_spark.queries._core import (  # noqa: F401
     _tiny_stream_conf,
+    _tws_stream_conf,
 )
 
 
@@ -144,3 +148,165 @@ def f_state_changes(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value.groupState.count").cast(LongType()).alias("count"),
         F.col("value.groupState.total").cast(DoubleType()).alias("total"),
     )
+
+
+@register(
+    "t_stream_session_tws",
+    """
+    WITH f AS (
+      SELECT 'g' || CAST(event_id % 4 AS VARCHAR) AS group_id,
+             1700000000000
+               + ((event_id * 2654435761) % 4294967296) % 300 * 2000
+               AS ts_ms,
+             CAST(event_id % 7 + 1 AS DOUBLE) AS score
+      FROM events WHERE event_id % 397 = 0
+    ),
+    s AS (
+      SELECT group_id, ts_ms, score,
+             CASE WHEN LAG(ts_ms) OVER w IS NULL
+                    OR ts_ms - LAG(ts_ms) OVER w >= 5000
+                  THEN 1 ELSE 0 END AS brk
+      FROM f WINDOW w AS (PARTITION BY group_id ORDER BY ts_ms)
+    ),
+    g AS (
+      SELECT group_id, ts_ms, score,
+             SUM(brk) OVER (PARTITION BY group_id ORDER BY ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT group_id,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) AS session_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(score) AS DOUBLE) AS total_score
+    FROM g GROUP BY group_id, sid
+    """,
+)
+def t_stream_session_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """EVENT-TIME-TIMER transformWithState sessionization witnessed
+    live — the one TWS semantics family (watermark-driven timers) the
+    registry didn't driver-check (`t_stream_tws_counter` covers
+    ValueState, `t_stream_ttl_counter` processing-time TTL), and the
+    driver capstone for the r10 batch-exact rewrite of
+    ``streaming/stateful.py::session_finalize_tws`` (multi-session
+    ListState, pure merge algebra, finalize only when the watermark
+    passes ``last + gap`` — property-swept in
+    ``tests/test_session_property.py``).
+
+    Witness: a closed-form fixture from the events table (every 397th
+    event id; group = id % 4; ts = Knuth-hash slot in [0, 300) x 2 s;
+    integral scores) staged as file 1, then two per-group FLUSH files
+    far in the future with ordered mtimes.  Under
+    ``maxFilesPerTrigger=1`` the watermark (delay 0) rises past every
+    fixture session's ``last + 5 s`` by the second flush batch, so ALL
+    fixture sessions finalize deterministically input-driven; flush
+    rows' own sessions (whose finalization would depend on a trailing
+    no-data batch) are excluded by the ``session_end_ms`` bound.
+    DuckDB reconstructs the sessions analytically (LAG gap-break +
+    running SUM session ids — the standard batch sessionization).
+    Scale shape: state is O(open sessions)/key with one timer per key;
+    emitted rows are collected bounded (= session count) like every
+    live witness."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from kafka_streaming_spark.streaming.stateful import session_finalize_tws
+
+    base_ms = 1_700_000_000_000
+    flush1 = base_ms + 1_000_000_000
+    flush2 = base_ms + 2_000_000_000
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id")
+    )
+    fixture = ev.filter(F.col("event_id") % 397 == 0).select(
+        F.concat(F.lit("g"), (F.col("event_id") % 4).cast("string")).alias(
+            "group_id"
+        ),
+        F.timestamp_millis(
+            F.lit(base_ms)
+            + ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296))
+            % 300
+            * 2000
+        ).alias("ts"),
+        ((F.col("event_id") % 7) + 1).cast("double").alias("score"),
+    )
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf).strip("_")
+    base = f"/root/repo/.tmp/t_stream_session_tws_{slug}"
+    src = f"{base}/src"
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    if not os.path.isdir(src):  # deterministic content → build once
+        build = f"{base}.build_{uuid.uuid4().hex[:8]}"
+        os.makedirs(f"{build}/src")
+        parts = [fixture]
+        for fms in (flush1, flush2):
+            parts.append(
+                spark.range(4).select(
+                    F.concat(F.lit("g"), F.col("id").cast("string")).alias(
+                        "group_id"
+                    ),
+                    F.timestamp_millis(F.lit(fms)).alias("ts"),
+                    F.lit(0.0).alias("score"),
+                )
+            )
+        for i, part in enumerate(parts):
+            part.coalesce(1).write.parquet(f"{build}/p{i}")
+            dst = f"{build}/src/f{i}.parquet"
+            shutil.copy(glob.glob(f"{build}/p{i}/*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            shutil.rmtree(f"{build}/p{i}")
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(f"{build}/src", src)
+        except OSError:
+            pass  # concurrent builder won the rename; use theirs
+        shutil.rmtree(build, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"t_stream_session_tws_{uuid.uuid4().hex[:8]}"
+    with _tws_stream_conf(spark):
+        q = (
+            session_finalize_tws(stream, gap_ms=5_000)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = (
+        spark.table(sink)
+        .filter(F.col("session_end_ms") < flush1)  # fixture sessions only
+        .collect()  # bounded: <= one session per occupied slot run
+    )
+    spark.catalog.dropTempView(sink)
+    out_schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_score", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([tuple(r) for r in rows], out_schema)
