@@ -164,7 +164,7 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "32g",
-            # 328 queries x 2 passes = 656 retained SQL executions, each
+            # ~340 queries x 2 passes = ~680 retained SQL executions, each
             # holding formatted plan graphs for our very wide plans — with
             # the default retention (1000) ALL of them stay on the heap
             # for the whole sweep.  Cap listener state so late-sweep GC
