@@ -21,6 +21,10 @@ equivalence.  This sweep pins the claim mechanically:
    compared row-for-row against ``F.session_window`` batch aggregation
    over the same events — tying the pure model to the executing
    operator (schema, timers, state round-trip included).
+
+3. ``test_session_tws_survives_checkpoint_restart``: the ListState of
+   open sessions round-trips a query stop/restart — a late event in the
+   second run merges into a session opened in the first, exactly once.
 """
 
 from __future__ import annotations
@@ -267,3 +271,111 @@ def test_session_tws_streaming_matches_batch_session_window(
     got_core = [r for r in got if r[1] < 200_000]
     exp_core = [r for r in expected if r[1] < 200_000]
     assert got_core == exp_core, (got_core, exp_core)
+
+
+def test_session_tws_survives_checkpoint_restart(spark, tmp_path_factory):
+    """The multi-session ListState round-trips a checkpoint restart: two
+    batches drain in run 1 (leaving open sessions in state), the query
+    STOPS, and a SECOND run over the same checkpoint delivers the
+    remaining batches — a late in-gap event in run 2 must merge into a
+    session OPENED IN RUN 1 (state recovered, not rebuilt), and the
+    final emissions must equal F.session_window over all events."""
+    from kafka_streaming_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if ensure_protobuf() is None:
+        pytest.skip("no google.protobuf runtime available")
+    import time as _time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from kafka_streaming_spark.io.sources import file_stream
+    from kafka_streaming_spark.streaming.stateful import session_finalize_tws
+
+    gap_ms = 5_000
+
+    def at(ms):
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # run-1 batches open two sessions for key a: [10s..12s] and [40s]
+    run1 = [
+        [("a", 10_000, 1.0), ("a", 12_000, 2.0)],
+        [("a", 40_000, 3.0)],
+    ]
+    # run-2: a late event at 8s (admitted: generous delay) merges into
+    # the RESTORED [10s..12s] session extending it down to 8s; then two
+    # watermark pushes finalize everything below the flush horizon
+    run2 = [
+        [("a", 8_000, 4.0)],
+        [("a", 500_000, 9.0)],
+        [("a", 510_000, 9.0)],
+    ]
+
+    root = str(tmp_path_factory.mktemp("tws_restart"))
+    schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    src = f"{root}/source"
+    finalized: list[tuple] = []
+
+    def capture(batch_df, _batch_id):
+        for r in batch_df.collect():
+            finalized.append(
+                (
+                    r["group_id"],
+                    r["session_start_ms"],
+                    r["session_end_ms"],
+                    r["n_events"],
+                    r["total_score"],
+                )
+            )
+
+    def write_batches(batches, first):
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(g, at(ms), sc) for g, ms, sc in rows], schema
+            ).coalesce(1).write.mode(
+                "overwrite" if first and i == 0 else "append"
+            ).parquet(src)
+            _time.sleep(1.1)
+
+    def drain():
+        stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+        (
+            session_finalize_tws(
+                stream, gap_ms=gap_ms, watermark_delay="300 seconds"
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(capture)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    write_batches(run1, first=True)
+    drain()  # run 1: sessions stay OPEN in state (watermark far behind)
+    assert finalized == []  # nothing can have finalized yet
+    write_batches(run2, first=False)
+    drain()  # run 2: fresh query instance, same checkpoint
+
+    # the restored session must have absorbed the late 8s event
+    assert ("a", 8_000, 12_000, 3, 7.0) in finalized
+    assert ("a", 40_000, 40_000, 1, 3.0) in finalized
+    # and emissions are exactly once
+    assert len(finalized) == len(set(finalized))
