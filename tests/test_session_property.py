@@ -379,3 +379,27 @@ def test_session_tws_survives_checkpoint_restart(spark, tmp_path_factory):
     assert ("a", 40_000, 40_000, 1, 3.0) in finalized
     # and emissions are exactly once
     assert len(finalized) == len(set(finalized))
+
+
+def test_session_protocol_edge_cases():
+    """Explicit protocol edges the random sweep may not hit head-on:
+    empty micro-batches between data batches (timer passes still run,
+    nothing double-emits), and all events at ONE timestamp (a single
+    session whatever the batching)."""
+    # empty batches interleaved
+    emitted, open_, admitted = drive_protocol(
+        [[(1000, 1.0)], [], [(2000, 2.0)], [], [(60_000, 3.0)], []],
+        gap_ms=5_000,
+        delay_ms=0,
+    )
+    assert sorted(emitted + open_) == ref_sessions(admitted, 5_000)
+    assert (1000, 2000, 2, 3.0) in emitted  # finalized by the 60s jump
+    assert len(emitted) == len(set(emitted))
+
+    # all events at one timestamp, sliced across batches
+    emitted, open_, admitted = drive_protocol(
+        [[(7_000, 1.0)], [(7_000, 2.0)], [(7_000, 4.0)]],
+        gap_ms=2_000,
+        delay_ms=10_000,
+    )
+    assert sorted(emitted + open_) == [(7_000, 7_000, 3, 7.0)]
