@@ -21,6 +21,17 @@ def undirect(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     )
 
 
+def _pin_partitioning(edges: DataFrame, key: str) -> DataFrame:
+    """Hash-partition an edge list by ``key`` with an EXPLICIT partition
+    count (the session's shuffle parallelism): iterative rounds below rely
+    on every per-round aggregate reusing this one layout (guide §2.4 —
+    operations keyed the same way share one exchange), and an explicit
+    count keeps AQE from coalescing the cached layout into a partitioning
+    the per-round plans can no longer match."""
+    n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return edges.repartition(n, F.col(key))
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 2,
@@ -47,6 +58,16 @@ def pagerank(
     # every iterative graph algorithm starts with.  Callers/bench release
     # with spark.catalog.clearCache(); at 100 TB swap for a checkpoint or
     # a temp table write.
+    #
+    # r11: under broadcast_ranks the per-round edges⋈contrib join is
+    # map-side, so hash-partitioning the CACHED edge list by dst once
+    # makes every round's inbound groupBy(dst) exchange-free, and the
+    # deg⋈inbound node joins co-partitioned (deg's one-time groupBy(src)
+    # leaves it hash-partitioned on the same node key space) — the whole
+    # iteration then shuffles the edge list exactly once (the layout
+    # build) instead of once per round (guide §2.4).
+    if broadcast_ranks:
+        edges = _pin_partitioning(edges, dst)
     edges = edges.cache()
     deg = (
         edges.groupBy(F.col(src).alias("node"))
@@ -89,6 +110,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     broadcast_labels: bool = False,
+    label_bits: int | None = None,
 ) -> DataFrame:
     """Synchronous majority-vote label propagation (community detection):
     every node starts labeled with its own id; each round a node adopts
@@ -109,10 +131,34 @@ def label_propagation(
     aggregate (``max_by`` over a (count, -label) struct — map-side
     partials, no window sort).  O(iters) passes, no driver state.
 
+    ``label_bits`` (r11): when labels are known non-negative and bounded
+    (label < 2^label_bits, per-(node, label) neighbor count
+    < 2^(63-label_bits)), the per-round arg-max is computed as a plain
+    ``max`` over the injective packing ``cnt·2^B + (2^B-1-label)`` —
+    max count first, then smallest label, decoded exactly.  A packed
+    BIGINT max runs in HashAggregate with map-side partials; the generic
+    struct ``max_by`` falls back to SortAggregate (struct aggregation
+    buffers are not hash-mutable), paying a per-partition sort of the
+    joined edge stream twice per round.  Leave ``None`` when labels can
+    exceed the bound (the exact struct path remains).
+
     Returns ``(node, label)`` after ``iters`` rounds.
     """
+    # r11: under broadcast_labels the per-round edges⋈labels join is
+    # map-side, so hash-partitioning the CACHED edge list by dst once
+    # makes BOTH per-round aggregates exchange-free — groupBy(dst, label)
+    # is clustered by dst, and the arg-max groupBy(node=dst) reuses the
+    # same layout (guide §2.4).  The whole iteration then shuffles the
+    # edge list exactly once (the layout build) instead of twice per
+    # round.  Without broadcast the join itself re-keys by src, so the
+    # layout would be wasted — keep the plain cache.
+    if broadcast_labels:
+        edges = _pin_partitioning(edges, dst)
     edges = edges.cache()
-    lab = edges.select(F.col(src).alias("node")).distinct().select(
+    # Seed from dst, not src: with both orientations present the node
+    # sets are identical, and a dst-partitioned edge list makes this
+    # distinct exchange-free under broadcast_labels.
+    lab = edges.select(F.col(dst).alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     for _ in range(iters):
@@ -129,13 +175,25 @@ def label_propagation(
             .groupBy(F.col(dst).alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        # arg-max as an aggregate, not a window: max over the struct
-        # (count, -label) is "most frequent, then smallest label".
-        lab = neigh.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("__cnt"), (-F.col("label")).alias("__t"))
-            ).alias("label")
-        )
+        if label_bits is not None:
+            # arg-max via injective BIGINT packing (bounds documented
+            # above): exact, order-independent, HashAggregate-able.
+            shift = F.lit(1 << label_bits)
+            top = F.lit((1 << label_bits) - 1)
+            packed = neigh.select(
+                "node", (F.col("__cnt") * shift + (top - F.col("label"))).alias("__p")
+            )
+            lab = packed.groupBy("node").agg(
+                (top - F.max("__p") % shift).alias("label")
+            )
+        else:
+            # arg-max as an aggregate, not a window: max over the struct
+            # (count, -label) is "most frequent, then smallest label".
+            lab = neigh.groupBy("node").agg(
+                F.max_by(
+                    "label", F.struct(F.col("__cnt"), (-F.col("label")).alias("__t"))
+                ).alias("label")
+            )
     return lab
 
 
