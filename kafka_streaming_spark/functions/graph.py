@@ -21,17 +21,6 @@ def undirect(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     )
 
 
-def _pin_partitioning(edges: DataFrame, key: str) -> DataFrame:
-    """Hash-partition an edge list by ``key`` with an EXPLICIT partition
-    count (the session's shuffle parallelism): iterative rounds below rely
-    on every per-round aggregate reusing this one layout (guide §2.4 —
-    operations keyed the same way share one exchange), and an explicit
-    count keeps AQE from coalescing the cached layout into a partitioning
-    the per-round plans can no longer match."""
-    n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return edges.repartition(n, F.col(key))
-
-
 def pagerank(
     edges: DataFrame,
     iters: int = 2,
@@ -59,15 +48,13 @@ def pagerank(
     # with spark.catalog.clearCache(); at 100 TB swap for a checkpoint or
     # a temp table write.
     #
-    # r11: under broadcast_ranks the per-round edges⋈contrib join is
-    # map-side, so hash-partitioning the CACHED edge list by dst once
-    # makes every round's inbound groupBy(dst) exchange-free, and the
-    # deg⋈inbound node joins co-partitioned (deg's one-time groupBy(src)
-    # leaves it hash-partitioned on the same node key space) — the whole
-    # iteration then shuffles the edge list exactly once (the layout
-    # build) instead of once per round (guide §2.4).
-    if broadcast_ranks:
-        edges = _pin_partitioning(edges, dst)
+    # r12: r11 additionally hash-repartitioned the cached edge list by dst
+    # hoping the per-round inbound groupBy(dst) would reuse that layout
+    # (guide §2.4).  Measured: the per-round exchanges do NOT disappear
+    # (an AQE-wrapped cached plan does not expose its output partitioning
+    # to the outer plan, with canChangeCachedPlanOutputPartitioning either
+    # way), so the pin was one full extra edge-list shuffle for nothing —
+    # reverted.
     edges = edges.cache()
     deg = (
         edges.groupBy(F.col(src).alias("node"))
@@ -144,20 +131,13 @@ def label_propagation(
 
     Returns ``(node, label)`` after ``iters`` rounds.
     """
-    # r11: under broadcast_labels the per-round edges⋈labels join is
-    # map-side, so hash-partitioning the CACHED edge list by dst once
-    # makes BOTH per-round aggregates exchange-free — groupBy(dst, label)
-    # is clustered by dst, and the arg-max groupBy(node=dst) reuses the
-    # same layout (guide §2.4).  The whole iteration then shuffles the
-    # edge list exactly once (the layout build) instead of twice per
-    # round.  Without broadcast the join itself re-keys by src, so the
-    # layout would be wasted — keep the plain cache.
-    if broadcast_labels:
-        edges = _pin_partitioning(edges, dst)
+    if label_bits is not None and not (0 < label_bits < 63):
+        raise ValueError(f"label_bits must be in (0, 63), got {label_bits}")
     edges = edges.cache()
-    # Seed from dst, not src: with both orientations present the node
-    # sets are identical, and a dst-partitioned edge list makes this
-    # distinct exchange-free under broadcast_labels.
+    # Seed from dst (with both orientations present — the documented
+    # precondition — the src and dst node sets are identical, so this is
+    # a no-op vs seeding from src; a DIRECTED edge list would violate the
+    # precondition and change the node set, so run undirect() first).
     lab = edges.select(F.col(dst).alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

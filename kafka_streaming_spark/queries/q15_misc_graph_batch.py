@@ -493,12 +493,12 @@ def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     ties break to the smallest label, so both engines agree bit-for-bit
     with the rounds unrolled.  Scale shape: edge list cached once, each
     round one node-keyed join + one count aggregate + one arg-max
-    AGGREGATE.  r11: the label map is broadcast (node table fits an
-    executor), the cached edge list is hash-partitioned by dst ONCE so
-    both per-round aggregates are exchange-free, and the arg-max runs as
-    a plain BIGINT max over the injective (count, -label) packing —
-    HashAggregate with map-side partials instead of the struct max_by's
-    SortAggregate.  label_bits=35 bounds: labels (node ids) < 2^35,
+    AGGREGATE.  r11/r12: the label map is broadcast (node table fits an
+    executor) and the arg-max runs as a plain BIGINT max over the
+    injective (count, -label) packing — HashAggregate with map-side
+    partials instead of the struct max_by's SortAggregate (4 Sorts and
+    4 SortAggregates eliminated from the plan).
+    label_bits=35 bounds: labels (node ids) < 2^35,
     per-(node, label) neighbor count < 2^28 — beyond that pass None for
     the exact struct path.  Top-20 communities by (size, label)."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")

@@ -148,3 +148,47 @@ def test_k_core_clique_with_tail(spark):
 
     path = G.undirect(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
     assert G.k_core(path, k=2, rounds=2).count() == 0
+
+
+def test_label_propagation_packed_max_equals_struct_max_by(spark):
+    """The r11 packed-BIGINT arg-max (label_bits) must agree bit-for-bit
+    with the exact struct max_by path on tie-heavy graphs, including a
+    label at the packing's upper bound 2^bits - 1, and under
+    broadcast_labels on both sides."""
+    top = (1 << 6) - 1  # 63: upper-bound label for label_bits=6
+    # Two cliques bridged, remapped so one clique carries the bound label;
+    # a 4-cycle for maximal ties.
+    graphs = [
+        _pairs(
+            spark,
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+            + [(top, 60), (top, 61), (top, 62), (60, 61), (60, 62), (61, 62)]
+            + [(4, top)],
+        ),
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]),
+        _pairs(spark, [(top - 1, top), (top, 1), (1, top - 1)]),  # triangle at bound
+    ]
+    for pairs in graphs:
+        edges = G.undirect(pairs)
+        for bcast in (False, True):
+            exact = sorted(
+                G.label_propagation(
+                    edges, iters=2, broadcast_labels=bcast, label_bits=None
+                ).collect()
+            )
+            packed = sorted(
+                G.label_propagation(
+                    edges, iters=2, broadcast_labels=bcast, label_bits=6
+                ).collect()
+            )
+            assert packed == exact, (bcast, packed, exact)
+
+
+def test_label_propagation_label_bits_guard(spark):
+    """Out-of-range label_bits must fail fast, not wrap silently."""
+    import pytest
+
+    cyc = G.undirect(_pairs(spark, [(1, 2), (2, 1)]))
+    for bad in (0, -3, 63, 64):
+        with pytest.raises(ValueError):
+            G.label_propagation(cyc, iters=1, label_bits=bad)
