@@ -149,32 +149,55 @@ def _tiny_stream_conf(spark: SparkSession, partitions: int = 4):
 
 
 @contextmanager
-def _tws_stream_conf(spark: SparkSession, partitions: int = 4):
+def _tws_stream_conf(
+    spark: SparkSession, partitions: int = 4, no_data_batches: bool = True
+):
     """Confine a transformWithState witness drain to few shuffle
     partitions and the ROCKSDB state store — the opposite provider
     choice from :func:`_tiny_stream_conf`, because TWS state uses
     multiple column families, which HDFSBackedStateStoreProvider
     rejects outright (``multipleColumnFamiliesNotSupported``, measured
-    r9).  Restores both session confs afterward."""
+    r9).  Restores both session confs afterward.
+
+    ``KSS_TWS_PARTS`` overrides ``partitions`` (A/B harness hook: state
+    partition count is a fixed per-batch cost — one RocksDB instance +
+    one Python state-server handshake each — not a semantics choice).
+
+    ``no_data_batches=False`` additionally scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` to the
+    drain: an availableNow witness whose RESULT doesn't depend on a
+    trailing empty batch (timer-only emissions that the caller filters
+    out anyway) pays one full micro-batch of pure fixed cost for it —
+    r12 interleaved A/B on t_stream_session_tws: 6.5s → 5.3s.  Leave
+    True for any witness whose returned rows are emitted BY the
+    trailing no-data batch."""
+    import os
+
+    partitions = int(os.environ.get("KSS_TWS_PARTS", partitions))
     part_key = "spark.sql.shuffle.partitions"
     prov_key = "spark.sql.streaming.stateStore.providerClass"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_parts = spark.conf.get(part_key)
     prev_prov = spark.conf.get(
         prov_key,
         "org.apache.spark.sql.execution.streaming.state."
         "HDFSBackedStateStoreProvider",
     )
+    prev_nodata = spark.conf.get(nodata_key, "true")
     spark.conf.set(part_key, str(partitions))
     spark.conf.set(
         prov_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    if not no_data_batches:
+        spark.conf.set(nodata_key, "false")
     try:
         yield
     finally:
         spark.conf.set(part_key, prev_parts)
         spark.conf.set(prov_key, prev_prov)
+        spark.conf.set(nodata_key, prev_nodata)
 
 
 #: Poll deadlines (seconds), one per attempt, for the live-trigger

@@ -60,14 +60,18 @@ def x_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     with non-finalized orders (status ≠ 'F') treated as RIGHT-CENSORED —
     they keep inflating the at-risk denominator but never count as
     events, which is exactly what a naive AVG(duration) gets wrong.
-    Ŝ(t) = Π over event times ≤ t of (1 − dᵢ/nᵢ); the ordered product
-    folds through the same array-`aggregate` pattern as `x_holt_linear`,
-    each step one correctly-rounded IEEE divide + multiply from exact
-    BIGINT (d, n) — bit-identical to the oracle's recursive-CTE unroll,
-    emitted as a floored nano-unit integer.  Scale shape: order volume
-    reduces to per-(priority, day) counts in two shuffles; the at-risk
-    window and the fold run on the ≤ priorities × duration-range rows
-    (calendar-bounded constant)."""
+    Ŝ(t) = Π over event times ≤ t of (1 − dᵢ/nᵢ); the ordered product is
+    a per-priority ``np.cumprod`` in an Arrow grouped-map pass — the SAME
+    left-to-right sequence of one correctly-rounded IEEE divide +
+    multiply per event time from exact BIGINT (d, n), bit-identical to
+    the oracle's recursive-CTE unroll, emitted as a floored nano-unit
+    integer.  (r12: this replaced an array-``aggregate`` fold whose
+    per-step ``array_append`` rebuilt the accumulator — O(k²) copies for
+    k≈3,300 event times per priority, 3s of the 4.7s query; the
+    grouped-map pass is O(k) and reuses the window's partitioning.)
+    Scale shape: order volume reduces to per-(priority, day) counts in
+    two shuffles; the at-risk window and the cumprod run on the
+    ≤ priorities × duration-range rows (calendar-bounded constant)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf, "orders").select(
@@ -110,35 +114,30 @@ def x_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
             - F.coalesce(F.sum("tot").over(wb), F.lit(0)).cast("long")
         ).alias("n"),
     ).filter(F.col("d") > 0)
-    arr = risk.groupBy("prio").agg(
-        F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias("arr")
+
+    def _km_fold(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("t")
+        n = pdf["n"].to_numpy()
+        d = pdf["d"].to_numpy()
+        # (n - d) / n: int64 true-divide = cast-to-double + one IEEE
+        # divide per element, exactly the oracle's per-step expression;
+        # cumprod is the same left-to-right one-multiply-per-step chain
+        # as the recursive CTE (cumulative ops have no pairwise variant —
+        # every prefix is emitted, so the rounding sequence is forced).
+        pdf["s"] = np.cumprod((n - d) / n)
+        return pdf
+
+    km = risk.groupBy("prio").applyInPandas(
+        _km_fold, "prio string, t bigint, d bigint, n bigint, s double"
     )
-    folded = arr.select(
-        "prio",
-        F.expr(
-            """
-            aggregate(
-              slice(arr, 2, greatest(size(arr) - 1, 0)),
-              array(named_struct('t', arr[0].t, 'd', arr[0].d, 'n', arr[0].n,
-                    's', CAST(arr[0].n - arr[0].d AS DOUBLE)
-                         / CAST(arr[0].n AS DOUBLE))),
-              (acc, e) -> array_append(acc, named_struct(
-                't', e.t, 'd', e.d, 'n', e.n,
-                's', element_at(acc,-1).s
-                     * (CAST(e.n - e.d AS DOUBLE) / CAST(e.n AS DOUBLE))))
-            ) AS km
-            """
-        ),
-    )
-    return (
-        folded.select("prio", F.explode("km").alias("s"))
-        .select(
-            F.col("prio").alias("o_orderpriority"),
-            F.col("s.t").alias("duration_days"),
-            F.col("s.n").alias("n_at_risk"),
-            F.col("s.d").alias("d_events"),
-            F.expr("CAST(FLOOR(s.s * 1000000000.0) AS BIGINT)").alias("survival_nano"),
-        )
+    return km.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("t").alias("duration_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.expr("CAST(FLOOR(s * 1000000000.0) AS BIGINT)").alias("survival_nano"),
     )
 
 

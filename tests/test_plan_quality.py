@@ -1323,9 +1323,14 @@ def test_holt_fold_is_expression_no_python(spark):
 def test_kaplan_meier_reduces_before_fold(spark):
     """x_kaplan_meier: order volume must collapse to per-(priority, day)
     counts BEFORE the window/fold stages — bounded exchanges, no
-    cartesian, no Python."""
+    cartesian, no row-at-a-time Python.  r12: the ordered survival
+    product is the Arrow grouped-map cumprod (O(k) per priority), not
+    the O(k²) array_append fold — pin the operator so it can't silently
+    regress."""
     plan = plan_of(spark, "x_kaplan_meier")
     assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "array_append" not in plan
     assert n_nodes(plan, "Exchange") <= 3
     assert "CartesianProduct" not in plan
 
