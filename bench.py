@@ -274,6 +274,12 @@ def main() -> None:
         "unit": "sec",
         "sf": SF_DIR,
         "n_queries": len(timings),
+        # r12 (additions-only): n_queries counts every timed entry;
+        # harness_entries lists the non-registry harness timings included
+        # in it (currently just the medallion pipeline), so
+        # n_queries - len(harness_entries) = registry queries.
+        "n_registry_queries": len(REGISTRY),
+        "harness_entries": ["streaming_medallion"],
         "max_query_sec": max(timings.values()),
         "streaming_events_per_sec": round(n_events / stream_sec, 1),
         # WHAT THAT NUMBER MEANS (pinned so a round-over-round delta can't

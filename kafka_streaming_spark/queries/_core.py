@@ -118,7 +118,9 @@ def _bucket_ms(ts: Column) -> Column:
 
 
 @contextmanager
-def _tiny_stream_conf(spark: SparkSession, partitions: int = 4):
+def _tiny_stream_conf(
+    spark: SparkSession, partitions: int = 4, no_data_batches: bool = True
+):
     """Confine a tiny-state streaming WITNESS drain to cheap settings:
     few shuffle partitions and the in-memory HDFS state store.  The
     session default is RocksDB (right for the 100M-event medallion
@@ -126,26 +128,39 @@ def _tiny_stream_conf(spark: SparkSession, partitions: int = 4):
     witness state sizes — measured 2x the whole drain wall-clock on
     t_stream_left_outer (12.7s → 6.3s).  State-store choice is an
     execution detail: emitted rows are identical under either provider.
-    Restores both session confs afterward."""
+    Restores both session confs afterward.
+
+    ``KSS_TINY_PARTS`` overrides ``partitions`` (A/B harness hook, same
+    rationale as ``_tws_stream_conf``).  ``no_data_batches=False``
+    scopes ``noDataMicroBatches.enabled=false`` to the drain — see the
+    ``_tws_stream_conf`` docstring for when that is safe."""
+    import os
+
+    partitions = int(os.environ.get("KSS_TINY_PARTS", partitions))
     part_key = "spark.sql.shuffle.partitions"
     prov_key = "spark.sql.streaming.stateStore.providerClass"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_parts = spark.conf.get(part_key)
     prev_prov = spark.conf.get(
         prov_key,
         "org.apache.spark.sql.execution.streaming.state."
         "HDFSBackedStateStoreProvider",
     )
+    prev_nodata = spark.conf.get(nodata_key, "true")
     spark.conf.set(part_key, str(partitions))
     spark.conf.set(
         prov_key,
         "org.apache.spark.sql.execution.streaming.state."
         "HDFSBackedStateStoreProvider",
     )
+    if not no_data_batches:
+        spark.conf.set(nodata_key, "false")
     try:
         yield
     finally:
         spark.conf.set(part_key, prev_parts)
         spark.conf.set(prov_key, prev_prov)
+        spark.conf.set(nodata_key, prev_nodata)
 
 
 @contextmanager

@@ -1743,22 +1743,33 @@ def x_hits_rank(spark: SparkSession, sf: str) -> DataFrame:
             key, f"{val} * 1000000 DIV m AS {val}n"
         )
 
+    # r12: BROADCAST each per-round score join — the score tables are
+    # node-bounded (one row per customer/supplier), the same "node table
+    # fits an executor" lever as pagerank's broadcast_ranks /
+    # label_propagation's broadcast_labels; without the hint the planner
+    # SortMergeJoined the cached pair list against every level (3 SMJs +
+    # 6 Sorts + a pair-list shuffle per half-round in the r11 plan;
+    # AQE undid most of that at runtime, so the interleaved win is small
+    # — 3.90s → 3.79s — but the static plan is now shuffle-free on the
+    # pair side and deterministic).
+    _bc = F.broadcast
+
     a1 = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("a"))
     a1n = normalize(a1, "c", "a")
     h1 = (
-        pairs.join(a1n, "c")
+        pairs.join(_bc(a1n), "c")
         .groupBy("s")
         .agg(F.sum("an").alias("h"))
     )
     h1n = normalize(h1, "s", "h")
     a2 = (
-        pairs.join(h1n, "s")
+        pairs.join(_bc(h1n), "s")
         .groupBy("c")
         .agg(F.sum("hn").alias("a"))
     )
     a2n = normalize(a2, "c", "a")
     h2 = (
-        pairs.join(a2n, "c")
+        pairs.join(_bc(a2n), "c")
         .groupBy("s")
         .agg(F.sum("an").alias("h"), F.count(F.lit(1)).alias("n_customers"))
         .cache()  # same two-consumer shape as the normalize levels

@@ -530,7 +530,14 @@ def t_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
         how="left_outer",
     )
     sink = f"t_stream_left_outer_{uuid.uuid4().hex[:8]}"
-    with _tiny_stream_conf(spark):
+    # r12 (guide §1 — fixed streaming costs): 2 state partitions (the
+    # join state is tiny; at 4, every one of the 3 micro-batches paid 4
+    # per-partition store open/commit cycles ×4 state stores of the
+    # stream-stream join) and no trailing no-data batch (its only
+    # evictions are the advancer rows the s_user >= 0 filter drops).
+    # Interleaved A/B at sf0.1: 6.60s → 3.04s best-of-2; emitted rows
+    # verified identical.
+    with _tiny_stream_conf(spark, partitions=2, no_data_batches=False):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)

@@ -40,6 +40,19 @@ BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r12 (guide §3.1): let AQE rewrite a planned sort-merge join to a
+    # shuffled hash join at runtime when EVERY post-shuffle partition is
+    # under this threshold — skips both sort passes for the mid-size
+    # node-keyed joins the graph/pairing family plans as SMJ.  Default is
+    # 0 (off).  SCALE-ADAPTIVE by construction: at 100 TB the per-
+    # partition shuffle sizes exceed 64 MB and AQE keeps the sort-merge
+    # plan, so this is not a local-only tuning; 64 MB also bounds the
+    # per-task hash build (×32 tasks ≈ 2 GB peak, well inside the heap).
+    # Static plans are untouched (the rewrite happens in AQE
+    # re-optimization), so plan budgets/gates see the same shapes.
+    # Interleaved A/B over the 11 hottest joining queries, best-of-3:
+    # 42.5s → 38.7s, 10 of 11 faster.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Partial aggregation pushdown into the parquet scan where possible.
     "spark.sql.parquet.aggregatePushdown": "true",

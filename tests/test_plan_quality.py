@@ -562,17 +562,20 @@ def test_bfs_edges_cached_and_shuffle_bounded(spark):
 
 
 def test_kcore_edges_cached_and_shuffle_bounded(spark):
-    """K-core peeling: the undirected edge list must be materialized once
-    per peel state (cached — it feeds the degree groupBy AND both
-    semi-join probes), the keep-set joins must never degenerate to a
-    product, and two rounds stay within the per-round budget of one
-    degree shuffle plus two key-partitioned semi-joins."""
+    """K-core peeling: each peel round is materialized once behind an
+    eager lineage cut (r12: localCheckpoint replaced the cache+count
+    chain — the returned plan is the final aggregate over the
+    checkpointed survivor RDD, so no parquet re-scan and no join can
+    appear above the cut), the keep-set joins must never degenerate to a
+    product, and the final aggregate stays within a tiny exchange
+    budget."""
     spark.catalog.clearCache()
     plan = plan_of(spark, "x_kcore_trade")
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan  # the per-round lineage cut
+    assert "Scan parquet" not in plan  # no re-scan above the cut
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
-    assert n_nodes(plan, "Exchange") <= 14
+    assert n_nodes(plan, "Exchange") <= 4
 
 
 def test_grid_nearest_is_blocked_equi_join(spark):
@@ -921,16 +924,18 @@ def test_trade_flow_imbalance_broadcast_dims_no_flow_self_join(spark):
 
 
 def test_weighted_shortest_path_edges_cached_relaxation_bounded(spark):
-    """Bellman-Ford: the weighted edge list must be cached (it feeds every
-    relaxation round), every per-round join is a node-key equi-join, and
-    3 rounds stay within the shuffle budget (per round: one edges⋈dist
-    join + one min-groupBy)."""
+    """Bellman-Ford: every relaxation round is materialized behind an
+    eager lineage cut (r12: localCheckpoint replaced the cache+count
+    chain — the returned plan is a bare scan of the final checkpointed
+    distance RDD, so no parquet re-scan, no join and no exchange can
+    appear above the cut)."""
     spark.catalog.clearCache()  # cold plan — see pagerank gate note
     plan = plan_of(spark, "x_weighted_shortest_path")
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan  # the per-round lineage cut
+    assert "Scan parquet" not in plan  # no re-scan above the cut
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
-    assert n_nodes(plan, "Exchange") <= 26  # 3 rounds x (join sides + min-groupBy)
+    assert n_nodes(plan, "Exchange") == 0
 
 
 def test_feature_hashing_single_aggregate_pruned_scan(spark):
