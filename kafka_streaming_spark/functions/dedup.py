@@ -445,33 +445,28 @@ def _materialize(df: DataFrame, backend: str, tag: str, eager: bool) -> DataFram
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Union-find over a collected edge list → (doc_id, cluster_id) with
-    cluster_id = component minimum (path compression + link-larger-to-
-    smaller keeps every root the component min).  Caller guarantees the
-    edge count is bounded; ``a <= b`` keeps one orientation per undirected
-    edge while retaining self-loop-only nodes."""
+    """Connected components over a collected edge list → (doc_id,
+    cluster_id) with cluster_id = component minimum.  Caller guarantees
+    the edge count is bounded; ``a <= b`` keeps one orientation per
+    undirected edge while retaining self-loop-only nodes.
+
+    r12: the per-edge Python union-find loop (550k ``find()`` calls ≈
+    1.5 s of single-threaded pointer chasing on x_dbscan_clusters) is
+    replaced by vectorized min-label propagation + pointer jumping on
+    numpy arrays — scatter-min over all edges (``np.minimum.at``) then
+    ``label = label[label]`` until the fixed point, O(log diameter)
+    C-speed passes.  ``np.unique`` is order-preserving, so the minimum
+    dense index IS the minimum node id — the converged label maps back
+    to exactly the component-min contract of the old union-find."""
+    import numpy as np
+
     # Arrow transfer into two flat columns (16 bytes/edge in the Arrow
     # buffer) instead of collect()'s Row objects (100+ bytes/edge, which
     # made the old 4M default a near-GB driver allocation, not the ~64 MB
     # its docstring claimed).
     tbl = edges.filter(F.col("a") <= F.col("b")).toArrow()
-    col_a = tbl.column("a").to_pylist()
-    col_b = tbl.column("b").to_pylist()
-    parent: dict = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for ea, eb in zip(col_a, col_b):
-        ra, rb = find(ea), find(eb)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    col_a = tbl.column("a").to_numpy(zero_copy_only=False)
+    col_b = tbl.column("b").to_numpy(zero_copy_only=False)
 
     from pyspark.sql.types import StructField, StructType
 
@@ -479,8 +474,27 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("doc_id", node_type), StructField("cluster_id", node_type)]
     )
+    if len(col_a) == 0:
+        return edges.sparkSession.createDataFrame([], schema)
+
+    nodes, inv = np.unique(np.concatenate([col_a, col_b]), return_inverse=True)
+    ia, ib = inv[: len(col_a)], inv[len(col_a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # scatter-min across both edge orientations, then path-halve
+        np.minimum.at(label, ia, label[ib])
+        np.minimum.at(label, ib, label[ia])
+        label = label[label]
+        nxt = label[label]
+        if np.array_equal(nxt, label):
+            # fixed point under jumping; one more edge pass to confirm
+            lo = np.minimum(label[ia], label[ib])
+            if np.array_equal(lo, label[ia]) and np.array_equal(lo, label[ib]):
+                break
+        label = nxt
+    out = np.stack([nodes, nodes[label]], axis=1)
     return edges.sparkSession.createDataFrame(
-        [(n, find(n)) for n in parent], schema
+        [(int(r[0]), int(r[1])) for r in out], schema
     )
 
 
